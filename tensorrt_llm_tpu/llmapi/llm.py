@@ -1,0 +1,257 @@
+"""The public ``LLM`` API.
+
+Mirrors the reference LLM facade (reference: tensorrt_llm/llmapi/llm.py —
+BaseLLM.generate:329, generate_async:432, _TorchLLM:1572): parse args →
+load model/tokenizer → build engine + executor → submit requests as
+futures. Differences are TPU-architectural: there is no MPI pool spawn —
+a single controller process drives all local chips through one jitted
+program (GSPMD); multi-host serving adds a gRPC request-broadcast layer
+instead (see SURVEY.md §2.3 orchestration).
+"""
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Any, Iterable, List, Optional, Sequence, Union
+
+import jax
+import numpy as np
+
+from ..logger import logger
+from ..mapping import Mapping
+from ..models import ModelConfig, get_model_class
+from ..runtime.executor import GenerationResult, PyExecutor
+from ..runtime.kv_cache_manager import KVCacheManager
+from ..runtime.model_engine import ModelEngine
+from ..runtime.request import LlmRequest
+from ..runtime.scheduler import (CapacityScheduler, MicroBatchScheduler,
+                                 RequestScheduler)
+from ..sampling_params import SamplingParams
+from .llm_args import LlmArgs
+
+PromptInput = Union[str, Sequence[int]]
+
+
+class RequestOutput:
+    """Final result wrapper (reference: executor/result.py RequestOutput)."""
+
+    def __init__(self, result: GenerationResult, prompt: Optional[str]):
+        self._result = result
+        self.prompt = prompt
+
+    @property
+    def request_id(self) -> int:
+        return self._result.request_id
+
+    @property
+    def prompt_token_ids(self):
+        return self._result.prompt_token_ids
+
+    @property
+    def outputs(self):
+        return self._result.outputs
+
+    @property
+    def finished(self) -> bool:
+        return self._result.finished
+
+    def result(self, timeout: Optional[float] = None) -> "RequestOutput":
+        self._result.result(timeout)
+        return self
+
+    def __iter__(self):
+        return iter(self._result)
+
+    def __repr__(self):
+        return (f"RequestOutput(request_id={self.request_id}, "
+                f"outputs={self.outputs!r})")
+
+
+class LLM:
+    """End-user entry point.
+
+    ``model`` may be: a HF checkpoint directory, or (for tests/benchmarks)
+    a live ``transformers`` model instance whose weights are ingested
+    directly.
+    """
+
+    def __init__(self, model: Any, tokenizer: Any = None, **kwargs):
+        if isinstance(model, (str, Path)):
+            kwargs["model"] = str(model)
+        else:
+            kwargs["model"] = getattr(getattr(model, "config", None),
+                                      "name_or_path", "") or "__inline__"
+        self.args = LlmArgs(**kwargs)
+        self._inline_model = None if isinstance(model, (str, Path)) else model
+        self.tokenizer = tokenizer
+        self.mapping = self.args.to_mapping()
+        self.mesh = None
+        if self.mapping.world_size > 1:
+            self.mesh = self.mapping.build_mesh()
+
+        self._build_model()
+        self._build_executor()
+
+    # ------------------------------------------------------------------ #
+    # Build (reference: _TorchLLM._build_model llm.py:1476)
+    # ------------------------------------------------------------------ #
+    def _build_model(self):
+        hf_config, state_dict = self._load_checkpoint()
+        import jax.numpy as jnp
+        dtype = {"auto": jnp.bfloat16, "bfloat16": jnp.bfloat16,
+                 "float32": jnp.float32}[self.args.dtype]
+        model_config = ModelConfig(
+            hf_config=hf_config, dtype=dtype,
+            quant_config=self.args.quant_config, mapping=self.mapping)
+        model_cls = get_model_class(hf_config.model_type)
+        self.model = model_cls(model_config)
+        if self.mapping.world_size > 1:
+            # Pallas kernels are not auto-partitioned by GSPMD; use the XLA
+            # dequant path until the kernels are shard_map-wrapped.
+            for m in vars(self.model).values():
+                if hasattr(m, "use_pallas"):
+                    m.use_pallas = False
+        if state_dict is None:
+            params = self.model.init_params(jax.random.PRNGKey(0))
+        else:
+            params = self.model.load_hf_state_dict(state_dict)
+        self._params = params
+
+    def _load_checkpoint(self):
+        if self._inline_model is not None:
+            m = self._inline_model
+            sd = {k: v.detach().cpu().float().numpy()
+                  for k, v in m.state_dict().items()}
+            if self.args.load_format == "dummy":
+                sd = None
+            if self.tokenizer is None and not self.args.skip_tokenizer_init:
+                self.tokenizer = None  # inline models carry no tokenizer
+            return m.config, sd
+        path = Path(self.args.model)
+        if not path.exists():
+            raise FileNotFoundError(
+                f"model path {path} not found (no network access: pass a "
+                f"local checkpoint directory)")
+        from transformers import AutoConfig
+        hf_config = AutoConfig.from_pretrained(
+            path, trust_remote_code=self.args.trust_remote_code)
+        if self.tokenizer is None and not self.args.skip_tokenizer_init:
+            try:
+                from transformers import AutoTokenizer
+                self.tokenizer = AutoTokenizer.from_pretrained(path)
+            except Exception as e:
+                logger.warning("tokenizer load failed: %s", e)
+        if self.args.load_format == "dummy":
+            return hf_config, None
+        sd = {}
+        from safetensors import numpy as st_numpy
+        files = sorted(path.glob("*.safetensors"))
+        if not files:
+            raise FileNotFoundError(f"no safetensors under {path}")
+        for f in files:
+            sd.update(st_numpy.load_file(str(f)))
+        return hf_config, sd
+
+    def _build_executor(self):
+        args = self.args
+        self.engine = ModelEngine(
+            self.model, self._params, args,
+            mapping=self.mapping, mesh=self.mesh)
+        del self._params
+        self.kv_cache_manager = KVCacheManager(
+            num_blocks=self.engine.num_kv_pages,
+            tokens_per_block=args.kv_cache_config.tokens_per_block,
+            max_seq_len=args.max_seq_len,
+            enable_block_reuse=args.kv_cache_config.enable_block_reuse,
+            event_buffer_max_size=args.kv_cache_config.event_buffer_max_size)
+        capacity = CapacityScheduler(
+            max_num_requests=args.max_batch_size,
+            kv_cache_manager=self.kv_cache_manager,
+            policy=args.scheduler_config.capacity_scheduler_policy)
+        micro = MicroBatchScheduler(
+            max_batch_size=args.max_batch_size,
+            max_num_tokens=args.max_num_tokens,
+            enable_chunked_prefill=args.enable_chunked_prefill,
+            chunking_policy=args.scheduler_config.context_chunking_policy,
+            chunk_unit_size=args.kv_cache_config.tokens_per_block)
+        self.executor = PyExecutor(
+            self.engine, self.kv_cache_manager,
+            RequestScheduler(capacity, micro),
+            tokenizer=self.tokenizer,
+            enable_overlap=not args.disable_overlap_scheduler,
+            stream_interval=args.stream_interval)
+
+    # ------------------------------------------------------------------ #
+    # Generation (reference: llm.py:329-533)
+    # ------------------------------------------------------------------ #
+    def generate(self,
+                 prompts: Union[PromptInput, Sequence[PromptInput]],
+                 sampling_params: Optional[Union[SamplingParams,
+                                                 List[SamplingParams]]] = None,
+                 use_tqdm: bool = False) -> List[RequestOutput]:
+        single = isinstance(prompts, str) or (
+            isinstance(prompts, Sequence) and prompts and
+            isinstance(prompts[0], int))
+        batch = [prompts] if single else list(prompts)
+        if isinstance(sampling_params, SamplingParams) or sampling_params is None:
+            sp_list = [sampling_params] * len(batch)
+        else:
+            sp_list = list(sampling_params)
+        futures = [self.generate_async(p, sp) for p, sp in zip(batch, sp_list)]
+        results = [f.result() for f in futures]
+        return results[0] if single else results
+
+    def generate_async(self,
+                       prompt: PromptInput,
+                       sampling_params: Optional[SamplingParams] = None,
+                       streaming: bool = False,
+                       lora_request=None,
+                       cache_salt: Optional[str] = None) -> RequestOutput:
+        sampling_params = sampling_params or SamplingParams()
+        if isinstance(prompt, str):
+            if self.tokenizer is None:
+                raise ValueError("string prompt requires a tokenizer")
+            token_ids = self.tokenizer.encode(
+                prompt, add_special_tokens=sampling_params.add_special_tokens)
+            prompt_text = prompt
+        else:
+            token_ids = list(prompt)
+            prompt_text = None
+        if sampling_params.truncate_prompt_tokens:
+            token_ids = token_ids[-sampling_params.truncate_prompt_tokens:]
+        if len(token_ids) > self.args.max_input_len:
+            raise ValueError(
+                f"prompt length {len(token_ids)} exceeds max_input_len "
+                f"{self.args.max_input_len}")
+        if sampling_params.end_id is None and self.tokenizer is not None:
+            eos = getattr(self.tokenizer, "eos_token_id", None)
+            if eos is not None:
+                sampling_params.end_id = eos
+        req = LlmRequest(prompt_token_ids=token_ids,
+                         sampling_params=sampling_params,
+                         streaming=streaming, cache_salt=cache_salt)
+        res = self.executor.submit(req)
+        return RequestOutput(res, prompt_text)
+
+    # ------------------------------------------------------------------ #
+    def get_stats(self) -> list:
+        return list(self.executor.stats_history)
+
+    def get_kv_cache_events(self) -> list:
+        return self.kv_cache_manager.get_latest_events()
+
+    def shutdown(self):
+        if hasattr(self, "executor"):
+            self.executor.shutdown()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.shutdown()
+
+    def __del__(self):
+        try:
+            self.shutdown()
+        except Exception:
+            pass

@@ -1,0 +1,224 @@
+"""Configuration tree for the LLM API.
+
+Pydantic models with the semantics of the reference config system
+(reference: tensorrt_llm/llmapi/llm_args.py — BaseLlmArgs:2878,
+TorchLlmArgs:3762, KvCacheConfig:2524, SchedulerConfig:2320; field
+checklists SURVEY.md §A.2-A.4). One tree, YAML-overlayable; no C++ mirror
+layer is needed on TPU (the XLA runtime has no separate config object).
+"""
+from __future__ import annotations
+
+from enum import Enum
+from typing import Any, Dict, List, Literal, Optional, Union
+
+from pydantic import BaseModel, Field, field_validator, model_validator
+
+from ..quantization.mode import KvCacheQuantAlgo, QuantAlgo
+from ..runtime.scheduler import CapacitySchedulerPolicy, ContextChunkingPolicy
+
+
+class StrictBaseModel(BaseModel):
+    """Rejects unknown keys, like the reference (llm.py:200-208)."""
+    model_config = dict(extra="forbid", validate_assignment=True,
+                        arbitrary_types_allowed=True)
+
+
+class KvCacheConfig(StrictBaseModel):
+    """Reference: llm_args.py:2524-2651 (§A.4)."""
+    enable_block_reuse: bool = True
+    max_tokens: Optional[int] = None
+    max_attention_window: Optional[List[int]] = None
+    sink_token_length: int = 0
+    free_gpu_memory_fraction: float = Field(0.9, gt=0.0, le=1.0)
+    host_cache_size: Optional[int] = None
+    enable_partial_reuse: bool = False
+    copy_on_partial_reuse: bool = True
+    event_buffer_max_size: int = 0
+    dtype: str = "auto"          # auto|bf16|fp8|int8
+    tokens_per_block: int = 32   # TPU page size; must divide 8-lane tiling
+    secondary_offload_min_priority: Optional[int] = None
+    max_util_for_resume: float = 0.95
+
+    @field_validator("tokens_per_block")
+    @classmethod
+    def _power_of_two(cls, v: int) -> int:
+        if v & (v - 1) or v <= 0:
+            raise ValueError("tokens_per_block must be a power of 2")
+        return v
+
+
+class SchedulerConfig(StrictBaseModel):
+    """Reference: llm_args.py:2320."""
+    capacity_scheduler_policy: CapacitySchedulerPolicy = \
+        CapacitySchedulerPolicy.GUARANTEED_NO_EVICT
+    context_chunking_policy: ContextChunkingPolicy = \
+        ContextChunkingPolicy.FIRST_COME_FIRST_SERVED
+    dynamic_batch_config: Optional[dict] = None
+
+
+class BucketingConfig(StrictBaseModel):
+    """XLA compile-bucket control — the CUDA-graph-config analog
+    (reference: CudaGraphConfig llm_args.py:109; padding gain up to +22%
+    e2e, docs/source/developer-guide/overview.md:55). Batches are padded up
+    to the nearest bucket so every iteration hits a cached XLA executable."""
+    batch_sizes: Optional[List[int]] = None      # decode batch buckets
+    token_buckets: Optional[List[int]] = None    # flattened-token buckets
+    enable_padding: bool = True
+    max_bucket_batch_size: int = 256
+
+    def resolve_batch_sizes(self, max_batch_size: int) -> List[int]:
+        if self.batch_sizes:
+            return sorted(set(min(b, max_batch_size) for b in self.batch_sizes))
+        sizes, b = [], 1
+        while b < min(self.max_bucket_batch_size, max_batch_size):
+            sizes.append(b)
+            b *= 2
+        sizes.append(min(self.max_bucket_batch_size, max_batch_size))
+        return sorted(set(sizes))
+
+    def resolve_token_buckets(self, max_num_tokens: int) -> List[int]:
+        if self.token_buckets:
+            return sorted(set(min(t, max_num_tokens) for t in self.token_buckets))
+        buckets, t = [], 64
+        while t < max_num_tokens:
+            buckets.append(t)
+            t *= 2
+        buckets.append(max_num_tokens)
+        return sorted(set(buckets))
+
+
+class QuantConfig(StrictBaseModel):
+    """Reference: tensorrt_llm/quantization (QuantConfig) + mode.py."""
+    quant_algo: QuantAlgo = QuantAlgo.NO_QUANT
+    kv_cache_quant_algo: KvCacheQuantAlgo = KvCacheQuantAlgo.NO_QUANT
+    group_size: int = 128
+    smoothquant_val: float = 0.5
+    clamp_val: Optional[List[float]] = None
+    exclude_modules: List[str] = Field(default_factory=lambda: ["lm_head"])
+    pre_quant_scale: bool = False
+
+
+class AttentionDpConfig(StrictBaseModel):
+    """Reference: llm_args.py:633."""
+    enable_balance: bool = False
+    timeout_iters: int = 50
+    batching_wait_iters: int = 10
+
+
+class MoeConfig(StrictBaseModel):
+    backend: str = "auto"            # auto|megablox|dense|ragged
+    max_num_tokens: Optional[int] = None
+    load_balancer: Optional[dict] = None
+
+
+class SpeculativeConfig(StrictBaseModel):
+    """Umbrella for spec-decode modes (reference: llm_args.py decoding configs)."""
+    mode: Literal["NONE", "DRAFT_TARGET", "NGRAM", "EAGLE3", "MTP"] = "NONE"
+    max_draft_len: int = 0
+    draft_model: Optional[str] = None
+    # ngram
+    ngram_max_matching_ngram_size: int = 4
+    ngram_prompt_lookup_num_tokens: int = 4
+
+
+class ParallelConfig(StrictBaseModel):
+    tensor_parallel_size: int = 1
+    pipeline_parallel_size: int = 1
+    context_parallel_size: int = 1
+    data_parallel_size: int = 1
+    moe_tensor_parallel_size: int = -1
+    moe_expert_parallel_size: int = -1
+    enable_attention_dp: bool = False
+    pp_partition: Optional[List[int]] = None
+
+
+class LlmArgs(StrictBaseModel):
+    """Top-level engine arguments (reference: BaseLlmArgs llm_args.py:2878
+    + TorchLlmArgs:3762; §A.2-A.3). ``model`` may be an HF repo directory
+    or a registered test config name."""
+    model: str
+    tokenizer: Optional[str] = None
+    skip_tokenizer_init: bool = False
+    trust_remote_code: bool = False
+    dtype: str = "auto"                  # auto|bfloat16|float32
+    revision: Optional[str] = None
+
+    # parallelism (flattened, reference-style)
+    tensor_parallel_size: int = 1
+    pipeline_parallel_size: int = 1
+    context_parallel_size: int = 1
+    data_parallel_size: int = 1
+    moe_tensor_parallel_size: int = -1
+    moe_expert_parallel_size: int = -1
+    enable_attention_dp: bool = False
+    pp_partition: Optional[List[int]] = None
+
+    # engine limits
+    max_batch_size: int = 64
+    max_input_len: int = 2048
+    max_seq_len: Optional[int] = None
+    max_num_tokens: int = 4096
+    max_beam_width: int = 1
+
+    # subsystem configs
+    kv_cache_config: KvCacheConfig = Field(default_factory=KvCacheConfig)
+    scheduler_config: SchedulerConfig = Field(default_factory=SchedulerConfig)
+    bucketing_config: BucketingConfig = Field(default_factory=BucketingConfig)
+    quant_config: QuantConfig = Field(default_factory=QuantConfig)
+    moe_config: MoeConfig = Field(default_factory=MoeConfig)
+    speculative_config: Optional[SpeculativeConfig] = None
+    attention_dp_config: Optional[AttentionDpConfig] = None
+
+    enable_chunked_prefill: bool = True
+    disable_overlap_scheduler: bool = False
+    attn_backend: str = "AUTO"           # AUTO|RPA|REFERENCE
+    sampler_type: str = "auto"
+    load_format: Literal["auto", "dummy"] = "auto"
+    enable_iter_perf_stats: bool = False
+    stream_interval: int = 1
+    gather_generation_logits: bool = False
+    guided_decoding_backend: Optional[str] = None
+    backend: str = "jax"
+    num_postprocess_workers: int = 0
+    batch_wait_timeout_ms: float = 0.0
+
+    # free-form escape hatch for model ctor kwargs
+    model_kwargs: Dict[str, Any] = Field(default_factory=dict)
+
+    @model_validator(mode="after")
+    def _fill_defaults(self):
+        if self.max_seq_len is None:
+            object.__setattr__(self, "max_seq_len", self.max_input_len + 2048)
+        return self
+
+    @property
+    def world_size(self) -> int:
+        return (self.tensor_parallel_size * self.pipeline_parallel_size *
+                self.context_parallel_size * self.data_parallel_size)
+
+    def to_mapping(self):
+        from ..mapping import Mapping
+        return Mapping.from_sizes(
+            tp=self.tensor_parallel_size, pp=self.pipeline_parallel_size,
+            cp=self.context_parallel_size, dp=self.data_parallel_size,
+            moe_tp=self.moe_tensor_parallel_size,
+            moe_ep=self.moe_expert_parallel_size,
+            enable_attention_dp=self.enable_attention_dp)
+
+    @classmethod
+    def from_kwargs(cls, **kwargs) -> "LlmArgs":
+        return cls(**kwargs)
+
+
+def update_llm_args_with_extra_options(args_dict: dict, yaml_path: str) -> dict:
+    """YAML overlay, reference ``--extra_llm_api_options`` semantics."""
+    import yaml
+    with open(yaml_path) as f:
+        extra = yaml.safe_load(f) or {}
+    merged = dict(args_dict)
+    for k, v in extra.items():
+        if isinstance(v, dict) and isinstance(merged.get(k), dict):
+            merged[k] = {**merged[k], **v}
+        else:
+            merged[k] = v
+    return merged

@@ -1,0 +1,7 @@
+from .modeling_utils import (DecoderModelForCausalLM, MODEL_REGISTRY,
+                             ModelConfig, get_model_class, register_model)
+from . import gpt2 as _gpt2  # noqa: F401  (registers)
+from . import llama as _llama  # noqa: F401
+
+__all__ = ["DecoderModelForCausalLM", "MODEL_REGISTRY", "ModelConfig",
+           "get_model_class", "register_model"]

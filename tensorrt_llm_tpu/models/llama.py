@@ -1,0 +1,221 @@
+"""Llama-family decoder (Llama 2/3, TinyLlama, Mistral).
+
+Behavioral reference: tensorrt_llm/_torch/models/modeling_llama.py (and
+modeling_mistral.py for sliding windows). TPU-native structure: all
+decoder layers are stacked along a leading axis and executed with
+``lax.scan`` so the graph contains ONE layer body regardless of depth —
+compile time stays flat and the pipeline-parallel split later becomes a
+scan-over-stages. Weights live as [K, N] matrices quantized through the
+configured LinearMethod at load time.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..ops.attention import AttentionMetadata
+from ..ops.norm import rms_norm
+from ..ops.rope import RopeConfig
+from .modeling_utils import (AttentionSpec, DecoderModelForCausalLM,
+                             ModelConfig, attention_block, quantize_linear,
+                             register_model)
+
+
+@register_model("llama", "mistral", "tinyllama")
+class LlamaForCausalLM(DecoderModelForCausalLM):
+    architectures = ("LlamaForCausalLM", "MistralForCausalLM")
+
+    def __init__(self, model_config: ModelConfig):
+        super().__init__(model_config)
+        hf = self.hf
+        self.hidden_size = hf.hidden_size
+        self.num_heads = hf.num_attention_heads
+        self.intermediate_size = hf.intermediate_size
+        self.rms_eps = getattr(hf, "rms_norm_eps", 1e-6)
+        self.tie_embeddings = getattr(hf, "tie_word_embeddings", False)
+        self.attn_spec = AttentionSpec(
+            num_heads=self.num_heads,
+            num_kv_heads=self.num_kv_heads,
+            head_dim=self.head_dim,
+            sm_scale=1.0 / math.sqrt(self.head_dim),
+            rope=RopeConfig.from_hf_config(hf, self.head_dim),
+            sliding_window=getattr(hf, "sliding_window", None),
+            is_neox=True)
+        # per-projection quant methods (exclude_modules honored by name)
+        self.m_q = self._method("q_proj")
+        self.m_kv = self._method("k_proj")
+        self.m_o = self._method("o_proj")
+        self.m_mlp = self._method("mlp")
+        self.m_lm_head = self._method("lm_head")
+
+    # ------------------------------------------------------------------ #
+    # Parameters
+    # ------------------------------------------------------------------ #
+    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
+        """Random init (load_format="dummy"; reference: model_loader.py)."""
+        hf = self.hf
+        H, V, I = self.hidden_size, self.vocab_size, self.intermediate_size
+        nq, nkv, hd = self.num_heads, self.num_kv_heads, self.head_dim
+        L = self.num_layers
+
+        def mat(key, shape):
+            return (jax.random.normal(key, shape, jnp.float32) * 0.02)
+
+        keys = iter(jax.random.split(rng, 16))
+        sd: Dict[str, np.ndarray] = {}
+        sd["model.embed_tokens.weight"] = np.asarray(mat(next(keys), (V, H)))
+        for name, shape in [("self_attn.q_proj", (nq * hd, H)),
+                            ("self_attn.k_proj", (nkv * hd, H)),
+                            ("self_attn.v_proj", (nkv * hd, H)),
+                            ("self_attn.o_proj", (H, nq * hd)),
+                            ("mlp.gate_proj", (I, H)),
+                            ("mlp.up_proj", (I, H)),
+                            ("mlp.down_proj", (H, I))]:
+            base = np.asarray(mat(next(keys), (L,) + shape))
+            for i in range(L):
+                sd[f"model.layers.{i}.{name}.weight"] = base[i]
+        for i in range(L):
+            sd[f"model.layers.{i}.input_layernorm.weight"] = np.ones(H, np.float32)
+            sd[f"model.layers.{i}.post_attention_layernorm.weight"] = \
+                np.ones(H, np.float32)
+        sd["model.norm.weight"] = np.ones(H, np.float32)
+        if not self.tie_embeddings:
+            sd["lm_head.weight"] = np.asarray(mat(next(keys), (V, H)))
+        return self.load_hf_state_dict(sd)
+
+    def load_hf_state_dict(self, sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        """Map HF checkpoint names → stacked param tree, quantizing each
+        projection through its method (reference name mapping:
+        _torch/models/checkpoints/hf/weight_mapper.py:11)."""
+        L = self.num_layers
+        dtype = self.dtype
+
+        def t(name):  # torch stores [out, in] → we want [in, out]
+            return np.ascontiguousarray(np.transpose(sd[name]))
+
+        def stack_quant(method, fmt):
+            per_layer = [quantize_linear(method, t(fmt.format(i)), dtype=dtype)
+                         for i in range(L)]
+            return jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
+
+        layers = {
+            "input_norm": jnp.stack([
+                jnp.asarray(sd[f"model.layers.{i}.input_layernorm.weight"],
+                            dtype=dtype) for i in range(L)]),
+            "post_norm": jnp.stack([
+                jnp.asarray(
+                    sd[f"model.layers.{i}.post_attention_layernorm.weight"],
+                    dtype=dtype) for i in range(L)]),
+            "q": stack_quant(self.m_q, "model.layers.{}.self_attn.q_proj.weight"),
+            "k": stack_quant(self.m_kv, "model.layers.{}.self_attn.k_proj.weight"),
+            "v": stack_quant(self.m_kv, "model.layers.{}.self_attn.v_proj.weight"),
+            "o": stack_quant(self.m_o, "model.layers.{}.self_attn.o_proj.weight"),
+            "gate": stack_quant(self.m_mlp, "model.layers.{}.mlp.gate_proj.weight"),
+            "up": stack_quant(self.m_mlp, "model.layers.{}.mlp.up_proj.weight"),
+            "down": stack_quant(self.m_mlp, "model.layers.{}.mlp.down_proj.weight"),
+        }
+        params = {
+            "embed": {"weight": jnp.asarray(sd["model.embed_tokens.weight"],
+                                            dtype=dtype)},
+            "layers": layers,
+            "final_norm": jnp.asarray(sd["model.norm.weight"], dtype=dtype),
+        }
+        if self.tie_embeddings:
+            lm_w = np.transpose(sd["model.embed_tokens.weight"])
+        else:
+            lm_w = np.transpose(sd["lm_head.weight"])
+        params["lm_head"] = quantize_linear(
+            self.m_lm_head, np.ascontiguousarray(lm_w), dtype=dtype)
+        return params
+
+    # ------------------------------------------------------------------ #
+    # Forward (jitted hot path)
+    # ------------------------------------------------------------------ #
+    def forward(self, params: Dict[str, Any], token_ids: jax.Array,
+                kv_pages: jax.Array, metadata: AttentionMetadata):
+        h = params["embed"]["weight"][token_ids].astype(self.dtype)
+        spec = self.attn_spec
+        eps = self.rms_eps
+        from ..ops.rope import rope_cos_sin
+        cos_sin = rope_cos_sin(spec.rope, metadata.positions)
+
+        def layer_body(carry, xs):
+            h, kv = carry
+            layer, idx = xs
+            normed = rms_norm(h, layer["input_norm"], eps)
+            attn_out, new_pages = attention_block(
+                layer, normed, kv[idx], metadata, spec,
+                self.m_q, self.m_o, attn_backend=self.attn_backend,
+                kv_scale=self.config.kv_scale, rope_cos_sin=cos_sin)
+            h = h + attn_out
+            normed = rms_norm(h, layer["post_norm"], eps)
+            gate = self.m_mlp.apply(layer["gate"], normed)
+            up = self.m_mlp.apply(layer["up"], normed)
+            mlp_out = self.m_mlp.apply(layer["down"],
+                                       jax.nn.silu(gate.astype(jnp.float32))
+                                       .astype(self.dtype) * up)
+            h = h + mlp_out
+            kv = jax.lax.dynamic_update_index_in_dim(kv, new_pages, idx, 0)
+            return (h, kv), None
+
+        idxs = jnp.arange(self.num_layers)
+        (h, kv_pages), _ = jax.lax.scan(
+            layer_body, (h, kv_pages), (params["layers"], idxs))
+        h = rms_norm(h, params["final_norm"], eps)
+        last = self._gather_logits(h, metadata)
+        logits = self.m_lm_head.apply(params["lm_head"], last)
+        return logits.astype(jnp.float32), kv_pages
+
+    # ------------------------------------------------------------------ #
+    # Sharding (GSPMD PartitionSpecs; reference TP semantics linear.py:86)
+    # ------------------------------------------------------------------ #
+    def param_pspecs(self, params) -> Any:
+        def linear_spec(p, col: bool):
+            """col: output-dim sharded (P(None,'tp')); row: input-dim."""
+            spec = {}
+            for k, v in p.items():
+                nd = v.ndim
+                if k == "weight":
+                    spec[k] = P(*([None] * (nd - 2)),
+                                "tp" if not col else None,
+                                "tp" if col else None)
+                elif k == "weight_scale":
+                    if nd == 3:   # [L, K//G, N] groupwise: groups follow K
+                        spec[k] = P(None, None if col else "tp",
+                                    "tp" if col else None)
+                    else:         # [L, N] or [N] per-channel: follows N
+                        spec[k] = P(*([None] * (nd - 1)),
+                                    "tp" if col else None)
+                else:             # bias / zeros follow output dim
+                    spec[k] = P(*([None] * (nd - 1)), "tp" if col else None)
+            return spec
+
+        layers = params["layers"]
+        return {
+            "embed": {"weight": P(None, None)},
+            "layers": {
+                "input_norm": P(None, None),
+                "post_norm": P(None, None),
+                "q": linear_spec(layers["q"], col=True),
+                "k": linear_spec(layers["k"], col=True),
+                "v": linear_spec(layers["v"], col=True),
+                "o": linear_spec(layers["o"], col=False),
+                "gate": linear_spec(layers["gate"], col=True),
+                "up": linear_spec(layers["up"], col=True),
+                "down": linear_spec(layers["down"], col=False),
+            },
+            "final_norm": P(None),
+            "lm_head": linear_spec(params["lm_head"], col=True),
+        }
+
+    def kv_pspec(self) -> P:
+        """Shard KV pools over kv heads when divisible, else replicate."""
+        tp = self.config.mapping.tp_size
+        if (2 * self.num_kv_heads) % tp == 0 and tp > 1:
+            return P(None, None, None, "tp", None)
+        return P()

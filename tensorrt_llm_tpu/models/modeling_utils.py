@@ -1,0 +1,221 @@
+"""Model-layer foundation: config, registry, shared attention block.
+
+TPU-native analog of the reference model base (reference:
+tensorrt_llm/_torch/models/modeling_utils.py — ``DecoderModelForCausalLM``;
+module stack _torch/modules/attention.py:314, linear.py). Architecture
+differences are deliberate:
+
+  * Models are pure functions over parameter pytrees — no nn.Module state.
+    A model object holds only static config + per-projection quant methods
+    and is closed over by the jitted step (the XLA "engine").
+  * The KV cache is externally managed (AutoDeploy's CachedSequenceInterface
+    shape, reference: _torch/auto_deploy/shim/interface.py:80): forward
+    receives the paged pools and the per-iteration AttentionMetadata and
+    returns updated pools.
+  * All sequences are flattened on one ragged token axis; logits are
+    gathered at ``metadata.logits_indices`` only (the reference gathers
+    last-token logits the same way in model_engine._prepare_tp_inputs).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..llmapi.llm_args import QuantConfig
+from ..mapping import Mapping
+from ..ops import rope as rope_ops
+from ..ops.attention import AttentionMetadata, ragged_paged_attention, write_kv
+from ..ops.linear import LinearMethod, make_linear_method
+from ..quantization.mode import KvCacheQuantAlgo
+
+MODEL_REGISTRY: Dict[str, type] = {}
+
+
+def register_model(*model_types: str):
+    """Register a model class under HF ``model_type`` names
+    (reference: _torch/models/modeling_auto.py auto-registry)."""
+    def deco(cls):
+        for t in model_types:
+            MODEL_REGISTRY[t] = cls
+        return cls
+    return deco
+
+
+def get_model_class(model_type: str) -> type:
+    if model_type not in MODEL_REGISTRY:
+        raise ValueError(
+            f"unsupported model_type '{model_type}'; "
+            f"registered: {sorted(MODEL_REGISTRY)}")
+    return MODEL_REGISTRY[model_type]
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    """Engine-side model description (reference: _torch ModelConfig)."""
+    hf_config: Any                        # transformers PretrainedConfig
+    dtype: Any = jnp.bfloat16
+    quant_config: QuantConfig = dataclasses.field(default_factory=QuantConfig)
+    mapping: Mapping = dataclasses.field(default_factory=Mapping)
+    kv_cache_dtype: Any = None            # None → same as dtype
+    kv_scale: float = 1.0                 # per-tensor KV quant scale
+
+    def __post_init__(self):
+        if self.kv_cache_dtype is None:
+            kv_algo = self.quant_config.kv_cache_quant_algo
+            if kv_algo == KvCacheQuantAlgo.INT8:
+                self.kv_cache_dtype = jnp.int8
+                self.kv_scale = 0.05      # conservative default abs-range ~6.4
+            elif kv_algo == KvCacheQuantAlgo.FP8:
+                self.kv_cache_dtype = jnp.float8_e4m3fn
+            else:
+                self.kv_cache_dtype = self.dtype
+
+    @property
+    def uses_kv_quant(self) -> bool:
+        return self.kv_cache_dtype in (jnp.int8, jnp.float8_e4m3fn)
+
+
+@dataclasses.dataclass(frozen=True)
+class AttentionSpec:
+    """Static attention geometry for one layer."""
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    sm_scale: float
+    rope: Optional[rope_ops.RopeConfig] = None
+    sliding_window: Optional[int] = None
+    soft_cap: Optional[float] = None
+    is_neox: bool = True
+
+
+def attention_block(params: Dict[str, Any],
+                    x: jax.Array,                 # [T, hidden]
+                    kv_pages: jax.Array,          # [pages, ps, 2*kvh, hd]
+                    metadata: AttentionMetadata,
+                    spec: AttentionSpec,
+                    qkv_method: LinearMethod,
+                    o_method: LinearMethod,
+                    *,
+                    attn_backend: str = "auto",
+                    kv_scale: Optional[float] = None,
+                    q_norm: Optional[Callable] = None,
+                    k_norm: Optional[Callable] = None,
+                    rope_cos_sin: Optional[Tuple[jax.Array, jax.Array]] = None
+                    ) -> Tuple[jax.Array, jax.Array]:
+    """Attention with paged KV (reference: modules/attention.py:314
+    forward → attention_backend.trtllm.py:1629 single-op path).
+
+    Q/K/V are separate projections rather than one fused GEMM: under GSPMD
+    a fused [H, (nq+2nkv)*hd] column shard would split across the q|k|v
+    concat boundaries, so per-projection weights with P(None, "tp") is the
+    correct TPU idiom (XLA still fuses the three reads of ``x``)."""
+    T = x.shape[0]
+    nq, nkv, hd = spec.num_heads, spec.num_kv_heads, spec.head_dim
+    q = qkv_method.apply(params["q"], x).reshape(T, nq, hd)
+    k = qkv_method.apply(params["k"], x).reshape(T, nkv, hd)
+    v = qkv_method.apply(params["v"], x).reshape(T, nkv, hd)
+    if q_norm is not None:
+        q = q_norm(params, q)
+    if k_norm is not None:
+        k = k_norm(params, k)
+    if spec.rope is not None:
+        if rope_cos_sin is not None:
+            cos, sin = rope_cos_sin  # hoisted out of the layer scan
+        else:
+            cos, sin = rope_ops.rope_cos_sin(spec.rope, metadata.positions)
+        q = rope_ops.apply_rope(q, cos, sin, spec.is_neox)
+        k = rope_ops.apply_rope(k, cos, sin, spec.is_neox)
+    quant = kv_pages.dtype in (jnp.int8, jnp.float8_e4m3fn)
+    ks = kv_scale if quant else None
+    kv_pages = write_kv(kv_pages, k, v, metadata.slot_mapping,
+                        k_scale=ks, v_scale=ks)
+    attn = ragged_paged_attention(
+        q, kv_pages, metadata, sm_scale=spec.sm_scale,
+        sliding_window=spec.sliding_window, soft_cap=spec.soft_cap,
+        k_scale=ks, v_scale=ks, backend=attn_backend)
+    out = o_method.apply(params["o"], attn.reshape(T, nq * hd))
+    return out, kv_pages
+
+
+class DecoderModelForCausalLM:
+    """Base for decoder-only CausalLM models.
+
+    Subclasses implement ``init_params``, ``load_hf_state_dict``, and
+    ``forward``. ``forward`` signature (the jitted hot path):
+
+        forward(params, token_ids[T], kv_pages[L, P, ps, 2kvh, hd],
+                metadata) -> (logits[S, V], kv_pages)
+    """
+    architectures: tuple = ()
+
+    def __init__(self, model_config: ModelConfig):
+        self.config = model_config
+        self.hf = model_config.hf_config
+        self.dtype = model_config.dtype
+        self.attn_backend = "auto"
+
+    # ---- geometry used by the engine to size KV pools ------------------
+    @property
+    def num_layers(self) -> int:
+        return self.hf.num_hidden_layers
+
+    @property
+    def num_kv_heads(self) -> int:
+        return getattr(self.hf, "num_key_value_heads", None) or \
+            self.hf.num_attention_heads
+
+    @property
+    def head_dim(self) -> int:
+        return getattr(self.hf, "head_dim", None) or \
+            self.hf.hidden_size // self.hf.num_attention_heads
+
+    @property
+    def vocab_size(self) -> int:
+        return self.hf.vocab_size
+
+    def kv_pool_shape(self, num_pages: int, page_size: int) -> tuple:
+        return (self.num_layers, num_pages, page_size,
+                2 * self.num_kv_heads, self.head_dim)
+
+    def make_kv_pages(self, num_pages: int, page_size: int) -> jax.Array:
+        return jnp.zeros(self.kv_pool_shape(num_pages, page_size),
+                         dtype=self.config.kv_cache_dtype)
+
+    # ---- to be provided by subclasses ----------------------------------
+    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
+        raise NotImplementedError
+
+    def load_hf_state_dict(self, state_dict: Dict[str, np.ndarray]
+                           ) -> Dict[str, Any]:
+        raise NotImplementedError
+
+    def forward(self, params, token_ids, kv_pages, metadata):
+        raise NotImplementedError
+
+    def param_pspecs(self, params) -> Any:
+        """PartitionSpec tree for GSPMD sharding; default: replicate."""
+        from jax.sharding import PartitionSpec as P
+        return jax.tree.map(lambda _: P(), params)
+
+    # ---- helpers for subclasses ----------------------------------------
+    def _method(self, name: str) -> LinearMethod:
+        return make_linear_method(self.config.quant_config, name)
+
+    @staticmethod
+    def _gather_logits(hidden: jax.Array, metadata: AttentionMetadata
+                       ) -> jax.Array:
+        return hidden[metadata.logits_indices]
+
+
+def quantize_linear(method: LinearMethod, w: np.ndarray,
+                    bias: Optional[np.ndarray] = None,
+                    dtype=jnp.bfloat16) -> Dict[str, jax.Array]:
+    """Load-time conversion of one [K, N] weight through its method."""
+    params = method.quantize_weights(jnp.asarray(w), dtype=dtype)
+    if bias is not None:
+        params["bias"] = jnp.asarray(bias, dtype=dtype)
+    return params

@@ -1,0 +1,187 @@
+"""Unified paged attention op for mixed prefill + decode.
+
+TPU-native analog of the reference's single fused attention op
+(reference: cpp/tensorrt_llm/thop/attentionOp.cpp:919 — one op serving
+context FMHA + paged decode XQA, with KV-append, KV-quant, RoPE and
+sliding window folded in; python dispatch
+tensorrt_llm/_torch/attention_backend/trtllm.py:1071,1629).
+
+Design: all scheduled sequences' new tokens are flattened into one ragged
+token axis (the AutoDeploy "flattened sequence interface",
+reference: _torch/auto_deploy/custom_ops/attention/). Each forward step:
+
+  1. scatter this step's K/V into the paged pools at ``slot_mapping``
+     (k at even combined-head indices, v at odd — the layout of
+     jax.experimental ragged_paged_attention);
+  2. run ragged paged attention over (kv_lens, page_indices, cu_q_lens).
+
+Backends:
+  * ``rpa``       — jax.experimental.pallas.ops.tpu.ragged_paged_attention
+                    (TPU; tuned Pallas kernel, mixed prefill+decode).
+  * ``reference`` — pure-jnp gather implementation with identical
+                    semantics; runs anywhere (CPU tests), O(max_kv) dense.
+
+Both support GQA/MQA, sliding windows, logit soft-cap, and quantized KV
+pools via k_scale/v_scale (int8/fp8 pools).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_RPA_AVAILABLE = True
+try:
+    from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
+        ragged_paged_attention as _rpa_kernel)
+except Exception:  # pragma: no cover
+    _RPA_AVAILABLE = False
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class AttentionMetadata:
+    """Per-iteration ragged-batch metadata (device arrays).
+
+    The analog of the reference ``TrtllmAttentionMetadata``
+    (attention_backend/trtllm.py:80) prepared host-side once per iteration
+    and shared by every layer.
+
+    Shapes (S = padded max sequences, T = padded token bucket,
+    P = pages per sequence):
+      kv_lens:       i32[S]  total KV length per seq incl. this step's tokens
+      page_indices:  i32[S, P]
+      cu_q_lens:     i32[S+1] cumulative new-token counts
+      num_seqs:      i32[1]
+      slot_mapping:  i32[T]  flat kv-pool slot (page*page_size+offset) per
+                     new token; out-of-range for padding (drops writes)
+      positions:     i32[T]  absolute position of each new token
+      logits_indices:i32[S]  index into the token axis of each sequence's
+                     last token (where logits are needed)
+    """
+    kv_lens: jax.Array
+    page_indices: jax.Array
+    cu_q_lens: jax.Array
+    num_seqs: jax.Array
+    slot_mapping: jax.Array
+    positions: jax.Array
+    logits_indices: jax.Array
+
+
+def write_kv(kv_pages: jax.Array, k: jax.Array, v: jax.Array,
+             slot_mapping: jax.Array,
+             k_scale: Optional[float] = None,
+             v_scale: Optional[float] = None) -> jax.Array:
+    """Scatter new K/V into the paged pool.
+
+    kv_pages: [num_pages, page_size, 2*kv_heads, head_dim] (cache dtype)
+    k, v:     [T, kv_heads, head_dim] (compute dtype)
+    slot_mapping: i32[T] flat slots; slots >= num_pages*page_size are dropped
+    (used for padding — `mode="drop"` makes scatter ignore them).
+
+    Equivalent role: KV-append half of the reference attention op
+    (cpp/tensorrt_llm/kernels/unfusedAttentionKernels — KV append + quant).
+    """
+    num_pages, page_size, combined, head_dim = kv_pages.shape
+    cache_dtype = kv_pages.dtype
+    if k_scale is not None:
+        k = (k.astype(jnp.float32) / k_scale)
+        v = (v.astype(jnp.float32) / v_scale)
+        if cache_dtype == jnp.int8:
+            k = jnp.clip(jnp.round(k), -128, 127)
+            v = jnp.clip(jnp.round(v), -128, 127)
+    kv = jnp.stack([k, v], axis=2)  # [T, kv_heads, 2, head_dim]
+    kv = kv.reshape(k.shape[0], combined, head_dim).astype(cache_dtype)
+    flat = kv_pages.reshape(num_pages * page_size, combined, head_dim)
+    flat = flat.at[slot_mapping].set(kv, mode="drop")
+    return flat.reshape(kv_pages.shape)
+
+
+def ragged_paged_attention(
+        q: jax.Array,                    # [T, q_heads, head_dim]
+        kv_pages: jax.Array,             # [pages, page_size, 2*kv_heads, hd]
+        metadata: AttentionMetadata,
+        *,
+        sm_scale: float,
+        sliding_window: Optional[int] = None,
+        soft_cap: Optional[float] = None,
+        k_scale: Optional[float] = None,
+        v_scale: Optional[float] = None,
+        backend: str = "auto") -> jax.Array:
+    """Mixed prefill/decode attention over the paged KV pool."""
+    if backend == "auto":
+        backend = "rpa" if (_RPA_AVAILABLE and
+                            jax.default_backend() == "tpu") else "reference"
+    if backend == "rpa":
+        return _rpa_kernel(
+            q, kv_pages, metadata.kv_lens, metadata.page_indices,
+            metadata.cu_q_lens, metadata.num_seqs,
+            sm_scale=sm_scale, sliding_window=sliding_window,
+            soft_cap=soft_cap, k_scale=k_scale, v_scale=v_scale)
+    return _reference_attention(
+        q, kv_pages, metadata, sm_scale=sm_scale,
+        sliding_window=sliding_window, soft_cap=soft_cap,
+        k_scale=k_scale, v_scale=v_scale)
+
+
+def _reference_attention(q, kv_pages, metadata, *, sm_scale,
+                         sliding_window, soft_cap, k_scale, v_scale):
+    """Dense gather-based paged attention, vectorized over sequences.
+
+    Semantics match ref_ragged_paged_attention (jax.experimental RPA
+    kernel.py:74-149) but avoid the python per-seq loop so it stays
+    jittable with the padded static shapes: computes a [S, Tq_max] layout
+    by scattering tokens per sequence, then gathers back.
+    """
+    T, num_q_heads, head_dim = q.shape
+    num_pages, page_size, combined, _ = kv_pages.shape
+    num_kv_heads = combined // 2
+    S, P = metadata.page_indices.shape
+    max_kv = P * page_size
+
+    # token -> sequence index map from cu_q_lens
+    tok_idx = jnp.arange(T, dtype=jnp.int32)
+    seq_of_tok = jnp.searchsorted(metadata.cu_q_lens[1:S + 1], tok_idx,
+                                  side="right").astype(jnp.int32)
+    seq_of_tok = jnp.minimum(seq_of_tok, S - 1)
+    q_start = metadata.cu_q_lens[seq_of_tok]
+    q_lens = metadata.cu_q_lens[1:S + 1] - metadata.cu_q_lens[:S]
+    # absolute kv position of each new token within its sequence
+    tok_kv_pos = metadata.kv_lens[seq_of_tok] - q_lens[seq_of_tok] + \
+        (tok_idx - q_start)
+
+    # gather full K/V per sequence: [S, max_kv, kv_heads, head_dim]
+    pages = kv_pages[metadata.page_indices.reshape(-1)]
+    pages = pages.reshape(S, P, page_size, combined, head_dim)
+    pages = pages.reshape(S, max_kv, combined, head_dim)
+    k = pages[:, :, 0::2, :]
+    v = pages[:, :, 1::2, :]
+    if k_scale is not None:
+        k = k.astype(jnp.float32) * k_scale
+        v = v.astype(jnp.float32) * v_scale
+    k = k.astype(q.dtype)
+    v = v.astype(q.dtype)
+
+    # scores: [T, q_heads, max_kv]
+    k_tok = k[seq_of_tok]      # [T, max_kv, kv_heads, hd]
+    v_tok = v[seq_of_tok]
+    group = num_q_heads // num_kv_heads
+    qg = q.reshape(T, num_kv_heads, group, head_dim)
+    scores = jnp.einsum("tkgd,tskd->tkgs", qg.astype(jnp.float32),
+                        k_tok.astype(jnp.float32)) * sm_scale
+    if soft_cap is not None:
+        scores = soft_cap * jnp.tanh(scores / soft_cap)
+    kv_pos = jnp.arange(max_kv, dtype=jnp.int32)
+    valid = kv_pos[None, :] <= tok_kv_pos[:, None]
+    valid &= kv_pos[None, :] < metadata.kv_lens[seq_of_tok][:, None]
+    if sliding_window is not None:
+        valid &= kv_pos[None, :] > (tok_kv_pos[:, None] - sliding_window)
+    mask = valid[:, None, None, :]
+    neg = jnp.finfo(jnp.float32).min
+    scores = jnp.where(mask, scores, neg)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("tkgs,tskd->tkgd", probs, v_tok.astype(jnp.float32))
+    return out.reshape(T, num_q_heads, head_dim).astype(q.dtype)

@@ -1,0 +1,148 @@
+"""Batched in-graph sampling ops.
+
+Device-side analog of the reference sampling kernels (reference:
+cpp/tensorrt_llm/kernels/samplingTopKKernels.cu, samplingTopPKernels.cu,
+penaltyKernels.cu; torch-side strategy grouping
+tensorrt_llm/_torch/pyexecutor/sampling_utils.py:39-47). Instead of
+per-strategy kernel dispatch, one vectorized routine handles the whole
+batch with per-row parameters — masking work is a single [B, V] sort and
+the multinomial draw is a Gumbel argmax, both MXU/VPU friendly with static
+shapes. Greedy rows bypass the noise.
+
+All functions are jit-safe and run inside the decode step graph.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(jnp.finfo(jnp.float32).min)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SamplingTensors:
+    """Per-row sampling controls, padded to the batch bucket.
+
+    top_k == 0 disables top-k; top_p == 1 disables top-p; greedy rows use
+    pure argmax (temperature==0 semantics of SamplingParams).
+    """
+    temperature: jax.Array        # f32[B]
+    top_k: jax.Array              # i32[B]
+    top_p: jax.Array              # f32[B]
+    min_p: jax.Array              # f32[B]
+    greedy: jax.Array             # bool[B]
+    repetition_penalty: jax.Array  # f32[B]
+    presence_penalty: jax.Array   # f32[B]
+    frequency_penalty: jax.Array  # f32[B]
+
+    @staticmethod
+    def from_requests(requests, batch_size: int) -> "SamplingTensors":
+        """Host-side packing of SamplingParams into padded arrays."""
+        import numpy as np
+        n = len(requests)
+        temp = np.ones(batch_size, np.float32)
+        top_k = np.zeros(batch_size, np.int32)
+        top_p = np.ones(batch_size, np.float32)
+        min_p = np.zeros(batch_size, np.float32)
+        greedy = np.ones(batch_size, bool)
+        rep = np.ones(batch_size, np.float32)
+        pres = np.zeros(batch_size, np.float32)
+        freq = np.zeros(batch_size, np.float32)
+        for i, r in enumerate(requests[:batch_size]):
+            sp = r.sampling_params
+            greedy[i] = sp.greedy
+            temp[i] = max(sp.temperature, 1e-5)
+            top_k[i] = sp.top_k
+            top_p[i] = sp.top_p
+            min_p[i] = sp.min_p
+            rep[i] = sp.repetition_penalty
+            pres[i] = sp.presence_penalty
+            freq[i] = sp.frequency_penalty
+        return SamplingTensors(
+            temperature=jnp.asarray(temp), top_k=jnp.asarray(top_k),
+            top_p=jnp.asarray(top_p), min_p=jnp.asarray(min_p),
+            greedy=jnp.asarray(greedy),
+            repetition_penalty=jnp.asarray(rep),
+            presence_penalty=jnp.asarray(pres),
+            frequency_penalty=jnp.asarray(freq))
+
+
+def apply_penalties(logits: jax.Array,          # f32[B, V]
+                    token_counts: jax.Array,    # i32[B, V] output-token counts
+                    st: SamplingTensors) -> jax.Array:
+    """Repetition/presence/frequency penalties (penaltyKernels.cu
+    semantics: rep divides positive logits / multiplies negative ones for
+    seen tokens; presence subtracts a flat value; frequency subtracts
+    count-proportional)."""
+    seen = token_counts > 0
+    rep = st.repetition_penalty[:, None]
+    penalized = jnp.where(logits > 0, logits / rep, logits * rep)
+    logits = jnp.where(seen, penalized, logits)
+    logits = logits - jnp.where(seen, st.presence_penalty[:, None], 0.0)
+    logits = logits - token_counts.astype(jnp.float32) * \
+        st.frequency_penalty[:, None]
+    return logits
+
+
+def mask_logits(logits: jax.Array, st: SamplingTensors) -> jax.Array:
+    """Temperature + top-k + top-p + min-p masking. Returns processed
+    logits (masked entries = -inf), ready for Gumbel argmax / softmax."""
+    B, V = logits.shape
+    scaled = logits.astype(jnp.float32) / st.temperature[:, None]
+    sorted_desc = -jnp.sort(-scaled, axis=-1)
+
+    # top-k: value threshold at the k-th largest
+    k = jnp.where(st.top_k > 0, st.top_k, V)
+    kth = jnp.take_along_axis(sorted_desc,
+                              jnp.clip(k - 1, 0, V - 1)[:, None], axis=-1)
+    mask = scaled >= kth
+
+    # top-p: keep the smallest prefix of the sorted distribution whose
+    # cumulative probability reaches top_p (first token always kept)
+    probs_sorted = jax.nn.softmax(sorted_desc, axis=-1)
+    cum = jnp.cumsum(probs_sorted, axis=-1)
+    keep_sorted = (cum - probs_sorted) < st.top_p[:, None]
+    count = jnp.maximum(jnp.sum(keep_sorted, axis=-1), 1)
+    p_threshold = jnp.take_along_axis(sorted_desc, (count - 1)[:, None],
+                                      axis=-1)
+    mask &= scaled >= p_threshold
+
+    # min-p: prob >= min_p * max_prob  ⇔  logit >= max_logit + log(min_p)
+    max_logit = jnp.max(scaled, axis=-1, keepdims=True)
+    minp_thresh = max_logit + jnp.log(jnp.maximum(st.min_p, 1e-10))[:, None]
+    mask &= jnp.where(st.min_p[:, None] > 0, scaled >= minp_thresh, True)
+
+    return jnp.where(mask, scaled, NEG_INF)
+
+
+def sample(logits: jax.Array,                   # f32/bf16 [B, V]
+           st: SamplingTensors,
+           key: jax.Array,
+           token_counts: Optional[jax.Array] = None
+           ) -> Tuple[jax.Array, jax.Array]:
+    """Returns (tokens i32[B], logprobs f32[B]) — logprob is under the
+    processed distribution (LogprobsMode.PROCESSED)."""
+    logits = logits.astype(jnp.float32)
+    if token_counts is not None:
+        logits = apply_penalties(logits, token_counts, st)
+    processed = mask_logits(logits, st)
+    gumbel = jax.random.gumbel(key, processed.shape, dtype=jnp.float32)
+    noisy = processed + gumbel
+    sampled = jnp.argmax(noisy, axis=-1)
+    greedy_tok = jnp.argmax(logits, axis=-1)
+    tokens = jnp.where(st.greedy, greedy_tok, sampled).astype(jnp.int32)
+    logz = jax.nn.logsumexp(processed, axis=-1)
+    chosen = jnp.take_along_axis(processed, tokens[:, None], axis=-1)[:, 0]
+    logprobs = chosen - logz
+    return tokens, logprobs
+
+
+def top_logprobs(logits: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    """Top-k (values, ids) of log-softmax — for SamplingParams.logprobs."""
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    vals, ids = jax.lax.top_k(lp, k)
+    return vals, ids.astype(jnp.int32)

@@ -1,0 +1,372 @@
+"""Continuous-batching executor loop.
+
+TPU-native analog of the reference ``PyExecutor``
+(reference: tensorrt_llm/_torch/pyexecutor/py_executor.py:276; loop
+variants _executor_loop:2591 and _executor_loop_overlap:2870). One
+background thread per engine runs fetch→schedule→allocate→forward→
+process-previous→respond. The overlap trick is structural: sampled tokens
+stay on device indexed by sequence slot, the next step gathers them
+in-graph, and the host processes iteration n-1's tokens while the device
+executes iteration n — the same one-iteration-lag contract as the
+reference's SampleState/SamplerEvent handoff (sampler.py:164-183).
+"""
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..logger import logger
+from .kv_cache_manager import KVCacheManager, NoFreeBlocksError
+from .model_engine import ModelEngine
+from .request import FinishReason, LlmRequest, LlmRequestState
+from .scheduler import RequestScheduler, ScheduledRequests
+
+
+@dataclasses.dataclass
+class CompletionOutput:
+    index: int
+    text: str = ""
+    token_ids: List[int] = dataclasses.field(default_factory=list)
+    cumulative_logprob: Optional[float] = None
+    logprobs: Optional[list] = None
+    finish_reason: Optional[str] = None
+
+
+class GenerationResult:
+    """Future-like handle for one request (reference:
+    tensorrt_llm/executor/result.py GenerationResult)."""
+
+    def __init__(self, request: LlmRequest, tokenizer=None,
+                 streaming: bool = False):
+        self.request = request
+        self.tokenizer = tokenizer
+        self.streaming = streaming
+        self._done = threading.Event()
+        self._stream_queue: "queue.Queue" = queue.Queue()
+        self.outputs: List[CompletionOutput] = []
+        self.error: Optional[Exception] = None
+
+    @property
+    def request_id(self) -> int:
+        return self.request.request_id
+
+    @property
+    def prompt_token_ids(self) -> List[int]:
+        return self.request.prompt_token_ids
+
+    @property
+    def finished(self) -> bool:
+        return self._done.is_set()
+
+    def result(self, timeout: Optional[float] = None) -> "GenerationResult":
+        if not self._done.wait(timeout):
+            raise TimeoutError(
+                f"request {self.request_id} not finished within {timeout}s")
+        if self.error is not None:
+            raise self.error
+        return self
+
+    def __iter__(self):
+        """Streaming iteration: yields incremental CompletionOutput."""
+        while True:
+            item = self._stream_queue.get()
+            if item is None:
+                break
+            yield item
+
+    # executor-side callbacks ------------------------------------------- #
+    def _on_tokens(self, new_tokens: List[int]) -> None:
+        if self.streaming:
+            req = self.request
+            out = CompletionOutput(
+                index=0, token_ids=list(new_tokens),
+                text=self._safe_decode(new_tokens))
+            self._stream_queue.put(out)
+
+    def _on_finish(self) -> None:
+        req = self.request
+        out = CompletionOutput(
+            index=0,
+            token_ids=list(req.output_token_ids),
+            cumulative_logprob=req.cum_logprob or None,
+            logprobs=req.logprobs or None,
+            finish_reason=req.finish_reason.name.lower())
+        out.text = self._safe_decode(req.output_token_ids)
+        self.outputs = [out]
+        self._done.set()
+        if self.streaming:
+            self._stream_queue.put(None)
+
+    def _on_error(self, err: Exception) -> None:
+        self.error = err
+        self._done.set()
+        if self.streaming:
+            self._stream_queue.put(None)
+
+    def _safe_decode(self, token_ids) -> str:
+        if self.tokenizer is None or not self.request.sampling_params.detokenize:
+            return ""
+        try:
+            return self.tokenizer.decode(
+                token_ids,
+                skip_special_tokens=self.request.sampling_params.skip_special_tokens)
+        except Exception:
+            return ""
+
+
+@dataclasses.dataclass
+class _BatchEntry:
+    request: LlmRequest
+    samples_output: bool        # row's sampled token is a real output token
+
+
+@dataclasses.dataclass
+class _InflightBatch:
+    entries: List[_BatchEntry]
+    tokens: Any                 # device array future [S]
+    logprobs: Any
+
+
+@dataclasses.dataclass
+class IterationStats:
+    """Reference: IterationStats struct (py_executor.py:26-31)."""
+    iter_counter: int = 0
+    num_active_requests: int = 0
+    num_queued_requests: int = 0
+    num_ctx_tokens: int = 0
+    num_gen_tokens: int = 0
+    kv_cache_free_blocks: int = 0
+    iter_latency_ms: float = 0.0
+
+
+class PyExecutor:
+    def __init__(self,
+                 engine: ModelEngine,
+                 kv_cache_manager: KVCacheManager,
+                 scheduler: RequestScheduler,
+                 tokenizer=None,
+                 enable_overlap: bool = True,
+                 stream_interval: int = 1):
+        self.engine = engine
+        self.kv = kv_cache_manager
+        self.scheduler = scheduler
+        self.tokenizer = tokenizer
+        self.enable_overlap = enable_overlap
+        self.stream_interval = stream_interval
+
+        self._request_queue: "queue.Queue" = queue.Queue()
+        self._results: Dict[int, GenerationResult] = {}
+        self._active: List[LlmRequest] = []
+        self._free_slots = list(range(engine.max_batch_size - 1, -1, -1))
+        self._inflight: Optional[_InflightBatch] = None
+        self._shutdown = threading.Event()
+        self._work_event = threading.Event()
+        self._lock = threading.Lock()
+        self.stats_history: List[IterationStats] = []
+        self.iter_counter = 0
+
+        self._thread = threading.Thread(target=self._executor_loop,
+                                        daemon=True, name="tllm-tpu-executor")
+        self._thread.start()
+
+    # ------------------------------------------------------------------ #
+    # API
+    # ------------------------------------------------------------------ #
+    def submit(self, request: LlmRequest) -> GenerationResult:
+        if self._shutdown.is_set():
+            raise RuntimeError("executor is shut down")
+        res = GenerationResult(request, tokenizer=self.tokenizer,
+                               streaming=request.streaming)
+        with self._lock:
+            self._results[request.request_id] = res
+        self._request_queue.put(request)
+        self._work_event.set()
+        return res
+
+    def cancel(self, request_id: int) -> None:
+        with self._lock:
+            res = self._results.get(request_id)
+        if res is not None:
+            res.request.cancel()
+
+    def shutdown(self, wait: bool = True) -> None:
+        self._shutdown.set()
+        self._work_event.set()
+        if wait and self._thread.is_alive():
+            self._thread.join(timeout=60)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.shutdown()
+
+    # ------------------------------------------------------------------ #
+    # Main loop (reference: _executor_loop_overlap py_executor.py:2870)
+    # ------------------------------------------------------------------ #
+    def _executor_loop(self):
+        try:
+            while not self._shutdown.is_set():
+                if not self._active and self._inflight is None:
+                    self._work_event.wait(timeout=0.05)
+                    self._work_event.clear()
+                self._fetch_new_requests()
+                if not self._active and self._inflight is None:
+                    continue
+                t0 = time.monotonic()
+                batch = self.scheduler.schedule(self._schedulable())
+                if batch.is_empty:
+                    # nothing runnable; still need to drain inflight work
+                    self._process_inflight()
+                    continue
+                self._prepare_resources(batch)
+                use_pen = any(r.sampling_params.needs_penalties
+                              for r in batch.all_requests)
+                tokens, logprobs = self.engine.forward_step(
+                    batch, use_penalties=use_pen)
+                entries = self._advance_device_state(batch)
+                current = _InflightBatch(entries, tokens, logprobs)
+                if self.enable_overlap:
+                    self._process_inflight()      # previous iteration
+                    self._inflight = current
+                else:
+                    self._inflight = current
+                    self._process_inflight()      # synchronous
+                self._record_stats(batch, time.monotonic() - t0)
+            # drain at shutdown
+            self._process_inflight()
+        except Exception as e:  # pragma: no cover
+            logger.error("executor loop died: %s", e)
+            import traceback
+            traceback.print_exc()
+            with self._lock:
+                results = list(self._results.values())
+            for r in results:
+                if not r.finished:
+                    r._on_error(e)
+
+    # ------------------------------------------------------------------ #
+    def _fetch_new_requests(self):
+        while True:
+            try:
+                req = self._request_queue.get_nowait()
+            except queue.Empty:
+                break
+            self._active.append(req)
+
+    def _schedulable(self) -> List[LlmRequest]:
+        out = []
+        for r in self._active:
+            if r.is_finished:
+                continue
+            if r.is_generation_in_progress and not r.is_context_init_state:
+                # length gate on device progress (overlap runs ahead)
+                if r.num_device_tokens - r.prompt_len + 1 >= \
+                        r.sampling_params.max_tokens:
+                    continue
+            if r.is_generation_in_progress and r.seq_slot is None:
+                continue
+            out.append(r)
+        return out
+
+    def _prepare_resources(self, batch: ScheduledRequests):
+        """KV allocation + slot assignment
+        (reference: resource_manager.prepare_resources:986)."""
+        for req in batch.context_requests:
+            if req.seq_slot is None:
+                if not self._free_slots:
+                    raise RuntimeError("no free sequence slots")
+                req.seq_slot = self._free_slots.pop()
+                reused = self.kv.add_sequence(req)
+                if reused:
+                    req.context_current_position = reused
+                    req.perf.kv_cache_hit_tokens = reused
+                if req.perf.first_scheduled_time == 0:
+                    req.perf.first_scheduled_time = time.monotonic()
+        for req in batch.generation_requests:
+            self.kv.add_token(req)
+
+    def _advance_device_state(self, batch: ScheduledRequests
+                              ) -> List[_BatchEntry]:
+        entries = []
+        for req in batch.context_requests:
+            start = req.context_current_position
+            end = min(req.prompt_len, start + req.context_chunk_size)
+            last_chunk = end >= req.prompt_len
+            req.context_current_position = end
+            if last_chunk:
+                req.state = LlmRequestState.GENERATION_IN_PROGRESS
+                req.num_device_tokens = req.prompt_len
+            entries.append(_BatchEntry(req, samples_output=last_chunk))
+        for req in batch.generation_requests:
+            req.num_device_tokens += 1
+            req.host_token_override = None
+            entries.append(_BatchEntry(req, samples_output=True))
+        return entries
+
+    def _process_inflight(self):
+        batch = self._inflight
+        if batch is None:
+            return
+        self._inflight = None
+        tokens = np.asarray(batch.tokens)      # sync point
+        logprobs = np.asarray(batch.logprobs)
+        finished: List[LlmRequest] = []
+        for i, entry in enumerate(batch.entries):
+            req = entry.request
+            if req.is_finished:
+                continue  # stopped while this step was in flight
+            if not entry.samples_output:
+                continue  # mid-context chunk: logits unused
+            tok = int(tokens[i])
+            done = req.add_output_token(tok, float(logprobs[i]))
+            if not self.enable_overlap:
+                req.host_token_override = tok
+            res = self._results.get(req.request_id)
+            if res is not None and not done and req.streaming and \
+                    req.num_output_tokens % self.stream_interval == 0:
+                new = req.output_token_ids[req.num_tokens_streamed:]
+                req.num_tokens_streamed = req.num_output_tokens
+                res._on_tokens(new)
+            if done:
+                finished.append(req)
+        for req in finished:
+            self._finish_request(req)
+        # reap cancelled requests
+        for req in [r for r in self._active if r.is_finished
+                    and r.request_id in self._results]:
+            if req not in finished:
+                self._finish_request(req)
+
+    def _finish_request(self, req: LlmRequest):
+        self.kv.free_resources(req)
+        if req.seq_slot is not None:
+            self._free_slots.append(req.seq_slot)
+            req.seq_slot = None
+        if req in self._active:
+            self._active.remove(req)
+        with self._lock:
+            res = self._results.pop(req.request_id, None)
+        if res is not None:
+            res._on_finish()
+
+    def _record_stats(self, batch: ScheduledRequests, latency: float):
+        self.iter_counter += 1
+        st = IterationStats(
+            iter_counter=self.iter_counter,
+            num_active_requests=len(self._active),
+            num_queued_requests=self._request_queue.qsize(),
+            num_ctx_tokens=sum(
+                min(r.context_chunk_size, r.prompt_len)
+                for r in batch.context_requests),
+            num_gen_tokens=len(batch.generation_requests),
+            kv_cache_free_blocks=self.kv.get_num_free_blocks(),
+            iter_latency_ms=latency * 1e3)
+        self.stats_history.append(st)
+        if len(self.stats_history) > 1000:
+            self.stats_history.pop(0)

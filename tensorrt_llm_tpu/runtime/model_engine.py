@@ -1,0 +1,293 @@
+"""Model engine: owns params + KV pools and drives the jitted step.
+
+TPU-native analog of the reference ``PyTorchModelEngine``
+(reference: tensorrt_llm/_torch/pyexecutor/model_engine.py:175 —
+_prepare_tp_inputs:2347, forward:3927) fused with the CUDA-graph runner
+(cuda_graph_runner.py:84): on TPU, *bucketed jit compilation* plays the
+CUDA-graph role. Every iteration's ragged batch is padded up to
+(token_bucket T, fixed seq capacity S), so after warmup each step hits a
+cached XLA executable — the same reasoning as CUDA-graph padding
+(+22% e2e in the reference, docs/source/developer-guide/overview.md:55).
+
+The jitted step does: embed→layers(attention over paged KV)→logits→sample,
+returning sampled tokens BY SLOT on device, so the next step's decode
+inputs are gathered device-side without a host round-trip — this is what
+makes the overlap scheduler (executor.py) free of host-sync on the token
+path (reference overlap loop: py_executor.py:2870).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..llmapi.llm_args import LlmArgs
+from ..logger import logger
+from ..mapping import Mapping
+from ..models.modeling_utils import DecoderModelForCausalLM
+from ..ops.attention import AttentionMetadata
+from ..ops.sampling_ops import SamplingTensors, sample
+from .request import LlmRequest
+from .scheduler import ScheduledRequests
+
+
+@dataclasses.dataclass
+class StepInputs:
+    """Host-built (numpy) inputs for one iteration, pre-padding."""
+    token_ids: np.ndarray          # i32[T] host-known tokens (0 where device-sourced)
+    prev_slot: np.ndarray          # i32[T] slot to gather prev token from, -1=host
+    positions: np.ndarray          # i32[T]
+    kv_lens: np.ndarray            # i32[S]
+    page_indices: np.ndarray       # i32[S, P]
+    cu_q_lens: np.ndarray          # i32[S+1]
+    num_seqs: np.ndarray           # i32[1]
+    slot_mapping: np.ndarray       # i32[T]
+    logits_indices: np.ndarray     # i32[S]
+    out_slots: np.ndarray          # i32[S] slot to scatter sampled token to (-1 pad)
+    num_tokens: int                # actual (unpadded) token count
+    num_reqs: int
+
+
+class ModelEngine:
+    def __init__(self,
+                 model: DecoderModelForCausalLM,
+                 params: Dict[str, Any],
+                 args: LlmArgs,
+                 mapping: Optional[Mapping] = None,
+                 mesh=None,
+                 num_kv_pages: Optional[int] = None):
+        self.model = model
+        self.args = args
+        self.mapping = mapping or Mapping()
+        self.mesh = mesh
+        self.max_batch_size = args.max_batch_size
+        self.page_size = args.kv_cache_config.tokens_per_block
+        self.max_seq_len = args.max_seq_len
+        self.pages_per_seq = -(-self.max_seq_len // self.page_size)
+        self.token_buckets = args.bucketing_config.resolve_token_buckets(
+            args.max_num_tokens)
+        self.seed_key = jax.random.PRNGKey(0)
+        self.iter_counter = 0
+
+        self.num_kv_pages = num_kv_pages or self._default_num_pages()
+        logger.info("KV pool: %d pages x %d tokens (%.1f MB/layer)",
+                    self.num_kv_pages, self.page_size,
+                    self._kv_bytes_per_layer() / 1e6)
+
+        # device state
+        self.params = self._shard_params(params)
+        self.kv_pages = self._make_kv_pages()
+        self.prev_tokens = jnp.zeros((self.max_batch_size,), jnp.int32)
+        self._step_fns: Dict[Tuple, Any] = {}
+
+    # ------------------------------------------------------------------ #
+    # Sizing
+    # ------------------------------------------------------------------ #
+    def _kv_bytes_per_layer(self) -> int:
+        el = jnp.dtype(self.model.config.kv_cache_dtype).itemsize
+        return (self.num_kv_pages * self.page_size *
+                2 * self.model.num_kv_heads * self.model.head_dim * el)
+
+    def _default_num_pages(self) -> int:
+        """KV pool sizing from free device memory (the role of the
+        reference's two-pass KvCacheCreator estimation,
+        py_executor_creator.py:577-698)."""
+        cfg = self.args.kv_cache_config
+        if cfg.max_tokens is not None:
+            return -(-cfg.max_tokens // self.page_size)
+        el = jnp.dtype(self.model.config.kv_cache_dtype).itemsize
+        bytes_per_page = (self.page_size * 2 * self.model.num_kv_heads *
+                          self.model.head_dim * el * self.model.num_layers)
+        try:
+            stats = jax.devices()[0].memory_stats()
+            free = stats["bytes_limit"] - stats["bytes_in_use"]
+            budget = int(free * cfg.free_gpu_memory_fraction) - (1 << 30)
+        except Exception:
+            budget = 2 << 30  # CPU/test fallback: 2 GiB worth of pages
+        budget = max(budget, bytes_per_page * self.max_batch_size)
+        pages = budget // bytes_per_page
+        # at least enough for max_batch_size sequences of one page; at most
+        # enough to cache every sequence fully
+        pages = min(pages, self.max_batch_size * self.pages_per_seq + 1)
+        return int(max(pages, self.max_batch_size + 1))
+
+    # ------------------------------------------------------------------ #
+    # Device state
+    # ------------------------------------------------------------------ #
+    def _shard_params(self, params):
+        if self.mesh is None or self.mapping.world_size == 1:
+            return jax.device_put(params)
+        from jax.sharding import NamedSharding
+        pspecs = self.model.param_pspecs(params)
+        shardings = jax.tree.map(
+            lambda s: NamedSharding(self.mesh, s), pspecs,
+            is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))
+        return jax.device_put(params, shardings)
+
+    def _make_kv_pages(self):
+        shape = self.model.kv_pool_shape(self.num_kv_pages, self.page_size)
+        arr = jnp.zeros(shape, dtype=self.model.config.kv_cache_dtype)
+        if self.mesh is not None and self.mapping.world_size > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            kv_spec = self.model.kv_pspec()
+            if len(kv_spec) > 0:
+                kv_spec = P(None, *kv_spec)  # leading layer dim
+            arr = jax.device_put(arr, NamedSharding(self.mesh, kv_spec))
+        return arr
+
+    # ------------------------------------------------------------------ #
+    # Step compilation
+    # ------------------------------------------------------------------ #
+    def _build_step(self, use_penalties: bool):
+        model = self.model
+
+        def step(params, kv_pages, prev_tokens, token_counts,
+                 token_ids, prev_slot, metadata, out_slots,
+                 sampling: SamplingTensors, key):
+            # resolve device-sourced decode tokens (overlap path)
+            from_prev = prev_slot >= 0
+            gathered = prev_tokens[jnp.clip(prev_slot, 0)]
+            tokens = jnp.where(from_prev, gathered, token_ids)
+            logits, kv_pages = model.forward(params, tokens, kv_pages,
+                                             metadata)
+            counts = token_counts if use_penalties else None
+            new_tokens, logprobs = sample(logits, sampling, key,
+                                          token_counts=counts)
+            # scatter by slot for the next iteration's gather
+            valid = out_slots >= 0
+            slot_idx = jnp.clip(out_slots, 0)
+            prev_tokens = prev_tokens.at[slot_idx].set(
+                jnp.where(valid, new_tokens, prev_tokens[slot_idx]))
+            if use_penalties:
+                token_counts = token_counts.at[slot_idx, new_tokens].add(
+                    jnp.where(valid, 1, 0))
+            return new_tokens, logprobs, prev_tokens, token_counts, kv_pages
+
+        donate = (1, 2, 3)  # kv_pages, prev_tokens, token_counts
+        return jax.jit(step, donate_argnums=donate)
+
+    def _get_step_fn(self, use_penalties: bool):
+        key = (use_penalties,)
+        if key not in self._step_fns:
+            self._step_fns[key] = self._build_step(use_penalties)
+        return self._step_fns[key]
+
+    # ------------------------------------------------------------------ #
+    # Input preparation (host, numpy)
+    # ------------------------------------------------------------------ #
+    def prepare_inputs(self, batch: ScheduledRequests) -> StepInputs:
+        """Flatten the scheduled batch into ragged arrays
+        (reference: model_engine._prepare_tp_inputs:2347)."""
+        S, P, ps = self.max_batch_size, self.pages_per_seq, self.page_size
+        reqs = batch.context_requests + batch.generation_requests
+        assert len(reqs) <= S, f"{len(reqs)} > max_batch_size {S}"
+
+        tok_list: List[int] = []
+        prev_list: List[int] = []
+        pos_list: List[int] = []
+        slot_map: List[int] = []
+        kv_lens = np.zeros(S, np.int32)
+        page_indices = np.zeros((S, P), np.int32)
+        cu_q = np.zeros(S + 1, np.int32)
+        logits_idx = np.zeros(S, np.int32)
+        out_slots = np.full(S, -1, np.int32)
+
+        for i, req in enumerate(reqs):
+            blocks = req.kv_block_ids
+            page_indices[i, :len(blocks)] = blocks
+            if req.is_context_init_state:
+                start = req.context_current_position
+                end = min(req.prompt_len, start + req.context_chunk_size)
+                chunk = req.prompt_token_ids[start:end]
+                tok_list.extend(chunk)
+                prev_list.extend([-1] * len(chunk))
+                pos_list.extend(range(start, end))
+                for p in range(start, end):
+                    slot_map.append(blocks[p // ps] * ps + p % ps)
+                kv_lens[i] = end
+            else:
+                # generation: one token, value comes from prev_tokens[slot]
+                # (device) unless the host already knows it (non-overlap)
+                pos = req.num_device_tokens
+                if req.host_token_override is not None:
+                    tok_list.append(req.host_token_override)
+                    prev_list.append(-1)
+                else:
+                    tok_list.append(0)
+                    prev_list.append(req.seq_slot)
+                pos_list.append(pos)
+                slot_map.append(blocks[pos // ps] * ps + pos % ps)
+                kv_lens[i] = pos + 1
+            cu_q[i + 1] = len(tok_list)
+            logits_idx[i] = len(tok_list) - 1
+            out_slots[i] = req.seq_slot
+        cu_q[len(reqs) + 1:] = len(tok_list)
+
+        return StepInputs(
+            token_ids=np.asarray(tok_list, np.int32),
+            prev_slot=np.asarray(prev_list, np.int32),
+            positions=np.asarray(pos_list, np.int32),
+            kv_lens=kv_lens, page_indices=page_indices, cu_q_lens=cu_q,
+            num_seqs=np.asarray([len(reqs)], np.int32),
+            slot_mapping=np.asarray(slot_map, np.int32),
+            logits_indices=logits_idx, out_slots=out_slots,
+            num_tokens=len(tok_list), num_reqs=len(reqs))
+
+    def _pick_bucket(self, n: int) -> int:
+        for b in self.token_buckets:
+            if n <= b:
+                return b
+        raise ValueError(f"{n} tokens exceeds max bucket "
+                         f"{self.token_buckets[-1]}")
+
+    # ------------------------------------------------------------------ #
+    # Forward + sample for one scheduled batch
+    # ------------------------------------------------------------------ #
+    def forward_step(self, batch: ScheduledRequests,
+                     use_penalties: bool = False):
+        """Launch one iteration; returns (tokens, logprobs) device futures
+        indexed by batch row."""
+        inp = self.prepare_inputs(batch)
+        T = self._pick_bucket(inp.num_tokens)
+        pad = T - inp.num_tokens
+        num_slots = self.num_kv_pages * self.page_size
+
+        token_ids = np.pad(inp.token_ids, (0, pad))
+        prev_slot = np.pad(inp.prev_slot, (0, pad), constant_values=-1)
+        positions = np.pad(inp.positions, (0, pad))
+        # padding tokens write to an out-of-range slot → dropped by scatter
+        slot_mapping = np.pad(inp.slot_mapping, (0, pad),
+                              constant_values=num_slots)
+
+        metadata = AttentionMetadata(
+            kv_lens=jnp.asarray(inp.kv_lens),
+            page_indices=jnp.asarray(inp.page_indices),
+            cu_q_lens=jnp.asarray(inp.cu_q_lens),
+            num_seqs=jnp.asarray(inp.num_seqs),
+            slot_mapping=jnp.asarray(slot_mapping),
+            positions=jnp.asarray(positions),
+            logits_indices=jnp.asarray(inp.logits_indices))
+
+        sampling = SamplingTensors.from_requests(
+            batch.context_requests + batch.generation_requests,
+            self.max_batch_size)
+        self.iter_counter += 1
+        key = jax.random.fold_in(self.seed_key, self.iter_counter)
+
+        counts = getattr(self, "token_counts", None)
+        if use_penalties and counts is None:
+            counts = jnp.zeros((self.max_batch_size, self.model.vocab_size),
+                               jnp.int32)
+        step_fn = self._get_step_fn(use_penalties)
+        out = step_fn(self.params, self.kv_pages, self.prev_tokens,
+                      counts if use_penalties else jnp.zeros((1, 1), jnp.int32),
+                      jnp.asarray(token_ids), jnp.asarray(prev_slot),
+                      metadata, jnp.asarray(inp.out_slots), sampling, key)
+        tokens, logprobs, self.prev_tokens, new_counts, self.kv_pages = out
+        if use_penalties:
+            self.token_counts = new_counts
+        return tokens, logprobs
