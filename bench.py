@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Throughput benchmark (trtllm-bench style, reference:
+tensorrt_llm/bench/benchmark/throughput.py:315).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Metric: output tokens/sec/chip in the max-throughput regime on a
+TinyLlama-1.1B-geometry model (BASELINE.json config 2), random weights.
+``vs_baseline`` is the fraction of the HBM-bandwidth decode roofline for
+this chip (BASELINE.md: target ≥85% of roofline).
+
+Env knobs: BENCH_QUANT (none|int4|int8), BENCH_BATCH, BENCH_ISL, BENCH_OSL,
+BENCH_TINY=1 (CPU smoke test).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    quant = os.environ.get("BENCH_QUANT", "none")
+    tiny = os.environ.get("BENCH_TINY", "0") == "1"
+    batch = int(os.environ.get("BENCH_BATCH", "8" if tiny else "48"))
+    isl = int(os.environ.get("BENCH_ISL", "32" if tiny else "128"))
+    osl = int(os.environ.get("BENCH_OSL", "16" if tiny else "128"))
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_bench_cache"))
+    from transformers import LlamaConfig
+    from tensorrt_llm_tpu import LLM, KvCacheConfig, QuantConfig, SamplingParams
+    from tensorrt_llm_tpu.quantization.mode import QuantAlgo
+
+    if tiny:
+        cfg = LlamaConfig(vocab_size=256, hidden_size=128,
+                          intermediate_size=256, num_hidden_layers=2,
+                          num_attention_heads=4, num_key_value_heads=2,
+                          max_position_embeddings=2048)
+    else:
+        # TinyLlama-1.1B geometry
+        cfg = LlamaConfig(vocab_size=32000, hidden_size=2048,
+                          intermediate_size=5632, num_hidden_layers=22,
+                          num_attention_heads=32, num_key_value_heads=4,
+                          max_position_embeddings=4096)
+
+    qc = {"none": QuantConfig(),
+          "int8": QuantConfig(quant_algo=QuantAlgo.W8A16),
+          "int4": QuantConfig(quant_algo=QuantAlgo.W4A16_AWQ)}[quant]
+
+    max_seq = isl + osl + 8
+    llm = LLM(model=cfg, skip_tokenizer_init=True,
+              max_batch_size=batch, max_input_len=isl + 8,
+              max_seq_len=max_seq, max_num_tokens=max(2048, isl * 4),
+              quant_config=qc, load_format="dummy",
+              kv_cache_config=KvCacheConfig(tokens_per_block=32))
+
+    rng = np.random.default_rng(0)
+    vocab = cfg.vocab_size
+
+    def req_tokens():
+        return rng.integers(1, vocab - 1, size=isl).tolist()
+
+    # warmup: compile prefill + decode buckets
+    warm = [llm.generate_async(req_tokens(),
+                               SamplingParams(max_tokens=4, top_k=1))
+            for _ in range(min(batch, 4))]
+    for w in warm:
+        w.result(timeout=1800)
+
+    n_requests = batch * 2
+    sp = SamplingParams(max_tokens=osl, top_k=1, ignore_eos=True)
+    t0 = time.monotonic()
+    futs = [llm.generate_async(req_tokens(), sp) for _ in range(n_requests)]
+    outs = [f.result(timeout=3600) for f in futs]
+    dt = time.monotonic() - t0
+    total_out = sum(len(o.outputs[0].token_ids) for o in outs)
+    tput = total_out / dt
+
+    # HBM-bandwidth decode roofline: tok/s ≈ batch * BW / bytes_touched/step
+    param_bytes = {"none": 2.0, "int8": 1.0, "int4": 0.5}[quant]
+    n_params = (cfg.vocab_size * cfg.hidden_size * 2 +
+                cfg.num_hidden_layers * (
+                    cfg.hidden_size * cfg.hidden_size * 2 +  # q,o
+                    2 * cfg.hidden_size * cfg.num_key_value_heads *
+                    (cfg.hidden_size // cfg.num_attention_heads) +
+                    3 * cfg.hidden_size * cfg.intermediate_size))
+    weight_bytes = n_params * param_bytes
+    kv_bytes_per_tok = (cfg.num_hidden_layers * 2 *
+                        cfg.num_key_value_heads *
+                        (cfg.hidden_size // cfg.num_attention_heads) * 2)
+    avg_ctx = isl + osl / 2
+    hbm_bw = 8.1e11 if jax.default_backend() == "tpu" else 5e10  # v5e ~810GB/s
+    step_bytes = weight_bytes + batch * avg_ctx * kv_bytes_per_tok
+    roofline = batch * hbm_bw / step_bytes
+
+    print(json.dumps({
+        "metric": f"output tok/s/chip TinyLlama-1.1B {quant} "
+                  f"bs{batch} {isl}/{osl}",
+        "value": round(tput, 1),
+        "unit": "tok/s",
+        "vs_baseline": round(tput / roofline, 3),
+    }))
+    llm.shutdown()
+
+
+if __name__ == "__main__":
+    main()

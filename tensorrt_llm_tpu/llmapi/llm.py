@@ -120,6 +120,9 @@ class LLM:
     def _load_checkpoint(self):
         if self._inline_model is not None:
             m = self._inline_model
+            if not hasattr(m, "state_dict"):
+                # a bare PretrainedConfig: dummy-weight engine
+                return m, None
             sd = {k: v.detach().cpu().float().numpy()
                   for k, v in m.state_dict().items()}
             if self.args.load_format == "dummy":

@@ -46,6 +46,8 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
             rope=RopeConfig.from_hf_config(hf, self.head_dim),
             sliding_window=getattr(hf, "sliding_window", None),
             is_neox=True)
+        # Qwen3-style per-head RMS norm on q/k before RoPE
+        self.use_qk_norm = False
         # per-projection quant methods (exclude_modules honored by name)
         self.m_q = self._method("q_proj")
         self.m_kv = self._method("k_proj")
@@ -99,8 +101,12 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
             return np.ascontiguousarray(np.transpose(sd[name]))
 
         def stack_quant(method, fmt):
-            per_layer = [quantize_linear(method, t(fmt.format(i)), dtype=dtype)
-                         for i in range(L)]
+            per_layer = []
+            for i in range(L):
+                bias_name = fmt.format(i).replace(".weight", ".bias")
+                bias = sd.get(bias_name)
+                per_layer.append(quantize_linear(method, t(fmt.format(i)),
+                                                 bias=bias, dtype=dtype))
             return jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
 
         layers = {
@@ -144,6 +150,15 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
         from ..ops.rope import rope_cos_sin
         cos_sin = rope_cos_sin(spec.rope, metadata.positions)
 
+        if self.use_qk_norm:
+            def q_norm(layer, q):
+                return rms_norm(q, layer["q_norm"], eps)
+
+            def k_norm(layer, k):
+                return rms_norm(k, layer["k_norm"], eps)
+        else:
+            q_norm = k_norm = None
+
         def layer_body(carry, xs):
             h, kv = carry
             layer, idx = xs
@@ -151,7 +166,8 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
             attn_out, new_pages = attention_block(
                 layer, normed, kv[idx], metadata, spec,
                 self.m_q, self.m_o, attn_backend=self.attn_backend,
-                kv_scale=self.config.kv_scale, rope_cos_sin=cos_sin)
+                kv_scale=self.config.kv_scale, rope_cos_sin=cos_sin,
+                q_norm=q_norm, k_norm=k_norm)
             h = h + attn_out
             normed = rms_norm(h, layer["post_norm"], eps)
             gate = self.m_mlp.apply(layer["gate"], normed)

@@ -1,0 +1,178 @@
+"""Mixtral (sparse MoE Llama) decoder.
+
+Behavioral reference: tensorrt_llm/_torch/models/modeling_mixtral.py +
+the fused-MoE module stack (SURVEY.md §2.2 MoE row). Attention is the
+Llama block; the MLP is top-2-of-8 expert routing through the grouped
+GEMM in ops/moe.py. Expert weights stay bf16 in round 1 (weight-only
+quant of experts lands with the EP shard_map path).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..ops.moe import moe_mlp
+from ..ops.norm import rms_norm
+from ..ops.rope import RopeConfig, rope_cos_sin
+from .llama import LlamaForCausalLM
+from .modeling_utils import attention_block, quantize_linear, register_model
+
+
+@register_model("mixtral")
+class MixtralForCausalLM(LlamaForCausalLM):
+    architectures = ("MixtralForCausalLM",)
+
+    def __init__(self, model_config):
+        super().__init__(model_config)
+        self.num_experts = self.hf.num_local_experts
+        self.top_k = self.hf.num_experts_per_tok
+        self.moe_backend = "auto"
+
+    # ------------------------------------------------------------------ #
+    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
+        hf = self.hf
+        H, I, E, L = (self.hidden_size, self.intermediate_size,
+                      self.num_experts, self.num_layers)
+        keys = iter(jax.random.split(rng, 8))
+
+        def mat(shape):
+            return np.asarray(jax.random.normal(next(keys), shape) * 0.02,
+                              np.float32)
+
+        sd: Dict[str, np.ndarray] = {}
+        V = self.vocab_size
+        sd["model.embed_tokens.weight"] = mat((V, H))
+        nq, nkv, hd = self.num_heads, self.num_kv_heads, self.head_dim
+        for name, shape in [("self_attn.q_proj", (nq * hd, H)),
+                            ("self_attn.k_proj", (nkv * hd, H)),
+                            ("self_attn.v_proj", (nkv * hd, H)),
+                            ("self_attn.o_proj", (H, nq * hd))]:
+            base = mat((L,) + shape)
+            for i in range(L):
+                sd[f"model.layers.{i}.{name}.weight"] = base[i]
+        gate = mat((L, E, H))
+        w1 = mat((L, E, I, H))
+        w2 = mat((L, E, H, I))
+        w3 = mat((L, E, I, H))
+        for i in range(L):
+            sd[f"model.layers.{i}.block_sparse_moe.gate.weight"] = gate[i]
+            for e in range(E):
+                sd[f"model.layers.{i}.block_sparse_moe.experts.{e}.w1.weight"] = w1[i, e]
+                sd[f"model.layers.{i}.block_sparse_moe.experts.{e}.w2.weight"] = w2[i, e]
+                sd[f"model.layers.{i}.block_sparse_moe.experts.{e}.w3.weight"] = w3[i, e]
+            sd[f"model.layers.{i}.input_layernorm.weight"] = np.ones(H, np.float32)
+            sd[f"model.layers.{i}.post_attention_layernorm.weight"] = \
+                np.ones(H, np.float32)
+        sd["model.norm.weight"] = np.ones(H, np.float32)
+        sd["lm_head.weight"] = mat((V, H))
+        return self.load_hf_state_dict(sd)
+
+    def load_hf_state_dict(self, sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        L, E = self.num_layers, self.num_experts
+        dtype = self.dtype
+
+        def t(name):
+            return np.ascontiguousarray(np.transpose(sd[name]))
+
+        def stack_quant(method, fmt):
+            per = [quantize_linear(method, t(fmt.format(i)), dtype=dtype)
+                   for i in range(L)]
+            return jax.tree.map(lambda *xs: jnp.stack(xs), *per)
+
+        layers = {
+            "input_norm": jnp.stack([
+                jnp.asarray(sd[f"model.layers.{i}.input_layernorm.weight"],
+                            dtype=dtype) for i in range(L)]),
+            "post_norm": jnp.stack([
+                jnp.asarray(
+                    sd[f"model.layers.{i}.post_attention_layernorm.weight"],
+                    dtype=dtype) for i in range(L)]),
+            "q": stack_quant(self.m_q, "model.layers.{}.self_attn.q_proj.weight"),
+            "k": stack_quant(self.m_kv, "model.layers.{}.self_attn.k_proj.weight"),
+            "v": stack_quant(self.m_kv, "model.layers.{}.self_attn.v_proj.weight"),
+            "o": stack_quant(self.m_o, "model.layers.{}.self_attn.o_proj.weight"),
+            "router": jnp.stack([
+                jnp.asarray(t(f"model.layers.{i}.block_sparse_moe.gate.weight"),
+                            dtype=dtype) for i in range(L)]),
+            # experts: [L, E, H, I] (already x@w layout after transpose)
+            "w_gate": jnp.stack([jnp.stack([
+                jnp.asarray(t(f"model.layers.{i}.block_sparse_moe.experts.{e}.w1.weight"), dtype=dtype)
+                for e in range(E)]) for i in range(L)]),
+            "w_up": jnp.stack([jnp.stack([
+                jnp.asarray(t(f"model.layers.{i}.block_sparse_moe.experts.{e}.w3.weight"), dtype=dtype)
+                for e in range(E)]) for i in range(L)]),
+            "w_down": jnp.stack([jnp.stack([
+                jnp.asarray(t(f"model.layers.{i}.block_sparse_moe.experts.{e}.w2.weight"), dtype=dtype)
+                for e in range(E)]) for i in range(L)]),
+        }
+        params = {
+            "embed": {"weight": jnp.asarray(sd["model.embed_tokens.weight"],
+                                            dtype=dtype)},
+            "layers": layers,
+            "final_norm": jnp.asarray(sd["model.norm.weight"], dtype=dtype),
+            "lm_head": quantize_linear(
+                self.m_lm_head,
+                np.ascontiguousarray(np.transpose(sd["lm_head.weight"])),
+                dtype=dtype),
+        }
+        return params
+
+    # ------------------------------------------------------------------ #
+    def forward(self, params, token_ids, kv_pages, metadata):
+        h = params["embed"]["weight"][token_ids].astype(self.dtype)
+        spec = self.attn_spec
+        eps = self.rms_eps
+        cos_sin = rope_cos_sin(spec.rope, metadata.positions)
+        mapping = self.config.mapping
+
+        def layer_body(carry, xs):
+            h, kv = carry
+            layer, idx = xs
+            normed = rms_norm(h, layer["input_norm"], eps)
+            attn_out, new_pages = attention_block(
+                layer, normed, kv[idx], metadata, spec,
+                self.m_q, self.m_o, attn_backend=self.attn_backend,
+                kv_scale=self.config.kv_scale, rope_cos_sin=cos_sin)
+            h = h + attn_out
+            normed = rms_norm(h, layer["post_norm"], eps)
+            h = h + moe_mlp(normed, layer["w_gate"], layer["w_up"],
+                            layer["w_down"], layer["router"],
+                            top_k=self.top_k, backend=self.moe_backend,
+                            mapping=mapping)
+            kv = jax.lax.dynamic_update_index_in_dim(kv, new_pages, idx, 0)
+            return (h, kv), None
+
+        idxs = jnp.arange(self.num_layers)
+        (h, kv_pages), _ = jax.lax.scan(
+            layer_body, (h, kv_pages), (params["layers"], idxs))
+        h = rms_norm(h, params["final_norm"], eps)
+        last = self._gather_logits(h, metadata)
+        logits = self.m_lm_head.apply(params["lm_head"], last)
+        return logits.astype(jnp.float32), kv_pages
+
+    # ------------------------------------------------------------------ #
+    def param_pspecs(self, params) -> Any:
+        # rebuild: llama pspecs minus gate/up/down, plus MoE experts
+        base = LlamaForCausalLM.param_pspecs(
+            self, {**params, "layers": {
+                **{k: v for k, v in params["layers"].items()
+                   if k not in ("router", "w_gate", "w_up", "w_down")},
+                "gate": params["layers"]["q"],   # placeholder shapes
+                "up": params["layers"]["q"],
+                "down": params["layers"]["o"],
+            }})
+        layers = base["layers"]
+        for k in ("gate", "up", "down"):
+            layers.pop(k)
+        # experts sharded over the expert axis on tp (EP=TP factorization);
+        # dense path partitions cleanly on "tei" intermediates
+        layers["router"] = P(None, None, None)
+        layers["w_gate"] = P(None, "tp", None, None)
+        layers["w_up"] = P(None, "tp", None, None)
+        layers["w_down"] = P(None, "tp", None, None)
+        return base

@@ -90,6 +90,10 @@ class GenerationResult:
 
     def _on_finish(self) -> None:
         req = self.request
+        if self.streaming and req.num_tokens_streamed < req.num_output_tokens:
+            tail = req.output_token_ids[req.num_tokens_streamed:]
+            req.num_tokens_streamed = req.num_output_tokens
+            self._on_tokens(tail)
         out = CompletionOutput(
             index=0,
             token_ids=list(req.output_token_ids),

@@ -132,11 +132,10 @@ class ModelEngine:
         shape = self.model.kv_pool_shape(self.num_kv_pages, self.page_size)
         arr = jnp.zeros(shape, dtype=self.model.config.kv_cache_dtype)
         if self.mesh is not None and self.mapping.world_size > 1:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            kv_spec = self.model.kv_pspec()
-            if len(kv_spec) > 0:
-                kv_spec = P(None, *kv_spec)  # leading layer dim
-            arr = jax.device_put(arr, NamedSharding(self.mesh, kv_spec))
+            from jax.sharding import NamedSharding
+            # kv_pspec covers the full stacked pool [L, pages, ps, 2kvh, hd]
+            arr = jax.device_put(
+                arr, NamedSharding(self.mesh, self.model.kv_pspec()))
         return arr
 
     # ------------------------------------------------------------------ #
@@ -157,14 +156,16 @@ class ModelEngine:
             counts = token_counts if use_penalties else None
             new_tokens, logprobs = sample(logits, sampling, key,
                                           token_counts=counts)
-            # scatter by slot for the next iteration's gather
-            valid = out_slots >= 0
-            slot_idx = jnp.clip(out_slots, 0)
-            prev_tokens = prev_tokens.at[slot_idx].set(
-                jnp.where(valid, new_tokens, prev_tokens[slot_idx]))
+            # scatter by slot for the next iteration's gather; invalid rows
+            # (padding, out_slots == -1) are routed out of bounds and
+            # dropped so they can't clobber live slots with stale values
+            nslots = prev_tokens.shape[0]
+            slot_idx = jnp.where(out_slots >= 0, out_slots, nslots)
+            prev_tokens = prev_tokens.at[slot_idx].set(new_tokens,
+                                                       mode="drop")
             if use_penalties:
                 token_counts = token_counts.at[slot_idx, new_tokens].add(
-                    jnp.where(valid, 1, 0))
+                    1, mode="drop")
             return new_tokens, logprobs, prev_tokens, token_counts, kv_pages
 
         donate = (1, 2, 3)  # kv_pages, prev_tokens, token_counts

@@ -1,0 +1,254 @@
+"""OpenAI-compatible HTTP server.
+
+Analog of the reference ``trtllm-serve`` server (reference:
+tensorrt_llm/serve/openai_server.py:598-735 endpoint set). Built on
+aiohttp (fastapi is not in this image). Endpoints: /health,
+/health_generate, /version, /v1/models, /metrics, /perf_metrics,
+/kv_cache_events, /v1/completions, /v1/chat/completions (+SSE streaming).
+"""
+from __future__ import annotations
+
+import asyncio
+import dataclasses
+import json
+import time
+from typing import Any, AsyncIterator, Optional
+
+from aiohttp import web
+
+from ..llmapi.llm import LLM
+from ..logger import logger
+from ..sampling_params import SamplingParams
+from ..version import __version__
+from .openai_protocol import (ChatCompletionRequest, ChatCompletionResponse,
+                              ChatCompletionResponseChoice,
+                              ChatCompletionStreamChoice,
+                              ChatCompletionStreamResponse, ChatMessage,
+                              CompletionRequest, CompletionResponse,
+                              CompletionResponseChoice, DeltaMessage,
+                              ErrorResponse, ModelCard, ModelList, UsageInfo)
+
+
+class OpenAIServer:
+    def __init__(self, llm: LLM, model_name: str = "tllm-tpu-model"):
+        self.llm = llm
+        self.model_name = model_name
+        self.app = web.Application()
+        self._num_requests = 0
+        self._num_tokens_out = 0
+        self._start_time = time.time()
+        r = self.app.router
+        r.add_get("/health", self.health)
+        r.add_get("/health_generate", self.health_generate)
+        r.add_get("/version", self.version)
+        r.add_get("/v1/models", self.models)
+        r.add_get("/metrics", self.metrics)
+        r.add_get("/perf_metrics", self.perf_metrics)
+        r.add_get("/kv_cache_events", self.kv_cache_events)
+        r.add_post("/v1/completions", self.completions)
+        r.add_post("/v1/chat/completions", self.chat_completions)
+
+    # ------------------------------------------------------------------ #
+    async def health(self, request) -> web.Response:
+        return web.Response(status=200)
+
+    async def health_generate(self, request) -> web.Response:
+        try:
+            out = await self._generate_async([1, 2, 3],
+                                             SamplingParams(max_tokens=1))
+            assert out.outputs
+            return web.Response(status=200)
+        except Exception as e:
+            return web.Response(status=500, text=str(e))
+
+    async def version(self, request) -> web.Response:
+        return web.json_response({"version": __version__})
+
+    async def models(self, request) -> web.Response:
+        return web.json_response(
+            ModelList(data=[ModelCard(id=self.model_name)]).model_dump())
+
+    async def metrics(self, request) -> web.Response:
+        """Prometheus text exposition (reference: metrics/collector.py)."""
+        stats = self.llm.executor.stats_history
+        last = stats[-1] if stats else None
+        kv = self.llm.kv_cache_manager.get_stats()
+        lines = [
+            "# TYPE tllm_request_total counter",
+            f"tllm_request_total {self._num_requests}",
+            "# TYPE tllm_generated_tokens_total counter",
+            f"tllm_generated_tokens_total {self._num_tokens_out}",
+            "# TYPE tllm_kv_cache_free_blocks gauge",
+            f"tllm_kv_cache_free_blocks {kv.free_blocks}",
+            "# TYPE tllm_kv_cache_hit_rate gauge",
+            f"tllm_kv_cache_hit_rate {kv.cache_hit_rate:.4f}",
+        ]
+        if last:
+            lines += [
+                "# TYPE tllm_iter_latency_ms gauge",
+                f"tllm_iter_latency_ms {last.iter_latency_ms:.3f}",
+                "# TYPE tllm_active_requests gauge",
+                f"tllm_active_requests {last.num_active_requests}",
+            ]
+        return web.Response(text="\n".join(lines) + "\n",
+                            content_type="text/plain")
+
+    async def perf_metrics(self, request) -> web.Response:
+        stats = [dataclasses.asdict(s)
+                 for s in self.llm.executor.stats_history[-100:]]
+        return web.json_response(stats)
+
+    async def kv_cache_events(self, request) -> web.Response:
+        events = [dataclasses.asdict(e)
+                  for e in self.llm.kv_cache_manager.get_latest_events()]
+        return web.json_response(events)
+
+    # ------------------------------------------------------------------ #
+    async def _generate_async(self, prompt, sampling_params, streaming=False):
+        loop = asyncio.get_running_loop()
+        fut = self.llm.generate_async(prompt, sampling_params,
+                                      streaming=streaming)
+        if streaming:
+            return fut
+        return await loop.run_in_executor(None, lambda: fut.result(3600))
+
+    async def completions(self, request: web.Request) -> web.StreamResponse:
+        try:
+            body = CompletionRequest(**await request.json())
+        except Exception as e:
+            return self._error(str(e))
+        prompts = body.prompt
+        if isinstance(prompts, str) or (
+                isinstance(prompts, list) and prompts
+                and isinstance(prompts[0], int)):
+            prompts = [prompts]
+        sp = body.to_sampling_params()
+        self._num_requests += 1
+        if body.stream:
+            return await self._stream_completion(request, body, prompts[0], sp)
+        outs = await asyncio.gather(*[
+            self._generate_async(p, sp) for p in prompts])
+        choices, usage = [], UsageInfo()
+        for i, out in enumerate(outs):
+            o = out.outputs[0]
+            text = o.text or " ".join(map(str, o.token_ids))
+            choices.append(CompletionResponseChoice(
+                index=i, text=text, finish_reason=o.finish_reason))
+            usage.prompt_tokens += len(out.prompt_token_ids)
+            usage.completion_tokens += len(o.token_ids)
+            self._num_tokens_out += len(o.token_ids)
+        usage.total_tokens = usage.prompt_tokens + usage.completion_tokens
+        resp = CompletionResponse(model=body.model, choices=choices,
+                                  usage=usage)
+        return web.json_response(resp.model_dump())
+
+    async def _stream_completion(self, request, body, prompt, sp):
+        resp = web.StreamResponse(headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache"})
+        await resp.prepare(request)
+        fut = await self._generate_async(prompt, sp, streaming=True)
+        loop = asyncio.get_running_loop()
+        it = iter(fut)
+        while True:
+            chunk = await loop.run_in_executor(None, next, it, None)
+            if chunk is None:
+                break
+            text = chunk.text or " ".join(map(str, chunk.token_ids)) + " "
+            self._num_tokens_out += len(chunk.token_ids)
+            payload = CompletionResponse(
+                model=body.model,
+                choices=[CompletionResponseChoice(index=0, text=text)])
+            await resp.write(
+                f"data: {payload.model_dump_json()}\n\n".encode())
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
+
+    async def chat_completions(self, request: web.Request) -> web.StreamResponse:
+        try:
+            body = ChatCompletionRequest(**await request.json())
+        except Exception as e:
+            return self._error(str(e))
+        tokenizer = self.llm.tokenizer
+        if tokenizer is None:
+            return self._error("chat endpoint requires a tokenizer")
+        msgs = [m.model_dump(exclude_none=True) for m in body.messages]
+        try:
+            prompt_ids = tokenizer.apply_chat_template(
+                msgs, tokenize=True,
+                add_generation_prompt=body.add_generation_prompt,
+                chat_template=body.chat_template,
+                **(body.chat_template_kwargs or {}))
+        except Exception:
+            text = "\n".join(f"{m['role']}: {m.get('content','')}"
+                             for m in msgs) + "\nassistant:"
+            prompt_ids = tokenizer.encode(text)
+        sp = body.to_sampling_params()
+        self._num_requests += 1
+        if body.stream:
+            return await self._stream_chat(request, body, prompt_ids, sp)
+        out = await self._generate_async(prompt_ids, sp)
+        o = out.outputs[0]
+        self._num_tokens_out += len(o.token_ids)
+        usage = UsageInfo(
+            prompt_tokens=len(prompt_ids),
+            completion_tokens=len(o.token_ids),
+            total_tokens=len(prompt_ids) + len(o.token_ids))
+        resp = ChatCompletionResponse(
+            model=body.model,
+            choices=[ChatCompletionResponseChoice(
+                index=0,
+                message=ChatMessage(role="assistant", content=o.text),
+                finish_reason=o.finish_reason)],
+            usage=usage)
+        return web.json_response(resp.model_dump())
+
+    async def _stream_chat(self, request, body, prompt_ids, sp):
+        resp = web.StreamResponse(headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache"})
+        await resp.prepare(request)
+        first = ChatCompletionStreamResponse(
+            model=body.model,
+            choices=[ChatCompletionStreamChoice(
+                index=0, delta=DeltaMessage(role="assistant"))])
+        await resp.write(f"data: {first.model_dump_json()}\n\n".encode())
+        fut = await self._generate_async(prompt_ids, sp, streaming=True)
+        loop = asyncio.get_running_loop()
+        it = iter(fut)
+        while True:
+            chunk = await loop.run_in_executor(None, next, it, None)
+            if chunk is None:
+                break
+            self._num_tokens_out += len(chunk.token_ids)
+            payload = ChatCompletionStreamResponse(
+                model=body.model,
+                choices=[ChatCompletionStreamChoice(
+                    index=0, delta=DeltaMessage(content=chunk.text))])
+            await resp.write(
+                f"data: {payload.model_dump_json()}\n\n".encode())
+        done = ChatCompletionStreamResponse(
+            model=body.model,
+            choices=[ChatCompletionStreamChoice(
+                index=0, delta=DeltaMessage(), finish_reason="stop")])
+        await resp.write(f"data: {done.model_dump_json()}\n\n".encode())
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
+
+    def _error(self, msg: str, code: int = 400) -> web.Response:
+        return web.json_response(
+            ErrorResponse(message=msg, code=code).model_dump(), status=code)
+
+    # ------------------------------------------------------------------ #
+    def run(self, host: str = "0.0.0.0", port: int = 8000):
+        logger.info("serving on %s:%d", host, port)
+        web.run_app(self.app, host=host, port=port, print=None)
+
+    async def start(self, host: str = "127.0.0.1", port: int = 8000):
+        runner = web.AppRunner(self.app)
+        await runner.setup()
+        site = web.TCPSite(runner, host, port)
+        await site.start()
+        return runner
