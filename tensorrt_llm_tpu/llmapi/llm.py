@@ -157,9 +157,23 @@ class LLM:
 
     def _build_executor(self):
         args = self.args
+        drafter = None
+        max_draft_len = 0
+        sc = args.speculative_config
+        if sc is not None and sc.mode != "NONE":
+            max_draft_len = sc.max_draft_len or 4
+            if sc.mode == "NGRAM":
+                from ..speculative.ngram import NGramDrafter
+                drafter = NGramDrafter(
+                    max_draft_len=max_draft_len,
+                    max_matching_ngram_size=sc.ngram_max_matching_ngram_size)
+            else:
+                raise NotImplementedError(
+                    f"speculative mode {sc.mode} not yet supported")
         self.engine = ModelEngine(
             self.model, self._params, args,
-            mapping=self.mapping, mesh=self.mesh)
+            mapping=self.mapping, mesh=self.mesh,
+            max_draft_len=max_draft_len)
         del self._params
         self.kv_cache_manager = KVCacheManager(
             num_blocks=self.engine.num_kv_pages,
@@ -182,7 +196,8 @@ class LLM:
             RequestScheduler(capacity, micro),
             tokenizer=self.tokenizer,
             enable_overlap=not args.disable_overlap_scheduler,
-            stream_interval=args.stream_interval)
+            stream_interval=args.stream_interval,
+            drafter=drafter)
 
     # ------------------------------------------------------------------ #
     # Generation (reference: llm.py:329-533)

@@ -127,6 +127,7 @@ class GenerationResult:
 class _BatchEntry:
     request: LlmRequest
     samples_output: bool        # row's sampled token is a real output token
+    drafts: List[int] = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -155,11 +156,18 @@ class PyExecutor:
                  scheduler: RequestScheduler,
                  tokenizer=None,
                  enable_overlap: bool = True,
-                 stream_interval: int = 1):
+                 stream_interval: int = 1,
+                 drafter=None):
         self.engine = engine
         self.kv = kv_cache_manager
         self.scheduler = scheduler
         self.tokenizer = tokenizer
+        self.drafter = drafter
+        if drafter is not None and enable_overlap:
+            # draft proposal needs the host-visible token history; the
+            # overlap loop runs one iteration ahead of it (reference
+            # couples spec decode with disable_overlap_scheduler too)
+            enable_overlap = False
         self.enable_overlap = enable_overlap
         self.stream_interval = stream_interval
 
@@ -228,6 +236,8 @@ class PyExecutor:
                     # nothing runnable; still need to drain inflight work
                     self._process_inflight()
                     continue
+                if self.drafter is not None:
+                    self._prepare_drafts(batch)
                 self._prepare_resources(batch)
                 use_pen = any(r.sampling_params.needs_penalties
                               for r in batch.all_requests)
@@ -294,6 +304,8 @@ class PyExecutor:
                     req.perf.first_scheduled_time = time.monotonic()
         for req in batch.generation_requests:
             self.kv.add_token(req)
+            if req.draft_tokens:
+                self.kv.add_draft_tokens(req, len(req.draft_tokens))
 
     def _advance_device_state(self, batch: ScheduledRequests
                               ) -> List[_BatchEntry]:
@@ -308,10 +320,30 @@ class PyExecutor:
                 req.num_device_tokens = req.prompt_len
             entries.append(_BatchEntry(req, samples_output=last_chunk))
         for req in batch.generation_requests:
-            req.num_device_tokens += 1
+            drafts = list(req.draft_tokens)
+            req.num_device_tokens += 1 + len(drafts)
+            req.draft_tokens = []
             req.host_token_override = None
-            entries.append(_BatchEntry(req, samples_output=True))
+            entries.append(_BatchEntry(req, samples_output=True,
+                                       drafts=drafts))
         return entries
+
+    def _prepare_drafts(self, batch: ScheduledRequests):
+        """Speculative draft proposal (reference: drafter.prepare_draft_tokens
+        call site py_executor.py:2671). Drafts only for greedy requests
+        (greedy acceptance) within length/sequence bounds."""
+        gen = [r for r in batch.generation_requests
+               if r.sampling_params.greedy]
+        self.drafter.prepare_draft_tokens(gen)
+        for req in batch.generation_requests:
+            if not req.sampling_params.greedy:
+                req.draft_tokens = []
+                continue
+            remaining = req.sampling_params.max_tokens - \
+                req.num_output_tokens - 1
+            room = self.engine.max_seq_len - (req.num_device_tokens + 1)
+            cap = max(0, min(remaining, room, self.engine.max_draft_len))
+            req.draft_tokens = req.draft_tokens[:cap]
 
     def _process_inflight(self):
         batch = self._inflight
@@ -320,6 +352,13 @@ class PyExecutor:
         self._inflight = None
         tokens = np.asarray(batch.tokens)      # sync point
         logprobs = np.asarray(batch.logprobs)
+        G = self.engine.max_draft_len + 1
+        if G > 1:
+            tokens = tokens.reshape(-1, G)
+            logprobs = logprobs.reshape(-1, G)
+        else:
+            tokens = tokens[:, None]
+            logprobs = logprobs[:, None]
         finished: List[LlmRequest] = []
         for i, entry in enumerate(batch.entries):
             req = entry.request
@@ -327,8 +366,28 @@ class PyExecutor:
                 continue  # stopped while this step was in flight
             if not entry.samples_output:
                 continue  # mid-context chunk: logits unused
-            tok = int(tokens[i])
-            done = req.add_output_token(tok, float(logprobs[i]))
+            # greedy draft verification (reference: speculativeDecoding
+            # acceptance-by-logits): accept the longest prefix of drafts
+            # matching the target's own samples, plus one bonus token
+            accepted = 0
+            while accepted < len(entry.drafts) and \
+                    int(tokens[i, accepted]) == entry.drafts[accepted]:
+                accepted += 1
+            rejected = len(entry.drafts) - accepted
+            done = False
+            for g in range(accepted + 1):
+                done = req.add_output_token(int(tokens[i, g]),
+                                            float(logprobs[i, g]))
+                if done:
+                    # tokens past a stop are discarded
+                    over = accepted - g
+                    rejected += over
+                    accepted = g
+                    break
+            if rejected:
+                req.num_device_tokens -= rejected
+                self.kv.rewind_tokens(req, 0)
+            tok = int(tokens[i, accepted])
             if not self.enable_overlap:
                 req.host_token_override = tok
             res = self._results.get(req.request_id)

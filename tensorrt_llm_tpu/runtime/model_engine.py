@@ -46,7 +46,7 @@ class StepInputs:
     cu_q_lens: np.ndarray          # i32[S+1]
     num_seqs: np.ndarray           # i32[1]
     slot_mapping: np.ndarray       # i32[T]
-    logits_indices: np.ndarray     # i32[S]
+    logits_indices: np.ndarray     # i32[S*G] (G = logits gathered per seq)
     out_slots: np.ndarray          # i32[S] slot to scatter sampled token to (-1 pad)
     num_tokens: int                # actual (unpadded) token count
     num_reqs: int
@@ -59,9 +59,12 @@ class ModelEngine:
                  args: LlmArgs,
                  mapping: Optional[Mapping] = None,
                  mesh=None,
-                 num_kv_pages: Optional[int] = None):
+                 num_kv_pages: Optional[int] = None,
+                 max_draft_len: int = 0):
         self.model = model
         self.args = args
+        # speculative decoding: logits gathered per sequence per step
+        self.max_draft_len = max_draft_len
         self.mapping = mapping or Mapping()
         self.mesh = mesh
         self.max_batch_size = args.max_batch_size
@@ -143,6 +146,7 @@ class ModelEngine:
     # ------------------------------------------------------------------ #
     def _build_step(self, use_penalties: bool):
         model = self.model
+        G = self.max_draft_len + 1  # logits gathered per sequence
 
         def step(params, kv_pages, prev_tokens, token_counts,
                  token_ids, prev_slot, metadata, out_slots,
@@ -154,17 +158,28 @@ class ModelEngine:
             logits, kv_pages = model.forward(params, tokens, kv_pages,
                                              metadata)
             counts = token_counts if use_penalties else None
+            if G > 1:
+                # spec-decode verification: logits has S*G rows; repeat the
+                # per-seq sampling params per gathered position
+                sampling = jax.tree.map(lambda a: jnp.repeat(a, G, axis=0),
+                                        sampling)
+                counts = None if counts is None else \
+                    jnp.repeat(counts, G, axis=0)
             new_tokens, logprobs = sample(logits, sampling, key,
                                           token_counts=counts)
+            if G > 1:
+                # slot scatter keys off the first sampled token per seq
+                first = new_tokens.reshape(-1, G)[:, 0]
+            else:
+                first = new_tokens
             # scatter by slot for the next iteration's gather; invalid rows
             # (padding, out_slots == -1) are routed out of bounds and
             # dropped so they can't clobber live slots with stale values
             nslots = prev_tokens.shape[0]
             slot_idx = jnp.where(out_slots >= 0, out_slots, nslots)
-            prev_tokens = prev_tokens.at[slot_idx].set(new_tokens,
-                                                       mode="drop")
+            prev_tokens = prev_tokens.at[slot_idx].set(first, mode="drop")
             if use_penalties:
-                token_counts = token_counts.at[slot_idx, new_tokens].add(
+                token_counts = token_counts.at[slot_idx, first].add(
                     1, mode="drop")
             return new_tokens, logprobs, prev_tokens, token_counts, kv_pages
 
@@ -184,6 +199,7 @@ class ModelEngine:
         """Flatten the scheduled batch into ragged arrays
         (reference: model_engine._prepare_tp_inputs:2347)."""
         S, P, ps = self.max_batch_size, self.pages_per_seq, self.page_size
+        G = self.max_draft_len + 1
         reqs = batch.context_requests + batch.generation_requests
         assert len(reqs) <= S, f"{len(reqs)} > max_batch_size {S}"
 
@@ -194,7 +210,7 @@ class ModelEngine:
         kv_lens = np.zeros(S, np.int32)
         page_indices = np.zeros((S, P), np.int32)
         cu_q = np.zeros(S + 1, np.int32)
-        logits_idx = np.zeros(S, np.int32)
+        logits_idx = np.zeros(S * G, np.int32)
         out_slots = np.full(S, -1, np.int32)
 
         for i, req in enumerate(reqs):
@@ -210,9 +226,11 @@ class ModelEngine:
                 for p in range(start, end):
                     slot_map.append(blocks[p // ps] * ps + p % ps)
                 kv_lens[i] = end
+                logits_idx[i * G:(i + 1) * G] = len(tok_list) - 1
             else:
-                # generation: one token, value comes from prev_tokens[slot]
-                # (device) unless the host already knows it (non-overlap)
+                # generation: first token comes from prev_tokens[slot]
+                # (device, overlap mode) or the host (sync mode); draft
+                # tokens (speculative) ride behind it
                 pos = req.num_device_tokens
                 if req.host_token_override is not None:
                     tok_list.append(req.host_token_override)
@@ -222,9 +240,19 @@ class ModelEngine:
                     prev_list.append(req.seq_slot)
                 pos_list.append(pos)
                 slot_map.append(blocks[pos // ps] * ps + pos % ps)
-                kv_lens[i] = pos + 1
+                drafts = req.draft_tokens[:self.max_draft_len]
+                for j, d in enumerate(drafts):
+                    tok_list.append(d)
+                    prev_list.append(-1)
+                    p = pos + 1 + j
+                    pos_list.append(p)
+                    slot_map.append(blocks[p // ps] * ps + p % ps)
+                kv_lens[i] = pos + 1 + len(drafts)
+                # one logits row per fed token; pad by repeating the last
+                base = len(tok_list) - (1 + len(drafts))
+                for g in range(G):
+                    logits_idx[i * G + g] = base + min(g, len(drafts))
             cu_q[i + 1] = len(tok_list)
-            logits_idx[i] = len(tok_list) - 1
             out_slots[i] = req.seq_slot
         cu_q[len(reqs) + 1:] = len(tok_list)
 
