@@ -191,13 +191,27 @@ class LLM:
             enable_chunked_prefill=args.enable_chunked_prefill,
             chunking_policy=args.scheduler_config.context_chunking_policy,
             chunk_unit_size=args.kv_cache_config.tokens_per_block)
+        guided_decoder = None
+        if args.guided_decoding_backend:
+            from ..guided.grammar_matcher import TokenTable
+            from ..guided.guided_decoder import GuidedDecoder
+            if self.tokenizer is not None:
+                table = TokenTable.from_tokenizer(self.tokenizer)
+            else:
+                # token-id-level guidance: bytes are decimal token ids —
+                # usable for tests without a tokenizer
+                table = TokenTable([str(i) for i in
+                                    range(self.model.vocab_size)],
+                                   eos_token_id=0)
+            guided_decoder = GuidedDecoder(table, args.max_batch_size)
         self.executor = PyExecutor(
             self.engine, self.kv_cache_manager,
             RequestScheduler(capacity, micro),
             tokenizer=self.tokenizer,
             enable_overlap=not args.disable_overlap_scheduler,
             stream_interval=args.stream_interval,
-            drafter=drafter)
+            drafter=drafter,
+            guided_decoder=guided_decoder)
 
     # ------------------------------------------------------------------ #
     # Generation (reference: llm.py:329-533)

@@ -157,12 +157,16 @@ class PyExecutor:
                  tokenizer=None,
                  enable_overlap: bool = True,
                  stream_interval: int = 1,
-                 drafter=None):
+                 drafter=None,
+                 guided_decoder=None):
         self.engine = engine
         self.kv = kv_cache_manager
         self.scheduler = scheduler
         self.tokenizer = tokenizer
         self.drafter = drafter
+        self.guided_decoder = guided_decoder
+        if guided_decoder is not None and enable_overlap:
+            enable_overlap = False  # matcher must see token t before t+1
         if drafter is not None and enable_overlap:
             # draft proposal needs the host-visible token history; the
             # overlap loop runs one iteration ahead of it (reference
@@ -241,8 +245,11 @@ class PyExecutor:
                 self._prepare_resources(batch)
                 use_pen = any(r.sampling_params.needs_penalties
                               for r in batch.all_requests)
+                mask = None
+                if self.guided_decoder is not None:
+                    mask = self.guided_decoder.build_mask(batch)
                 tokens, logprobs = self.engine.forward_step(
-                    batch, use_penalties=use_pen)
+                    batch, use_penalties=use_pen, logits_mask=mask)
                 entries = self._advance_device_state(batch)
                 current = _InflightBatch(entries, tokens, logprobs)
                 if self.enable_overlap:
@@ -333,10 +340,12 @@ class PyExecutor:
         call site py_executor.py:2671). Drafts only for greedy requests
         (greedy acceptance) within length/sequence bounds."""
         gen = [r for r in batch.generation_requests
-               if r.sampling_params.greedy]
+               if r.sampling_params.greedy
+               and r.sampling_params.guided_decoding is None]
         self.drafter.prepare_draft_tokens(gen)
         for req in batch.generation_requests:
-            if not req.sampling_params.greedy:
+            if not req.sampling_params.greedy or \
+                    req.sampling_params.guided_decoding is not None:
                 req.draft_tokens = []
                 continue
             remaining = req.sampling_params.max_tokens - \
@@ -378,6 +387,8 @@ class PyExecutor:
             for g in range(accepted + 1):
                 done = req.add_output_token(int(tokens[i, g]),
                                             float(logprobs[i, g]))
+                if self.guided_decoder is not None:
+                    self.guided_decoder.observe_token(req, int(tokens[i, g]))
                 if done:
                     # tokens past a stop are discarded
                     over = accepted - g
@@ -407,6 +418,8 @@ class PyExecutor:
                 self._finish_request(req)
 
     def _finish_request(self, req: LlmRequest):
+        if self.guided_decoder is not None:
+            self.guided_decoder.drop(req.request_id)
         self.kv.free_resources(req)
         if req.seq_slot is not None:
             self._free_slots.append(req.seq_slot)

@@ -144,19 +144,26 @@ class ModelEngine:
     # ------------------------------------------------------------------ #
     # Step compilation
     # ------------------------------------------------------------------ #
-    def _build_step(self, use_penalties: bool):
+    def _build_step(self, use_penalties: bool, use_mask: bool = False):
         model = self.model
         G = self.max_draft_len + 1  # logits gathered per sequence
 
         def step(params, kv_pages, prev_tokens, token_counts,
                  token_ids, prev_slot, metadata, out_slots,
-                 sampling: SamplingTensors, key):
+                 sampling: SamplingTensors, key, logits_mask):
             # resolve device-sourced decode tokens (overlap path)
             from_prev = prev_slot >= 0
             gathered = prev_tokens[jnp.clip(prev_slot, 0)]
             tokens = jnp.where(from_prev, gathered, token_ids)
             logits, kv_pages = model.forward(params, tokens, kv_pages,
                                              metadata)
+            if use_mask:
+                # guided-decoding bitmask (logitsBitmask.cu role)
+                mask = logits_mask
+                if G > 1:
+                    mask = jnp.repeat(mask, G, axis=0)
+                logits = jnp.where(mask, logits,
+                                   jnp.finfo(jnp.float32).min)
             counts = token_counts if use_penalties else None
             if G > 1:
                 # spec-decode verification: logits has S*G rows; repeat the
@@ -186,10 +193,10 @@ class ModelEngine:
         donate = (1, 2, 3)  # kv_pages, prev_tokens, token_counts
         return jax.jit(step, donate_argnums=donate)
 
-    def _get_step_fn(self, use_penalties: bool):
-        key = (use_penalties,)
+    def _get_step_fn(self, use_penalties: bool, use_mask: bool = False):
+        key = (use_penalties, use_mask)
         if key not in self._step_fns:
-            self._step_fns[key] = self._build_step(use_penalties)
+            self._step_fns[key] = self._build_step(use_penalties, use_mask)
         return self._step_fns[key]
 
     # ------------------------------------------------------------------ #
@@ -277,7 +284,8 @@ class ModelEngine:
     # Forward + sample for one scheduled batch
     # ------------------------------------------------------------------ #
     def forward_step(self, batch: ScheduledRequests,
-                     use_penalties: bool = False):
+                     use_penalties: bool = False,
+                     logits_mask: Optional[np.ndarray] = None):
         """Launch one iteration; returns (tokens, logprobs) device futures
         indexed by batch row."""
         inp = self.prepare_inputs(batch)
@@ -311,11 +319,15 @@ class ModelEngine:
         if use_penalties and counts is None:
             counts = jnp.zeros((self.max_batch_size, self.model.vocab_size),
                                jnp.int32)
-        step_fn = self._get_step_fn(use_penalties)
+        use_mask = logits_mask is not None
+        step_fn = self._get_step_fn(use_penalties, use_mask)
+        mask_arr = jnp.asarray(logits_mask) if use_mask else \
+            jnp.zeros((1, 1), bool)
         out = step_fn(self.params, self.kv_pages, self.prev_tokens,
                       counts if use_penalties else jnp.zeros((1, 1), jnp.int32),
                       jnp.asarray(token_ids), jnp.asarray(prev_slot),
-                      metadata, jnp.asarray(inp.out_slots), sampling, key)
+                      metadata, jnp.asarray(inp.out_slots), sampling, key,
+                      mask_arr)
         tokens, logprobs, self.prev_tokens, new_counts, self.kv_pages = out
         if use_penalties:
             self.token_counts = new_counts
