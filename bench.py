@@ -20,6 +20,10 @@ import numpy as np
 
 
 def main():
+    if os.environ.get("BENCH_DEBUG"):
+        import faulthandler
+        faulthandler.dump_traceback_later(180, repeat=True,
+                                          file=sys.stderr)
     quant = os.environ.get("BENCH_QUANT", "none")
     tiny = os.environ.get("BENCH_TINY", "0") == "1"
     batch = int(os.environ.get("BENCH_BATCH", "8" if tiny else "48"))
@@ -39,10 +43,13 @@ def main():
                           num_attention_heads=4, num_key_value_heads=2,
                           max_position_embeddings=2048)
     else:
-        # TinyLlama-1.1B geometry
+        # TinyLlama-1.1B-scale geometry with TPU-native head_dim 128
+        # (the RPA kernel's lane width; 32×64-dim heads would fall back
+        # to the slow reference path)
         cfg = LlamaConfig(vocab_size=32000, hidden_size=2048,
                           intermediate_size=5632, num_hidden_layers=22,
-                          num_attention_heads=32, num_key_value_heads=4,
+                          num_attention_heads=16, num_key_value_heads=4,
+                          head_dim=128,
                           max_position_embeddings=4096)
 
     qc = {"none": QuantConfig(),
@@ -63,11 +70,16 @@ def main():
         return rng.integers(1, vocab - 1, size=isl).tolist()
 
     # warmup: compile prefill + decode buckets
+    print(f"# bench: engine up, kv_pages={llm.engine.num_kv_pages}, "
+          f"warming up...", file=sys.stderr, flush=True)
+    t_w = time.monotonic()
     warm = [llm.generate_async(req_tokens(),
                                SamplingParams(max_tokens=4, top_k=1))
             for _ in range(min(batch, 4))]
     for w in warm:
         w.result(timeout=1800)
+    print(f"# bench: warmup done in {time.monotonic()-t_w:.1f}s",
+          file=sys.stderr, flush=True)
 
     n_requests = batch * 2
     sp = SamplingParams(max_tokens=osl, top_k=1, ignore_eos=True)

@@ -57,11 +57,10 @@ class GPT2LMHeadModel(DecoderModelForCausalLM):
     def init_params(self, rng: jax.Array) -> Dict[str, Any]:
         hf = self.hf
         H, V, I, L = self.hidden_size, self.vocab_size, self.inner, self.num_layers
-        keys = iter(jax.random.split(rng, 8))
+        nprng = np.random.default_rng(0)
 
         def mat(shape):
-            return np.asarray(jax.random.normal(next(keys), shape) * 0.02,
-                              np.float32)
+            return nprng.standard_normal(shape, np.float32) * 0.02
 
         sd = {"wte.weight": mat((V, H)), "wpe.weight": mat((hf.n_positions, H))}
         attn_w, proj_w = mat((L, H, 3 * H)), mat((L, H, H))

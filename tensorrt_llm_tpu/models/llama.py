@@ -59,18 +59,20 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
     # Parameters
     # ------------------------------------------------------------------ #
     def init_params(self, rng: jax.Array) -> Dict[str, Any]:
-        """Random init (load_format="dummy"; reference: model_loader.py)."""
+        """Random init (load_format="dummy"; reference: model_loader.py).
+        Generated host-side with numpy — device RNG would round-trip the
+        full parameter set through HBM (pathological over a TPU tunnel)."""
         hf = self.hf
         H, V, I = self.hidden_size, self.vocab_size, self.intermediate_size
         nq, nkv, hd = self.num_heads, self.num_kv_heads, self.head_dim
         L = self.num_layers
+        nprng = np.random.default_rng(0)
 
-        def mat(key, shape):
-            return (jax.random.normal(key, shape, jnp.float32) * 0.02)
+        def mat(shape):
+            return (nprng.standard_normal(shape, np.float32) * 0.02)
 
-        keys = iter(jax.random.split(rng, 16))
         sd: Dict[str, np.ndarray] = {}
-        sd["model.embed_tokens.weight"] = np.asarray(mat(next(keys), (V, H)))
+        sd["model.embed_tokens.weight"] = mat((V, H))
         for name, shape in [("self_attn.q_proj", (nq * hd, H)),
                             ("self_attn.k_proj", (nkv * hd, H)),
                             ("self_attn.v_proj", (nkv * hd, H)),
@@ -78,16 +80,15 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
                             ("mlp.gate_proj", (I, H)),
                             ("mlp.up_proj", (I, H)),
                             ("mlp.down_proj", (H, I))]:
-            base = np.asarray(mat(next(keys), (L,) + shape))
             for i in range(L):
-                sd[f"model.layers.{i}.{name}.weight"] = base[i]
+                sd[f"model.layers.{i}.{name}.weight"] = mat(shape)
         for i in range(L):
             sd[f"model.layers.{i}.input_layernorm.weight"] = np.ones(H, np.float32)
             sd[f"model.layers.{i}.post_attention_layernorm.weight"] = \
                 np.ones(H, np.float32)
         sd["model.norm.weight"] = np.ones(H, np.float32)
         if not self.tie_embeddings:
-            sd["lm_head.weight"] = np.asarray(mat(next(keys), (V, H)))
+            sd["lm_head.weight"] = mat((V, H))
         return self.load_hf_state_dict(sd)
 
     def load_hf_state_dict(self, sd: Dict[str, np.ndarray]) -> Dict[str, Any]:

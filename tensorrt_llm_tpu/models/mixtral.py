@@ -38,11 +38,10 @@ class MixtralForCausalLM(LlamaForCausalLM):
         hf = self.hf
         H, I, E, L = (self.hidden_size, self.intermediate_size,
                       self.num_experts, self.num_layers)
-        keys = iter(jax.random.split(rng, 8))
+        nprng = np.random.default_rng(0)
 
         def mat(shape):
-            return np.asarray(jax.random.normal(next(keys), shape) * 0.02,
-                              np.float32)
+            return nprng.standard_normal(shape, np.float32) * 0.02
 
         sd: Dict[str, np.ndarray] = {}
         V = self.vocab_size

@@ -113,7 +113,11 @@ def ragged_paged_attention(
         backend: str = "auto") -> jax.Array:
     """Mixed prefill/decode attention over the paged KV pool."""
     if backend == "auto":
-        backend = "rpa" if (_RPA_AVAILABLE and
+        # the library RPA kernel requires lane-aligned head_dim (128);
+        # other geometries fall back to the XLA reference path until the
+        # in-repo kernel covers them
+        head_dim_ok = q.shape[-1] % 128 == 0
+        backend = "rpa" if (_RPA_AVAILABLE and head_dim_ok and
                             jax.default_backend() == "tpu") else "reference"
     if backend == "rpa":
         return _rpa_kernel(

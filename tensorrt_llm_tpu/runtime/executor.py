@@ -243,6 +243,9 @@ class PyExecutor:
                 if self.drafter is not None:
                     self._prepare_drafts(batch)
                 self._prepare_resources(batch)
+                if batch.is_empty:
+                    self._process_inflight()
+                    continue
                 use_pen = any(r.sampling_params.needs_penalties
                               for r in batch.all_requests)
                 mask = None
@@ -298,10 +301,14 @@ class PyExecutor:
     def _prepare_resources(self, batch: ScheduledRequests):
         """KV allocation + slot assignment
         (reference: resource_manager.prepare_resources:986)."""
+        deferred = []
         for req in batch.context_requests:
             if req.seq_slot is None:
                 if not self._free_slots:
-                    raise RuntimeError("no free sequence slots")
+                    # slots release one iteration after a request finishes
+                    # (overlap lag); defer admission to the next iteration
+                    deferred.append(req)
+                    continue
                 req.seq_slot = self._free_slots.pop()
                 reused = self.kv.add_sequence(req)
                 if reused:
@@ -309,6 +316,8 @@ class PyExecutor:
                     req.perf.kv_cache_hit_tokens = reused
                 if req.perf.first_scheduled_time == 0:
                     req.perf.first_scheduled_time = time.monotonic()
+        for req in deferred:
+            batch.context_requests.remove(req)
         for req in batch.generation_requests:
             self.kv.add_token(req)
             if req.draft_tokens:
