@@ -69,13 +69,17 @@ def main():
     def req_tokens():
         return rng.integers(1, vocab - 1, size=isl).tolist()
 
-    # warmup: compile prefill + decode buckets
+    # warmup: run a full-batch round so every token bucket the measured
+    # run will touch is compiled (the reference's model_engine.warmup +
+    # CUDA-graph capture analog)
     print(f"# bench: engine up, kv_pages={llm.engine.num_kv_pages}, "
-          f"warming up...", file=sys.stderr, flush=True)
+          f"buckets={llm.engine.token_buckets}, warming up...",
+          file=sys.stderr, flush=True)
     t_w = time.monotonic()
     warm = [llm.generate_async(req_tokens(),
-                               SamplingParams(max_tokens=4, top_k=1))
-            for _ in range(min(batch, 4))]
+                               SamplingParams(max_tokens=8, top_k=1,
+                                              ignore_eos=True))
+            for _ in range(batch)]
     for w in warm:
         w.result(timeout=1800)
     print(f"# bench: warmup done in {time.monotonic()-t_w:.1f}s",

@@ -79,10 +79,12 @@ class BucketingConfig(StrictBaseModel):
     def resolve_token_buckets(self, max_num_tokens: int) -> List[int]:
         if self.token_buckets:
             return sorted(set(min(t, max_num_tokens) for t in self.token_buckets))
+        # powers of 4: each bucket is a full XLA compile (minutes on big
+        # models), so favor fewer buckets over tighter padding
         buckets, t = [], 64
         while t < max_num_tokens:
             buckets.append(t)
-            t *= 2
+            t *= 4
         buckets.append(max_num_tokens)
         return sorted(set(buckets))
 

@@ -138,12 +138,11 @@ class GPT2LMHeadModel(DecoderModelForCausalLM):
         spec = self.attn_spec
         eps = self.ln_eps
 
-        def layer_body(carry, xs):
-            h, kv = carry
-            layer, idx = xs
+        def layer_body(h, xs):
+            layer, layer_kv = xs
             normed = layer_norm(h, layer["ln1_w"], layer["ln1_b"], eps)
             attn_out, new_pages = attention_block(
-                layer, normed, kv[idx], metadata, spec,
+                layer, normed, layer_kv, metadata, spec,
                 self.m_attn, self.m_attn, attn_backend=self.attn_backend,
                 kv_scale=self.config.kv_scale)
             h = h + attn_out
@@ -151,12 +150,10 @@ class GPT2LMHeadModel(DecoderModelForCausalLM):
             fc = self.m_mlp.apply(layer["fc"], normed)
             act = jax.nn.gelu(fc.astype(jnp.float32), approximate=True)
             h = h + self.m_mlp.apply(layer["proj"], act.astype(self.dtype))
-            kv = jax.lax.dynamic_update_index_in_dim(kv, new_pages, idx, 0)
-            return (h, kv), None
+            return h, new_pages
 
-        idxs = jnp.arange(self.num_layers)
-        (h, kv_pages), _ = jax.lax.scan(
-            layer_body, (h, kv_pages), (params["layers"], idxs))
+        h, kv_pages = jax.lax.scan(
+            layer_body, h, (params["layers"], kv_pages))
         h = layer_norm(h, params["lnf_w"], params["lnf_b"], eps)
         last = self._gather_logits(h, metadata)
         logits = self.m_lm_head.apply(params["lm_head"], last)

@@ -160,12 +160,14 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
         else:
             q_norm = k_norm = None
 
-        def layer_body(carry, xs):
-            h, kv = carry
-            layer, idx = xs
+        def layer_body(h, xs):
+            # per-layer KV pages ride the scan xs/ys (sliced in, stacked
+            # out) so XLA aliases them in place instead of copying the
+            # full pool through the carry
+            layer, layer_kv = xs
             normed = rms_norm(h, layer["input_norm"], eps)
             attn_out, new_pages = attention_block(
-                layer, normed, kv[idx], metadata, spec,
+                layer, normed, layer_kv, metadata, spec,
                 self.m_q, self.m_o, attn_backend=self.attn_backend,
                 kv_scale=self.config.kv_scale, rope_cos_sin=cos_sin,
                 q_norm=q_norm, k_norm=k_norm)
@@ -177,12 +179,10 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
                                        jax.nn.silu(gate.astype(jnp.float32))
                                        .astype(self.dtype) * up)
             h = h + mlp_out
-            kv = jax.lax.dynamic_update_index_in_dim(kv, new_pages, idx, 0)
-            return (h, kv), None
+            return h, new_pages
 
-        idxs = jnp.arange(self.num_layers)
-        (h, kv_pages), _ = jax.lax.scan(
-            layer_body, (h, kv_pages), (params["layers"], idxs))
+        h, kv_pages = jax.lax.scan(
+            layer_body, h, (params["layers"], kv_pages))
         h = rms_norm(h, params["final_norm"], eps)
         last = self._gather_logits(h, metadata)
         logits = self.m_lm_head.apply(params["lm_head"], last)

@@ -129,12 +129,11 @@ class MixtralForCausalLM(LlamaForCausalLM):
         cos_sin = rope_cos_sin(spec.rope, metadata.positions)
         mapping = self.config.mapping
 
-        def layer_body(carry, xs):
-            h, kv = carry
-            layer, idx = xs
+        def layer_body(h, xs):
+            layer, layer_kv = xs
             normed = rms_norm(h, layer["input_norm"], eps)
             attn_out, new_pages = attention_block(
-                layer, normed, kv[idx], metadata, spec,
+                layer, normed, layer_kv, metadata, spec,
                 self.m_q, self.m_o, attn_backend=self.attn_backend,
                 kv_scale=self.config.kv_scale, rope_cos_sin=cos_sin)
             h = h + attn_out
@@ -143,12 +142,10 @@ class MixtralForCausalLM(LlamaForCausalLM):
                             layer["w_down"], layer["router"],
                             top_k=self.top_k, backend=self.moe_backend,
                             mapping=mapping)
-            kv = jax.lax.dynamic_update_index_in_dim(kv, new_pages, idx, 0)
-            return (h, kv), None
+            return h, new_pages
 
-        idxs = jnp.arange(self.num_layers)
-        (h, kv_pages), _ = jax.lax.scan(
-            layer_body, (h, kv_pages), (params["layers"], idxs))
+        h, kv_pages = jax.lax.scan(
+            layer_body, h, (params["layers"], kv_pages))
         h = rms_norm(h, params["final_norm"], eps)
         last = self._gather_logits(h, metadata)
         logits = self.m_lm_head.apply(params["lm_head"], last)

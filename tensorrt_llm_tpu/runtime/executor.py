@@ -368,8 +368,9 @@ class PyExecutor:
         if batch is None:
             return
         self._inflight = None
-        tokens = np.asarray(batch.tokens)      # sync point
-        logprobs = np.asarray(batch.logprobs)
+        import jax
+        tokens, logprobs = jax.device_get(
+            (batch.tokens, batch.logprobs))    # sync point, one fetch
         G = self.engine.max_draft_len + 1
         if G > 1:
             tokens = tokens.reshape(-1, G)

@@ -147,10 +147,41 @@ class ModelEngine:
     def _build_step(self, use_penalties: bool, use_mask: bool = False):
         model = self.model
         G = self.max_draft_len + 1  # logits gathered per sequence
+        S = self.max_batch_size
+        base_key = jax.random.PRNGKey(0)
 
         def step(params, kv_pages, prev_tokens, token_counts,
-                 token_ids, prev_slot, metadata, out_slots,
-                 sampling: SamplingTensors, key, logits_mask):
+                 ints_t, ints_s, page_indices, floats, logits_mask):
+            # Per-step host metadata arrives packed in four arrays (the
+            # tunnel/PCIe round-trip per transfer is the decode-latency
+            # floor, so transfers are minimized):
+            #   ints_t  i32[4, T]: token_ids, prev_slot, positions, slots
+            #   ints_s  i32[...]: kv_lens|cu_q|logits_idx|out_slots|
+            #                      top_k|greedy|num_seqs|counter
+            #   floats  f32[6, S]: temp, top_p, min_p, rep, pres, freq
+            token_ids, prev_slot, positions, slot_mapping = \
+                (ints_t[0], ints_t[1], ints_t[2], ints_t[3])
+            o = 0
+            kv_lens = ints_s[o:o + S]; o += S
+            cu_q_lens = ints_s[o:o + S + 1]; o += S + 1
+            logits_indices = ints_s[o:o + S * G]; o += S * G
+            out_slots = ints_s[o:o + S]; o += S
+            top_k = ints_s[o:o + S]; o += S
+            greedy = ints_s[o:o + S].astype(bool); o += S
+            num_seqs = ints_s[o:o + 1]; o += 1
+            counter = ints_s[o]
+            metadata = AttentionMetadata(
+                kv_lens=kv_lens, page_indices=page_indices,
+                cu_q_lens=cu_q_lens, num_seqs=num_seqs,
+                slot_mapping=slot_mapping, positions=positions,
+                logits_indices=logits_indices)
+            sampling = SamplingTensors(
+                temperature=floats[0], top_k=top_k, top_p=floats[1],
+                min_p=floats[2], greedy=greedy,
+                repetition_penalty=floats[3],
+                presence_penalty=floats[4], frequency_penalty=floats[5])
+            key = jax.random.fold_in(base_key, counter)
+
             # resolve device-sourced decode tokens (overlap path)
             from_prev = prev_slot >= 0
             gathered = prev_tokens[jnp.clip(prev_slot, 0)]
@@ -292,41 +323,51 @@ class ModelEngine:
         T = self._pick_bucket(inp.num_tokens)
         pad = T - inp.num_tokens
         num_slots = self.num_kv_pages * self.page_size
-
-        token_ids = np.pad(inp.token_ids, (0, pad))
-        prev_slot = np.pad(inp.prev_slot, (0, pad), constant_values=-1)
-        positions = np.pad(inp.positions, (0, pad))
-        # padding tokens write to an out-of-range slot → dropped by scatter
-        slot_mapping = np.pad(inp.slot_mapping, (0, pad),
-                              constant_values=num_slots)
-
-        metadata = AttentionMetadata(
-            kv_lens=jnp.asarray(inp.kv_lens),
-            page_indices=jnp.asarray(inp.page_indices),
-            cu_q_lens=jnp.asarray(inp.cu_q_lens),
-            num_seqs=jnp.asarray(inp.num_seqs),
-            slot_mapping=jnp.asarray(slot_mapping),
-            positions=jnp.asarray(positions),
-            logits_indices=jnp.asarray(inp.logits_indices))
-
-        sampling = SamplingTensors.from_requests(
-            batch.context_requests + batch.generation_requests,
-            self.max_batch_size)
+        S, G = self.max_batch_size, self.max_draft_len + 1
         self.iter_counter += 1
-        key = jax.random.fold_in(self.seed_key, self.iter_counter)
+
+        ints_t = np.zeros((4, T), np.int32)
+        ints_t[0, :inp.num_tokens] = inp.token_ids
+        ints_t[1, :] = -1
+        ints_t[1, :inp.num_tokens] = inp.prev_slot
+        ints_t[2, :inp.num_tokens] = inp.positions
+        # padding tokens write to an out-of-range slot → dropped by scatter
+        ints_t[3, :] = num_slots
+        ints_t[3, :inp.num_tokens] = inp.slot_mapping
+
+        reqs = batch.context_requests + batch.generation_requests
+        top_k = np.zeros(S, np.int32)
+        greedy = np.zeros(S, np.int32)
+        floats = np.zeros((6, S), np.float32)
+        floats[0] = 1.0  # temperature
+        floats[1] = 1.0  # top_p
+        floats[3] = 1.0  # repetition
+        for i, r in enumerate(reqs):
+            sp = r.sampling_params
+            greedy[i] = int(sp.greedy)
+            top_k[i] = sp.top_k
+            floats[0, i] = max(sp.temperature, 1e-5)
+            floats[1, i] = sp.top_p
+            floats[2, i] = sp.min_p
+            floats[3, i] = sp.repetition_penalty
+            floats[4, i] = sp.presence_penalty
+            floats[5, i] = sp.frequency_penalty
+        ints_s = np.concatenate([
+            inp.kv_lens, inp.cu_q_lens, inp.logits_indices, inp.out_slots,
+            top_k, greedy, inp.num_seqs,
+            np.asarray([self.iter_counter], np.int32)])
 
         counts = getattr(self, "token_counts", None)
         if use_penalties and counts is None:
-            counts = jnp.zeros((self.max_batch_size, self.model.vocab_size),
-                               jnp.int32)
+            counts = jnp.zeros((S, self.model.vocab_size), jnp.int32)
         use_mask = logits_mask is not None
         step_fn = self._get_step_fn(use_penalties, use_mask)
         mask_arr = jnp.asarray(logits_mask) if use_mask else \
             jnp.zeros((1, 1), bool)
         out = step_fn(self.params, self.kv_pages, self.prev_tokens,
                       counts if use_penalties else jnp.zeros((1, 1), jnp.int32),
-                      jnp.asarray(token_ids), jnp.asarray(prev_slot),
-                      metadata, jnp.asarray(inp.out_slots), sampling, key,
+                      jnp.asarray(ints_t), jnp.asarray(ints_s),
+                      jnp.asarray(inp.page_indices), jnp.asarray(floats),
                       mask_arr)
         tokens, logprobs, self.prev_tokens, new_counts, self.kv_pages = out
         if use_penalties:
