@@ -1,0 +1,141 @@
+"""KV-cache transfer between context and generation engines.
+
+TPU-native analog of the reference ``CacheTransceiver`` stack (reference:
+cpp/tensorrt_llm/batch_manager/cacheTransceiver.cpp, dataTransceiver.cpp;
+python shim _torch/pyexecutor/kv_cache_transceiver.py:96; transports
+UCX/NIXL/MPI/Mooncake under cpp/tensorrt_llm/executor/cache_transmission/).
+On TPU the device→device path is host DMA + DCN: the context engine
+gathers pages to host (one jitted gather), the transport moves bytes, and
+the generation engine scatters them in (one jitted scatter). Transports:
+
+  * InProcessKvTransport — same-process handoff (tests, colocated ctx/gen)
+  * TcpKvTransport       — length-prefixed socket stream between hosts
+"""
+from __future__ import annotations
+
+import pickle
+import socket
+import struct
+import threading
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class KvTransport:
+    def put(self, key: str, kv: np.ndarray, meta: dict) -> None:
+        raise NotImplementedError
+
+    def get(self, key: str, timeout: float = 60.0) -> tuple:
+        raise NotImplementedError
+
+    def release(self, key: str) -> None:
+        pass
+
+
+class InProcessKvTransport(KvTransport):
+    _store: Dict[str, tuple] = {}
+    _cv = threading.Condition()
+
+    def put(self, key, kv, meta):
+        with self._cv:
+            self._store[key] = (kv, meta)
+            self._cv.notify_all()
+
+    def get(self, key, timeout=60.0):
+        with self._cv:
+            if not self._cv.wait_for(lambda: key in self._store, timeout):
+                raise TimeoutError(f"KV for {key} not received")
+            return self._store[key]
+
+    def release(self, key):
+        with self._cv:
+            self._store.pop(key, None)
+
+
+class TcpKvTransport(KvTransport):
+    """Minimal push transport: generation side listens, context side
+    connects and streams (key, meta, ndarray bytes)."""
+
+    def __init__(self, listen_port: Optional[int] = None):
+        self._store: Dict[str, tuple] = {}
+        self._cv = threading.Condition()
+        self._server = None
+        if listen_port is not None:
+            self._server = socket.create_server(("0.0.0.0", listen_port))
+            t = threading.Thread(target=self._serve, daemon=True)
+            t.start()
+
+    def _serve(self):
+        while True:
+            conn, _ = self._server.accept()
+            threading.Thread(target=self._recv_one, args=(conn,),
+                             daemon=True).start()
+
+    def _recv_one(self, conn):
+        try:
+            raw = self._read_exact(conn, 8)
+            (n,) = struct.unpack("<Q", raw)
+            payload = self._read_exact(conn, n)
+            key, meta, kv = pickle.loads(payload)
+            with self._cv:
+                self._store[key] = (kv, meta)
+                self._cv.notify_all()
+        finally:
+            conn.close()
+
+    @staticmethod
+    def _read_exact(conn, n):
+        buf = b""
+        while len(buf) < n:
+            chunk = conn.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("short read")
+            buf += chunk
+        return buf
+
+    def send_to(self, host: str, port: int, key: str, kv: np.ndarray,
+                meta: dict) -> None:
+        payload = pickle.dumps((key, meta, kv), protocol=4)
+        with socket.create_connection((host, port)) as s:
+            s.sendall(struct.pack("<Q", len(payload)))
+            s.sendall(payload)
+
+    def put(self, key, kv, meta):  # local put (tests)
+        with self._cv:
+            self._store[key] = (kv, meta)
+            self._cv.notify_all()
+
+    def get(self, key, timeout=60.0):
+        with self._cv:
+            if not self._cv.wait_for(lambda: key in self._store, timeout):
+                raise TimeoutError(f"KV for {key} not received")
+            return self._store[key]
+
+    def release(self, key):
+        with self._cv:
+            self._store.pop(key, None)
+
+
+class KvCacheTransceiver:
+    """Engine-facing facade: extract-and-send / receive-and-inject."""
+
+    def __init__(self, engine, kv_manager, transport: KvTransport):
+        self.engine = engine
+        self.kv_manager = kv_manager
+        self.transport = transport
+
+    def send_context_kv(self, request) -> str:
+        key = f"ctxkv-{request.request_id}"
+        kv = self.engine.extract_kv(request.kv_block_ids,
+                                    request.prompt_len)
+        meta = {"num_tokens": request.prompt_len,
+                "prompt": list(request.prompt_token_ids)}
+        self.transport.put(key, np.asarray(kv), meta)
+        return key
+
+    def receive_generation_kv(self, request, key: str,
+                              timeout: float = 60.0) -> None:
+        kv, meta = self.transport.get(key, timeout)
+        self.engine.inject_kv(request.kv_block_ids, kv)
+        self.transport.release(key)

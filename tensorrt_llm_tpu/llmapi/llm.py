@@ -204,6 +204,10 @@ class LLM:
                                     range(self.model.vocab_size)],
                                    eos_token_id=0)
             guided_decoder = GuidedDecoder(table, args.max_batch_size)
+        from ..disaggregation.transceiver import (InProcessKvTransport,
+                                                  KvCacheTransceiver)
+        self.kv_transceiver = KvCacheTransceiver(
+            self.engine, self.kv_cache_manager, InProcessKvTransport())
         self.executor = PyExecutor(
             self.engine, self.kv_cache_manager,
             RequestScheduler(capacity, micro),
@@ -211,7 +215,8 @@ class LLM:
             enable_overlap=not args.disable_overlap_scheduler,
             stream_interval=args.stream_interval,
             drafter=drafter,
-            guided_decoder=guided_decoder)
+            guided_decoder=guided_decoder,
+            kv_transceiver=self.kv_transceiver)
 
     # ------------------------------------------------------------------ #
     # Generation (reference: llm.py:329-533)
@@ -238,7 +243,8 @@ class LLM:
                        sampling_params: Optional[SamplingParams] = None,
                        streaming: bool = False,
                        lora_request=None,
-                       cache_salt: Optional[str] = None) -> RequestOutput:
+                       cache_salt: Optional[str] = None,
+                       disaggregated_params=None) -> RequestOutput:
         sampling_params = sampling_params or SamplingParams()
         if isinstance(prompt, str):
             if self.tokenizer is None:
@@ -259,10 +265,25 @@ class LLM:
             eos = getattr(self.tokenizer, "eos_token_id", None)
             if eos is not None:
                 sampling_params.end_id = eos
+        from ..runtime.request import LlmRequestType
+        rtype = LlmRequestType.REQUEST_TYPE_CONTEXT_AND_GENERATION
+        kv_key = None
+        if disaggregated_params is not None:
+            if disaggregated_params.request_type == "context_only":
+                rtype = LlmRequestType.REQUEST_TYPE_CONTEXT_ONLY
+                sampling_params.max_tokens = 1
+            elif disaggregated_params.request_type == "generation_only":
+                rtype = LlmRequestType.REQUEST_TYPE_GENERATION_ONLY
+                kv_key = f"ctxkv-{disaggregated_params.ctx_request_id}"
         req = LlmRequest(prompt_token_ids=token_ids,
                          sampling_params=sampling_params,
-                         streaming=streaming, cache_salt=cache_salt)
-        res = self.executor.submit(req)
+                         streaming=streaming, cache_salt=cache_salt,
+                         request_type=rtype)
+        if rtype == LlmRequestType.REQUEST_TYPE_GENERATION_ONLY:
+            first = disaggregated_params.first_gen_tokens[0]
+            req.host_token_override = first
+            req.output_token_ids = [first]
+        res = self.executor.submit(req, kv_transfer_key=kv_key)
         return RequestOutput(res, prompt_text)
 
     # ------------------------------------------------------------------ #

@@ -158,13 +158,16 @@ class PyExecutor:
                  enable_overlap: bool = True,
                  stream_interval: int = 1,
                  drafter=None,
-                 guided_decoder=None):
+                 guided_decoder=None,
+                 kv_transceiver=None):
         self.engine = engine
         self.kv = kv_cache_manager
         self.scheduler = scheduler
         self.tokenizer = tokenizer
         self.drafter = drafter
         self.guided_decoder = guided_decoder
+        self.kv_transceiver = kv_transceiver
+        self._pending_disagg: "queue.Queue" = queue.Queue()
         if guided_decoder is not None and enable_overlap:
             enable_overlap = False  # matcher must see token t before t+1
         if drafter is not None and enable_overlap:
@@ -193,14 +196,19 @@ class PyExecutor:
     # ------------------------------------------------------------------ #
     # API
     # ------------------------------------------------------------------ #
-    def submit(self, request: LlmRequest) -> GenerationResult:
+    def submit(self, request: LlmRequest,
+               kv_transfer_key: Optional[str] = None) -> GenerationResult:
         if self._shutdown.is_set():
             raise RuntimeError("executor is shut down")
         res = GenerationResult(request, tokenizer=self.tokenizer,
                                streaming=request.streaming)
         with self._lock:
             self._results[request.request_id] = res
-        self._request_queue.put(request)
+        from .request import LlmRequestType
+        if request.request_type == LlmRequestType.REQUEST_TYPE_GENERATION_ONLY:
+            self._pending_disagg.put((request, kv_transfer_key))
+        else:
+            self._request_queue.put(request)
         self._work_event.set()
         return res
 
@@ -232,6 +240,7 @@ class PyExecutor:
                     self._work_event.wait(timeout=0.05)
                     self._work_event.clear()
                 self._fetch_new_requests()
+                self._admit_disagg_generation()
                 if not self._active and self._inflight is None:
                     continue
                 t0 = time.monotonic()
@@ -282,6 +291,32 @@ class PyExecutor:
             except queue.Empty:
                 break
             self._active.append(req)
+
+    def _admit_disagg_generation(self):
+        """Generation-only admission: allocate pages (no prefix reuse —
+        the injected KV must own its blocks), pull the context KV, skip
+        the prefill phase (reference: DISAGG_GENERATION_INIT →
+        TRANS_COMPLETE states, kv_cache_transceiver.py:107)."""
+        while True:
+            try:
+                req, key = self._pending_disagg.get_nowait()
+            except queue.Empty:
+                return
+            try:
+                if not self._free_slots:
+                    self._pending_disagg.put((req, key))
+                    return
+                req.seq_slot = self._free_slots.pop()
+                self.kv.add_sequence(req, enable_reuse=False)
+                self.kv_transceiver.receive_generation_kv(req, key)
+                req.state = LlmRequestState.GENERATION_IN_PROGRESS
+                req.context_current_position = req.prompt_len
+                req.num_device_tokens = req.prompt_len
+                self._active.append(req)
+            except Exception as e:
+                res = self._results.pop(req.request_id, None)
+                if res is not None:
+                    res._on_error(e)
 
     def _schedulable(self) -> List[LlmRequest]:
         out = []
@@ -430,6 +465,12 @@ class PyExecutor:
     def _finish_request(self, req: LlmRequest):
         if self.guided_decoder is not None:
             self.guided_decoder.drop(req.request_id)
+        from .request import LlmRequestType
+        if (req.request_type == LlmRequestType.REQUEST_TYPE_CONTEXT_ONLY
+                and self.kv_transceiver is not None):
+            # context phase done: ship the KV before releasing the pages
+            self.kv_transceiver.send_context_kv(req)
+            req.state = LlmRequestState.DISAGG_CONTEXT_COMPLETE
         self.kv.free_resources(req)
         if req.seq_slot is not None:
             self._free_slots.append(req.seq_slot)

@@ -166,7 +166,8 @@ class KVCacheManager:
     # ------------------------------------------------------------------ #
     # Allocation API (called from prepare_resources each iteration)
     # ------------------------------------------------------------------ #
-    def add_sequence(self, request: LlmRequest) -> int:
+    def add_sequence(self, request: LlmRequest,
+                     enable_reuse: Optional[bool] = None) -> int:
         """Claim blocks for a new context-phase sequence.
 
         Performs longest-prefix reuse over full blocks of the prompt (all
@@ -181,7 +182,8 @@ class KVCacheManager:
             raise ValueError(f"request {rid} already has KV blocks")
         chain: List[Block] = []
         reused_tokens = 0
-        if self.enable_block_reuse:
+        reuse = self.enable_block_reuse if enable_reuse is None else enable_reuse
+        if reuse:
             node = self._root
             matchable = len(request.prompt_token_ids) - 1
             pos = 0

@@ -304,6 +304,51 @@ class ModelEngine:
             logits_indices=logits_idx, out_slots=out_slots,
             num_tokens=len(tok_list), num_reqs=len(reqs))
 
+    # ------------------------------------------------------------------ #
+    # Disaggregated serving: KV extraction/injection (the CacheTransceiver
+    # data path; reference: batch_manager/cacheTransceiver.cpp +
+    # cacheFormatter.cpp layout conversion)
+    # ------------------------------------------------------------------ #
+    def extract_kv(self, block_ids: List[int], num_tokens: int) -> np.ndarray:
+        """Gather a request's KV into a contiguous host array
+        [L, num_tokens, 2*kv_heads, head_dim]."""
+        ids = jnp.asarray(block_ids, jnp.int32)
+        gathered = self._extract_fn(self.kv_pages, ids)
+        flat = np.asarray(gathered)      # [L, n_blocks*ps, 2kvh, hd]
+        return flat[:, :num_tokens]
+
+    @functools.cached_property
+    def _extract_fn(self):
+        ps = self.page_size
+
+        @jax.jit
+        def fn(kv_pages, ids):
+            g = kv_pages[:, ids]          # [L, n, ps, c, hd]
+            L, n, _, c, hd = g.shape
+            return g.reshape(L, n * ps, c, hd)
+        return fn
+
+    def inject_kv(self, block_ids: List[int], kv_host: np.ndarray) -> None:
+        """Scatter a contiguous KV blob into this engine's pages."""
+        num_tokens = kv_host.shape[1]
+        ps = self.page_size
+        pad = -num_tokens % ps
+        if pad:
+            kv_host = np.pad(kv_host, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        n = kv_host.shape[1] // ps
+        blob = kv_host.reshape(kv_host.shape[0], n, ps, *kv_host.shape[2:])
+        ids = jnp.asarray(block_ids[:n], jnp.int32)
+        self.kv_pages = self._inject_fn(
+            self.kv_pages, jnp.asarray(blob,
+                                       self.model.config.kv_cache_dtype), ids)
+
+    @functools.cached_property
+    def _inject_fn(self):
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def fn(kv_pages, blob, ids):
+            return kv_pages.at[:, ids].set(blob)
+        return fn
+
     def _pick_bucket(self, n: int) -> int:
         for b in self.token_buckets:
             if n <= b:

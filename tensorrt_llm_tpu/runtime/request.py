@@ -33,6 +33,14 @@ class LlmRequestState(IntEnum):
     DISAGG_GENERATION_TRANS_COMPLETE = 9
 
 
+class LlmRequestType(IntEnum):
+    """Disaggregated-serving request types (reference: llmRequest.h
+    RequestType — context-only / generation-only split)."""
+    REQUEST_TYPE_CONTEXT_AND_GENERATION = 0
+    REQUEST_TYPE_CONTEXT_ONLY = 1
+    REQUEST_TYPE_GENERATION_ONLY = 2
+
+
 class FinishReason(IntEnum):
     NOT_FINISHED = 0
     END_ID = 1
@@ -78,7 +86,8 @@ class LlmRequest:
                  arrival_time: Optional[float] = None,
                  streaming: bool = False,
                  prompt_embeds: Optional[Any] = None,
-                 multimodal_hashes: Optional[List[int]] = None):
+                 multimodal_hashes: Optional[List[int]] = None,
+                 request_type: "LlmRequestType" = None):
         self.request_id = next_request_id() if request_id is None else request_id
         self.prompt_token_ids: List[int] = list(prompt_token_ids)
         if not self.prompt_token_ids:
@@ -90,6 +99,8 @@ class LlmRequest:
         self.prompt_embeds = prompt_embeds
         self.multimodal_hashes = multimodal_hashes
 
+        self.request_type = request_type or \
+            LlmRequestType.REQUEST_TYPE_CONTEXT_AND_GENERATION
         self.state = LlmRequestState.CONTEXT_INIT
         self.finish_reason = FinishReason.NOT_FINISHED
         self.output_token_ids: List[int] = []
