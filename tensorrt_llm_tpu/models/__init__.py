@@ -2,7 +2,9 @@ from .modeling_utils import (DecoderModelForCausalLM, MODEL_REGISTRY,
                              ModelConfig, get_model_class, register_model)
 from . import gpt2 as _gpt2  # noqa: F401  (registers)
 from . import llama as _llama  # noqa: F401
+from . import gemma as _gemma  # noqa: F401
 from . import mixtral as _mixtral  # noqa: F401
+from . import phi as _phi  # noqa: F401
 from . import qwen as _qwen  # noqa: F401
 
 __all__ = ["DecoderModelForCausalLM", "MODEL_REGISTRY", "ModelConfig",

@@ -1,0 +1,200 @@
+"""Gemma 2 decoder.
+
+Behavioral reference: tensorrt_llm/_torch/models/modeling_gemma3.py family
+(Gemma2 conventions): RMSNorm computes x*(1+w), embeddings scaled by
+sqrt(hidden), four norms per layer (pre/post attention + pre/post FFN),
+GELU-tanh MLP, attention logit soft-cap, final logit soft-cap, and
+alternating sliding-window / global attention layers. The alternation is
+handled inside the layer scan with a ``lax.cond`` over two attention
+variants so the stacked-layer compile stays O(1) in depth.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import AttentionMetadata
+from ..ops.rope import RopeConfig, rope_cos_sin
+from .llama import LlamaForCausalLM
+from .modeling_utils import AttentionSpec, attention_block, register_model
+
+
+def gemma_rms_norm(x, weight, eps):
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    out = xf * jax.lax.rsqrt(var + eps)
+    return (out * (1.0 + weight.astype(jnp.float32))).astype(dtype)
+
+
+@register_model("gemma2")
+class Gemma2ForCausalLM(LlamaForCausalLM):
+    architectures = ("Gemma2ForCausalLM",)
+
+    def __init__(self, model_config):
+        super().__init__(model_config)
+        hf = self.hf
+        self.attn_softcap = getattr(hf, "attn_logit_softcapping", 50.0)
+        self.final_softcap = getattr(hf, "final_logit_softcapping", 30.0)
+        self.sliding_window = getattr(hf, "sliding_window", 4096)
+        q_scalar = getattr(hf, "query_pre_attn_scalar", self.head_dim)
+        self.attn_spec = AttentionSpec(
+            num_heads=self.num_heads, num_kv_heads=self.num_kv_heads,
+            head_dim=self.head_dim,
+            sm_scale=1.0 / math.sqrt(q_scalar),
+            rope=RopeConfig.from_hf_config(hf, self.head_dim),
+            soft_cap=self.attn_softcap, is_neox=True)
+        self.tie_embeddings = True  # gemma always ties lm_head
+
+    def _layer_is_sliding(self, idx: int) -> bool:
+        # HF Gemma2: even layers sliding, odd layers global
+        lt = getattr(self.hf, "layer_types", None)
+        if lt:
+            return lt[idx] == "sliding_attention"
+        return idx % 2 == 0
+
+    # ------------------------------------------------------------------ #
+    def init_params(self, rng):
+        hf = self.hf
+        H, V, I = self.hidden_size, self.vocab_size, self.intermediate_size
+        nq, nkv, hd = self.num_heads, self.num_kv_heads, self.head_dim
+        L = self.num_layers
+        nprng = np.random.default_rng(0)
+
+        def mat(shape):
+            return nprng.standard_normal(shape, np.float32) * 0.02
+
+        sd: Dict[str, np.ndarray] = {
+            "model.embed_tokens.weight": mat((V, H)),
+            "model.norm.weight": np.zeros(H, np.float32),
+        }
+        for i in range(L):
+            for name, shape in [("self_attn.q_proj", (nq * hd, H)),
+                                ("self_attn.k_proj", (nkv * hd, H)),
+                                ("self_attn.v_proj", (nkv * hd, H)),
+                                ("self_attn.o_proj", (H, nq * hd)),
+                                ("mlp.gate_proj", (I, H)),
+                                ("mlp.up_proj", (I, H)),
+                                ("mlp.down_proj", (H, I))]:
+                sd[f"model.layers.{i}.{name}.weight"] = mat(shape)
+            for norm in ("input_layernorm", "post_attention_layernorm",
+                         "pre_feedforward_layernorm",
+                         "post_feedforward_layernorm"):
+                sd[f"model.layers.{i}.{norm}.weight"] = np.zeros(H, np.float32)
+        return self.load_hf_state_dict(sd)
+
+    def load_hf_state_dict(self, sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        L = self.num_layers
+        dtype = self.dtype
+
+        def t(name):
+            return np.ascontiguousarray(np.transpose(sd[name]))
+
+        def stack_quant(method, fmt):
+            per = []
+            for i in range(L):
+                from .modeling_utils import quantize_linear
+                per.append(quantize_linear(method, t(fmt.format(i)),
+                                           dtype=dtype))
+            return jax.tree.map(lambda *xs: jnp.stack(xs), *per)
+
+        def stack_norm(fmt):
+            return jnp.stack([jnp.asarray(sd[fmt.format(i)], dtype=dtype)
+                              for i in range(L)])
+
+        layers = {
+            "input_norm": stack_norm("model.layers.{}.input_layernorm.weight"),
+            "post_attn_norm": stack_norm(
+                "model.layers.{}.post_attention_layernorm.weight"),
+            "pre_ffn_norm": stack_norm(
+                "model.layers.{}.pre_feedforward_layernorm.weight"),
+            "post_ffn_norm": stack_norm(
+                "model.layers.{}.post_feedforward_layernorm.weight"),
+            "q": stack_quant(self.m_q, "model.layers.{}.self_attn.q_proj.weight"),
+            "k": stack_quant(self.m_kv, "model.layers.{}.self_attn.k_proj.weight"),
+            "v": stack_quant(self.m_kv, "model.layers.{}.self_attn.v_proj.weight"),
+            "o": stack_quant(self.m_o, "model.layers.{}.self_attn.o_proj.weight"),
+            "gate": stack_quant(self.m_mlp, "model.layers.{}.mlp.gate_proj.weight"),
+            "up": stack_quant(self.m_mlp, "model.layers.{}.mlp.up_proj.weight"),
+            "down": stack_quant(self.m_mlp, "model.layers.{}.mlp.down_proj.weight"),
+            "is_sliding": jnp.asarray(
+                [self._layer_is_sliding(i) for i in range(L)], jnp.bool_),
+        }
+        from .modeling_utils import quantize_linear
+        wte = np.asarray(sd["model.embed_tokens.weight"])
+        return {
+            "embed": {"weight": jnp.asarray(wte, dtype=dtype)},
+            "layers": layers,
+            "final_norm": jnp.asarray(sd["model.norm.weight"], dtype=dtype),
+            "lm_head": quantize_linear(
+                self.m_lm_head, np.ascontiguousarray(wte.T), dtype=dtype),
+        }
+
+    # ------------------------------------------------------------------ #
+    def forward(self, params, token_ids, kv_pages, metadata):
+        H = self.hidden_size
+        h = params["embed"]["weight"][token_ids].astype(self.dtype)
+        h = h * jnp.asarray(math.sqrt(H), self.dtype)
+        spec = self.attn_spec
+        eps = self.rms_eps
+        cos_sin = rope_cos_sin(spec.rope, metadata.positions)
+        sliding_spec = AttentionSpec(
+            num_heads=spec.num_heads, num_kv_heads=spec.num_kv_heads,
+            head_dim=spec.head_dim, sm_scale=spec.sm_scale, rope=spec.rope,
+            sliding_window=self.sliding_window, soft_cap=spec.soft_cap)
+
+        def attn(which_spec, layer, normed, layer_kv):
+            return attention_block(
+                layer, normed, layer_kv, metadata, which_spec,
+                self.m_q, self.m_o, attn_backend=self.attn_backend,
+                kv_scale=self.config.kv_scale, rope_cos_sin=cos_sin)
+
+        def layer_body(h, xs):
+            layer, layer_kv = xs
+            normed = gemma_rms_norm(h, layer["input_norm"], eps)
+            attn_out, new_pages = jax.lax.cond(
+                layer["is_sliding"],
+                lambda args: attn(sliding_spec, *args),
+                lambda args: attn(spec, *args),
+                (layer, normed, layer_kv))
+            h = h + gemma_rms_norm(attn_out, layer["post_attn_norm"], eps)
+            normed = gemma_rms_norm(h, layer["pre_ffn_norm"], eps)
+            gate = self.m_mlp.apply(layer["gate"], normed)
+            up = self.m_mlp.apply(layer["up"], normed)
+            act = jax.nn.gelu(gate.astype(jnp.float32), approximate=True)
+            mlp_out = self.m_mlp.apply(layer["down"],
+                                       act.astype(self.dtype) * up)
+            h = h + gemma_rms_norm(mlp_out, layer["post_ffn_norm"], eps)
+            return h, new_pages
+
+        h, kv_pages = jax.lax.scan(layer_body, h,
+                                   (params["layers"], kv_pages))
+        h = gemma_rms_norm(h, params["final_norm"], eps)
+        last = self._gather_logits(h, metadata)
+        logits = self.m_lm_head.apply(params["lm_head"], last)
+        logits = logits.astype(jnp.float32)
+        if self.final_softcap:
+            logits = self.final_softcap * jnp.tanh(logits / self.final_softcap)
+        return logits, kv_pages
+
+    def param_pspecs(self, params) -> Any:
+        from jax.sharding import PartitionSpec as P
+        fake = {**params, "layers": {
+            **{k: v for k, v in params["layers"].items()
+               if k not in ("post_attn_norm", "pre_ffn_norm",
+                            "post_ffn_norm", "is_sliding", "input_norm")},
+            "input_norm": params["layers"]["input_norm"],
+            "post_norm": params["layers"]["post_attn_norm"],
+        }}
+        base = LlamaForCausalLM.param_pspecs(self, fake)
+        layers = base["layers"]
+        layers.pop("post_norm")
+        layers["post_attn_norm"] = P(None, None)
+        layers["pre_ffn_norm"] = P(None, None)
+        layers["post_ffn_norm"] = P(None, None)
+        layers["is_sliding"] = P(None)
+        return base
