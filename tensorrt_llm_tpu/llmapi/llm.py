@@ -216,7 +216,8 @@ class LLM:
             stream_interval=args.stream_interval,
             drafter=drafter,
             guided_decoder=guided_decoder,
-            kv_transceiver=self.kv_transceiver)
+            kv_transceiver=self.kv_transceiver,
+            pipeline_depth=args.max_inflight_steps)
 
     # ------------------------------------------------------------------ #
     # Generation (reference: llm.py:329-533)

@@ -173,6 +173,10 @@ class LlmArgs(StrictBaseModel):
 
     enable_chunked_prefill: bool = True
     disable_overlap_scheduler: bool = False
+    # decode steps allowed in flight before host consumes results; hides
+    # the D2H fetch round-trip (the overlap scheduler generalized to
+    # depth N; stop-token overshoot is bounded by this depth)
+    max_inflight_steps: int = 4
     attn_backend: str = "AUTO"           # AUTO|RPA|REFERENCE
     sampler_type: str = "auto"
     load_format: Literal["auto", "dummy"] = "auto"

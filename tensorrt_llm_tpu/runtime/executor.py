@@ -159,7 +159,8 @@ class PyExecutor:
                  stream_interval: int = 1,
                  drafter=None,
                  guided_decoder=None,
-                 kv_transceiver=None):
+                 kv_transceiver=None,
+                 pipeline_depth: int = 4):
         self.engine = engine
         self.kv = kv_cache_manager
         self.scheduler = scheduler
@@ -177,12 +178,17 @@ class PyExecutor:
             enable_overlap = False
         self.enable_overlap = enable_overlap
         self.stream_interval = stream_interval
+        # steps allowed in flight before the host consumes results; >1
+        # amortizes the device→host fetch round-trip (critical over a
+        # TPU tunnel; the reference's overlap loop is depth 2)
+        self.pipeline_depth = max(1, pipeline_depth) if enable_overlap else 1
 
         self._request_queue: "queue.Queue" = queue.Queue()
         self._results: Dict[int, GenerationResult] = {}
         self._active: List[LlmRequest] = []
         self._free_slots = list(range(engine.max_batch_size - 1, -1, -1))
-        self._inflight: Optional[_InflightBatch] = None
+        from collections import deque
+        self._inflight: "deque[_InflightBatch]" = deque()
         self._shutdown = threading.Event()
         self._work_event = threading.Event()
         self._lock = threading.Lock()
@@ -236,23 +242,21 @@ class PyExecutor:
     def _executor_loop(self):
         try:
             while not self._shutdown.is_set():
-                if not self._active and self._inflight is None:
+                if not self._active and not self._inflight:
                     self._work_event.wait(timeout=0.05)
                     self._work_event.clear()
                 self._fetch_new_requests()
                 self._admit_disagg_generation()
-                if not self._active and self._inflight is None:
+                if not self._active and not self._inflight:
                     continue
                 t0 = time.monotonic()
                 batch = self.scheduler.schedule(self._schedulable())
+                if not batch.is_empty:
+                    if self.drafter is not None:
+                        self._prepare_drafts(batch)
+                    self._prepare_resources(batch)
                 if batch.is_empty:
-                    # nothing runnable; still need to drain inflight work
-                    self._process_inflight()
-                    continue
-                if self.drafter is not None:
-                    self._prepare_drafts(batch)
-                self._prepare_resources(batch)
-                if batch.is_empty:
+                    # nothing runnable; drain pending results
                     self._process_inflight()
                     continue
                 use_pen = any(r.sampling_params.needs_penalties
@@ -262,17 +266,20 @@ class PyExecutor:
                     mask = self.guided_decoder.build_mask(batch)
                 tokens, logprobs = self.engine.forward_step(
                     batch, use_penalties=use_pen, logits_mask=mask)
+                try:  # start the D2H copy as soon as the step finishes
+                    tokens.copy_to_host_async()
+                    logprobs.copy_to_host_async()
+                except Exception:
+                    pass
                 entries = self._advance_device_state(batch)
-                current = _InflightBatch(entries, tokens, logprobs)
-                if self.enable_overlap:
-                    self._process_inflight()      # previous iteration
-                    self._inflight = current
-                else:
-                    self._inflight = current
-                    self._process_inflight()      # synchronous
+                self._inflight.append(
+                    _InflightBatch(entries, tokens, logprobs))
+                while len(self._inflight) >= self.pipeline_depth:
+                    self._process_inflight()
                 self._record_stats(batch, time.monotonic() - t0)
             # drain at shutdown
-            self._process_inflight()
+            while self._inflight:
+                self._process_inflight()
         except Exception as e:  # pragma: no cover
             logger.error("executor loop died: %s", e)
             import traceback
@@ -399,10 +406,9 @@ class PyExecutor:
             req.draft_tokens = req.draft_tokens[:cap]
 
     def _process_inflight(self):
-        batch = self._inflight
-        if batch is None:
+        if not self._inflight:
             return
-        self._inflight = None
+        batch = self._inflight.popleft()
         import jax
         tokens, logprobs = jax.device_get(
             (batch.tokens, batch.logprobs))    # sync point, one fetch

@@ -154,7 +154,8 @@ class KVCacheManager:
             return max(0, self.blocks_for_tokens(end) - have)
         # generation: one more token
         have = len(self._seq_blocks.get(request.request_id, ()))
-        return max(0, self.blocks_for_tokens(request.num_total_tokens + 1) - have)
+        return max(0, self.blocks_for_tokens(
+            self._device_progress(request) + 1) - have)
 
     def get_remaining_blocks_to_completion(self, request: LlmRequest) -> int:
         """Worst-case blocks to finish the request (GuaranteedNoEvict policy;
@@ -217,10 +218,16 @@ class KVCacheManager:
         self._stats.alloc_total_blocks += len(chain)
         return reused_tokens
 
+    @staticmethod
+    def _device_progress(request: LlmRequest) -> int:
+        """Allocation follows *device* progress, which runs ahead of the
+        host-accepted token count by up to the executor pipeline depth."""
+        return max(request.num_total_tokens, request.num_device_tokens)
+
     def add_token(self, request: LlmRequest) -> None:
         """Ensure capacity for one more generated token."""
         chain = self._seq_blocks[request.request_id]
-        needed = self.blocks_for_tokens(request.num_total_tokens + 1)
+        needed = self.blocks_for_tokens(self._device_progress(request) + 1)
         while len(chain) < needed:
             chain.append(self._allocate_block())
             self._stats.alloc_new_blocks += 1
@@ -230,7 +237,8 @@ class KVCacheManager:
     def add_draft_tokens(self, request: LlmRequest, num_draft: int) -> None:
         """Capacity for speculative draft tokens verified next step."""
         chain = self._seq_blocks[request.request_id]
-        needed = self.blocks_for_tokens(request.num_total_tokens + 1 + num_draft)
+        needed = self.blocks_for_tokens(
+            self._device_progress(request) + 1 + num_draft)
         while len(chain) < needed:
             chain.append(self._allocate_block())
             self._stats.alloc_new_blocks += 1
