@@ -175,7 +175,15 @@ class LLM:
             mapping=self.mapping, mesh=self.mesh,
             max_draft_len=max_draft_len)
         del self._params
-        self.kv_cache_manager = KVCacheManager(
+        kv_cls = KVCacheManager
+        if os.environ.get("TLLM_TPU_NATIVE", "0") == "1":
+            from ..runtime.native_block_manager import NativeKVCacheManager
+            if NativeKVCacheManager.available():
+                kv_cls = NativeKVCacheManager
+            else:
+                logger.warning("TLLM_TPU_NATIVE=1 but libtllm_tpu_host.so "
+                               "not built; using the python block manager")
+        self.kv_cache_manager = kv_cls(
             num_blocks=self.engine.num_kv_pages,
             tokens_per_block=args.kv_cache_config.tokens_per_block,
             max_seq_len=args.max_seq_len,

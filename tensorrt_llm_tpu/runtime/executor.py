@@ -195,6 +195,10 @@ class PyExecutor:
         self.stats_history: List[IterationStats] = []
         self.iter_counter = 0
 
+        from .hang_detector import HangDetector
+        self._hang_detector = HangDetector(timeout_s=600.0)
+        self._hang_detector.start()
+
         self._thread = threading.Thread(target=self._executor_loop,
                                         daemon=True, name="tllm-tpu-executor")
         self._thread.start()
@@ -226,6 +230,7 @@ class PyExecutor:
 
     def shutdown(self, wait: bool = True) -> None:
         self._shutdown.set()
+        self._hang_detector.stop()
         self._work_event.set()
         if wait and self._thread.is_alive():
             self._thread.join(timeout=60)
@@ -248,7 +253,9 @@ class PyExecutor:
                 self._fetch_new_requests()
                 self._admit_disagg_generation()
                 if not self._active and not self._inflight:
+                    self._hang_detector.disarm()
                     continue
+                self._hang_detector.arm()
                 t0 = time.monotonic()
                 batch = self.scheduler.schedule(self._schedulable())
                 if not batch.is_empty:
