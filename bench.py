@@ -79,7 +79,7 @@ def main():
     warm = [llm.generate_async(req_tokens(),
                                SamplingParams(max_tokens=8, top_k=1,
                                               ignore_eos=True))
-            for _ in range(batch)]
+            for _ in range(min(batch, 8))]
     for w in warm:
         w.result(timeout=1800)
     print(f"# bench: warmup done in {time.monotonic()-t_w:.1f}s",

@@ -175,6 +175,10 @@ class LLM:
             mapping=self.mapping, mesh=self.mesh,
             max_draft_len=max_draft_len)
         del self._params
+        if args.enable_warmup and jax.default_backend() == "tpu":
+            logger.info("warming up %d token buckets...",
+                        len(self.engine.token_buckets))
+            self.engine.warmup()
         kv_cls = KVCacheManager
         if os.environ.get("TLLM_TPU_NATIVE", "0") == "1":
             from ..runtime.native_block_manager import NativeKVCacheManager

@@ -177,6 +177,9 @@ class LlmArgs(StrictBaseModel):
     # the D2H fetch round-trip (the overlap scheduler generalized to
     # depth N; stop-token overshoot is bounded by this depth)
     max_inflight_steps: int = 4
+    # pre-compile all token buckets at engine build (model_engine.warmup
+    # analog); skipped automatically off-TPU
+    enable_warmup: bool = True
     attn_backend: str = "AUTO"           # AUTO|RPA|REFERENCE
     sampler_type: str = "auto"
     load_format: Literal["auto", "dummy"] = "auto"

@@ -194,6 +194,8 @@ class PyExecutor:
         self._lock = threading.Lock()
         self.stats_history: List[IterationStats] = []
         self.iter_counter = 0
+        import os
+        self._trace_iters = os.environ.get("TLLM_TPU_TRACE_ITERS") == "1"
 
         from .hang_detector import HangDetector
         self._hang_detector = HangDetector(timeout_s=600.0)
@@ -266,6 +268,7 @@ class PyExecutor:
                     # nothing runnable; drain pending results
                     self._process_inflight()
                     continue
+                t1 = time.monotonic()
                 use_pen = any(r.sampling_params.needs_penalties
                               for r in batch.all_requests)
                 mask = None
@@ -278,11 +281,19 @@ class PyExecutor:
                     logprobs.copy_to_host_async()
                 except Exception:
                     pass
+                t2 = time.monotonic()
                 entries = self._advance_device_state(batch)
                 self._inflight.append(
                     _InflightBatch(entries, tokens, logprobs))
                 while len(self._inflight) >= self.pipeline_depth:
                     self._process_inflight()
+                t3 = time.monotonic()
+                if self._trace_iters:
+                    print(f"# iter {self.iter_counter}: sched={1e3*(t1-t0):.1f} "
+                          f"fwd={1e3*(t2-t1):.1f} proc={1e3*(t3-t2):.1f} "
+                          f"ctx={len(batch.context_requests)} "
+                          f"gen={len(batch.generation_requests)}",
+                          flush=True)
                 self._record_stats(batch, time.monotonic() - t0)
             # drain at shutdown
             while self._inflight:

@@ -305,6 +305,54 @@ class ModelEngine:
             num_tokens=len(tok_list), num_reqs=len(reqs))
 
     # ------------------------------------------------------------------ #
+    # Warmup: pre-compile every token bucket (the reference's
+    # model_engine.warmup + CUDA-graph capture, model_engine.py:798 —
+    # a single mid-run compile costs seconds and wrecks tail latency)
+    # ------------------------------------------------------------------ #
+    def warmup(self) -> None:
+        S, G = self.max_batch_size, self.max_draft_len + 1
+        ps = self.page_size
+        num_slots = self.num_kv_pages * self.page_size
+        step_fn = self._get_step_fn(False, False)
+        last = None
+        for T in self.token_buckets:
+            # spread T fake tokens over enough fake seqs that each stays
+            # within one page (reads page 0; writes are dropped)
+            n_seqs = min(S, -(-T // ps))
+            per = -(-T // n_seqs)
+            ints_t = np.zeros((4, T), np.int32)
+            ints_t[1] = -1
+            ints_t[3] = num_slots
+            kv_lens = np.zeros(S, np.int32)
+            cu = np.zeros(S + 1, np.int32)
+            pos = 0
+            for i in range(n_seqs):
+                q = min(per, T - pos)
+                kv_lens[i] = max(q, 1)
+                pos += q
+                cu[i + 1] = pos
+            cu[n_seqs + 1:] = pos
+            ints_s = np.concatenate([
+                kv_lens, cu, np.zeros(S * G, np.int32),
+                np.full(S, -1, np.int32), np.zeros(S, np.int32),
+                np.ones(S, np.int32), np.asarray([n_seqs], np.int32),
+                np.asarray([0], np.int32)])
+            page_indices = np.zeros((S, self.pages_per_seq), np.int32)
+            floats = np.ones((6, S), np.float32)
+            out = step_fn(self.params, self.kv_pages, self.prev_tokens,
+                          jnp.zeros((1, 1), jnp.int32),
+                          jnp.asarray(ints_t), jnp.asarray(ints_s),
+                          jnp.asarray(page_indices), jnp.asarray(floats),
+                          jnp.zeros((1, 1), bool))
+            _, _, self.prev_tokens, _, self.kv_pages = out
+            last = out[0]
+            logger.info("warmed bucket T=%d", T)
+        if last is not None:
+            jax.block_until_ready(last)
+        # reset device-side token state touched by the fake steps
+        self.prev_tokens = jnp.zeros((self.max_batch_size,), jnp.int32)
+
+    # ------------------------------------------------------------------ #
     # Disaggregated serving: KV extraction/injection (the CacheTransceiver
     # data path; reference: batch_manager/cacheTransceiver.cpp +
     # cacheFormatter.cpp layout conversion)
