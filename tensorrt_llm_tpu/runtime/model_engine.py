@@ -144,7 +144,8 @@ class ModelEngine:
     # ------------------------------------------------------------------ #
     # Step compilation
     # ------------------------------------------------------------------ #
-    def _build_step(self, use_penalties: bool, use_mask: bool = False):
+    def _build_step(self, use_penalties: bool, use_mask: bool = False,
+                    all_greedy: bool = False):
         model = self.model
         G = self.max_draft_len + 1  # logits gathered per sequence
         S = self.max_batch_size
@@ -196,15 +197,24 @@ class ModelEngine:
                 logits = jnp.where(mask, logits,
                                    jnp.finfo(jnp.float32).min)
             counts = token_counts if use_penalties else None
-            if G > 1:
-                # spec-decode verification: logits has S*G rows; repeat the
-                # per-seq sampling params per gathered position
-                sampling = jax.tree.map(lambda a: jnp.repeat(a, G, axis=0),
-                                        sampling)
-                counts = None if counts is None else \
-                    jnp.repeat(counts, G, axis=0)
-            new_tokens, logprobs = sample(logits, sampling, key,
-                                          token_counts=counts)
+            if all_greedy and not use_penalties:
+                # fast path: no [S, V] sort, no gumbel — argmax + logprob
+                lf = logits.astype(jnp.float32)
+                new_tokens = jnp.argmax(lf, axis=-1).astype(jnp.int32)
+                logz = jax.nn.logsumexp(lf, axis=-1)
+                chosen = jnp.take_along_axis(
+                    lf, new_tokens[:, None], axis=-1)[:, 0]
+                logprobs = chosen - logz
+            else:
+                if G > 1:
+                    # spec-decode verification: logits has S*G rows; repeat
+                    # the per-seq sampling params per gathered position
+                    sampling = jax.tree.map(
+                        lambda a: jnp.repeat(a, G, axis=0), sampling)
+                    counts = None if counts is None else \
+                        jnp.repeat(counts, G, axis=0)
+                new_tokens, logprobs = sample(logits, sampling, key,
+                                              token_counts=counts)
             if G > 1:
                 # slot scatter keys off the first sampled token per seq
                 first = new_tokens.reshape(-1, G)[:, 0]
@@ -224,10 +234,12 @@ class ModelEngine:
         donate = (1, 2, 3)  # kv_pages, prev_tokens, token_counts
         return jax.jit(step, donate_argnums=donate)
 
-    def _get_step_fn(self, use_penalties: bool, use_mask: bool = False):
-        key = (use_penalties, use_mask)
+    def _get_step_fn(self, use_penalties: bool, use_mask: bool = False,
+                     all_greedy: bool = False):
+        key = (use_penalties, use_mask, all_greedy)
         if key not in self._step_fns:
-            self._step_fns[key] = self._build_step(use_penalties, use_mask)
+            self._step_fns[key] = self._build_step(use_penalties, use_mask,
+                                                   all_greedy)
         return self._step_fns[key]
 
     # ------------------------------------------------------------------ #
@@ -313,7 +325,9 @@ class ModelEngine:
         S, G = self.max_batch_size, self.max_draft_len + 1
         ps = self.page_size
         num_slots = self.num_kv_pages * self.page_size
-        step_fn = self._get_step_fn(False, False)
+        # warm the greedy variant (the common serving path); the sampling
+        # variant compiles on first non-greedy request
+        step_fn = self._get_step_fn(False, False, True)
         last = None
         for T in self.token_buckets:
             # spread T fake tokens over enough fake seqs that each stays
@@ -454,7 +468,8 @@ class ModelEngine:
         if use_penalties and counts is None:
             counts = jnp.zeros((S, self.model.vocab_size), jnp.int32)
         use_mask = logits_mask is not None
-        step_fn = self._get_step_fn(use_penalties, use_mask)
+        all_greedy = all(r.sampling_params.greedy for r in reqs)
+        step_fn = self._get_step_fn(use_penalties, use_mask, all_greedy)
         mask_arr = jnp.asarray(logits_mask) if use_mask else \
             jnp.zeros((1, 1), bool)
         out = step_fn(self.params, self.kv_pages, self.prev_tokens,
