@@ -300,6 +300,25 @@ class LLM:
         return RequestOutput(res, prompt_text)
 
     # ------------------------------------------------------------------ #
+    # Sleep / wake / weight hot-swap (reference: /release_memory,
+    # /resume_memory, /update_weights endpoints §A.5)
+    # ------------------------------------------------------------------ #
+    def release_memory(self) -> None:
+        if self.executor._active:
+            raise RuntimeError("cannot sleep with active requests")
+        self.engine.release_weights()
+
+    def resume_memory(self) -> None:
+        self.engine.resume_weights()
+
+    def update_weights(self, state_dict) -> None:
+        import numpy as _np
+        sd = {k: (v.detach().cpu().float().numpy()
+                  if hasattr(v, "detach") else _np.asarray(v))
+              for k, v in state_dict.items()}
+        self.engine.update_weights(sd)
+
+    # ------------------------------------------------------------------ #
     def get_stats(self) -> list:
         return list(self.executor.stats_history)
 

@@ -135,6 +135,7 @@ class _InflightBatch:
     entries: List[_BatchEntry]
     tokens: Any                 # device array future [S]
     logprobs: Any
+    top_logprobs: Any = None    # optional (vals [S,K], ids [S,K])
 
 
 @dataclasses.dataclass
@@ -274,7 +275,7 @@ class PyExecutor:
                 mask = None
                 if self.guided_decoder is not None:
                     mask = self.guided_decoder.build_mask(batch)
-                tokens, logprobs = self.engine.forward_step(
+                tokens, logprobs, top_lp = self.engine.forward_step(
                     batch, use_penalties=use_pen, logits_mask=mask)
                 try:  # start the D2H copy as soon as the step finishes
                     tokens.copy_to_host_async()
@@ -284,7 +285,7 @@ class PyExecutor:
                 t2 = time.monotonic()
                 entries = self._advance_device_state(batch)
                 self._inflight.append(
-                    _InflightBatch(entries, tokens, logprobs))
+                    _InflightBatch(entries, tokens, logprobs, top_lp))
                 while len(self._inflight) >= self.pipeline_depth:
                     self._process_inflight()
                 t3 = time.monotonic()
@@ -430,6 +431,10 @@ class PyExecutor:
         import jax
         tokens, logprobs = jax.device_get(
             (batch.tokens, batch.logprobs))    # sync point, one fetch
+        top_lp = None
+        if batch.top_logprobs is not None:
+            tl_vals, tl_ids = jax.device_get(batch.top_logprobs)
+            top_lp = (np.asarray(tl_vals), np.asarray(tl_ids))
         G = self.engine.max_draft_len + 1
         if G > 1:
             tokens = tokens.reshape(-1, G)
@@ -453,9 +458,20 @@ class PyExecutor:
                 accepted += 1
             rejected = len(entry.drafts) - accepted
             done = False
+            G_rows = tokens.shape[1]
             for g in range(accepted + 1):
                 done = req.add_output_token(int(tokens[i, g]),
                                             float(logprobs[i, g]))
+                if top_lp is not None and req.sampling_params.logprobs:
+                    vals, ids = top_lp
+                    row = i * G_rows + g if vals.shape[0] > tokens.shape[0] \
+                        else i
+                    k = req.sampling_params.logprobs
+                    req.logprobs[-1] = {
+                        int(t): float(v)
+                        for v, t in zip(vals[row][:k], ids[row][:k])}
+                    req.logprobs[-1].setdefault(int(tokens[i, g]),
+                                                float(logprobs[i, g]))
                 if self.guided_decoder is not None:
                     self.guided_decoder.observe_token(req, int(tokens[i, g]))
                 if done:

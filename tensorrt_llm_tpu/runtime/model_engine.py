@@ -145,7 +145,7 @@ class ModelEngine:
     # Step compilation
     # ------------------------------------------------------------------ #
     def _build_step(self, use_penalties: bool, use_mask: bool = False,
-                    all_greedy: bool = False):
+                    all_greedy: bool = False, num_logprobs: int = 0):
         model = self.model
         G = self.max_draft_len + 1  # logits gathered per sequence
         S = self.max_batch_size
@@ -229,17 +229,23 @@ class ModelEngine:
             if use_penalties:
                 token_counts = token_counts.at[slot_idx, first].add(
                     1, mode="drop")
-            return new_tokens, logprobs, prev_tokens, token_counts, kv_pages
+            if num_logprobs > 0:
+                from ..ops.sampling_ops import top_logprobs
+                tl_vals, tl_ids = top_logprobs(logits, num_logprobs)
+            else:
+                tl_vals = tl_ids = jnp.zeros((0,), jnp.int32)
+            return (new_tokens, logprobs, tl_vals, tl_ids, prev_tokens,
+                    token_counts, kv_pages)
 
         donate = (1, 2, 3)  # kv_pages, prev_tokens, token_counts
         return jax.jit(step, donate_argnums=donate)
 
     def _get_step_fn(self, use_penalties: bool, use_mask: bool = False,
-                     all_greedy: bool = False):
-        key = (use_penalties, use_mask, all_greedy)
+                     all_greedy: bool = False, num_logprobs: int = 0):
+        key = (use_penalties, use_mask, all_greedy, num_logprobs)
         if key not in self._step_fns:
-            self._step_fns[key] = self._build_step(use_penalties, use_mask,
-                                                   all_greedy)
+            self._step_fns[key] = self._build_step(
+                use_penalties, use_mask, all_greedy, num_logprobs)
         return self._step_fns[key]
 
     # ------------------------------------------------------------------ #
@@ -317,6 +323,34 @@ class ModelEngine:
             num_tokens=len(tok_list), num_reqs=len(reqs))
 
     # ------------------------------------------------------------------ #
+    # Sleep / wake (RL-style weight offload) + live weight update
+    # (reference: SleepConfig llm_args.py:2005, virtualMemory.cpp;
+    # /release_memory /resume_memory /update_weights endpoints)
+    # ------------------------------------------------------------------ #
+    def release_weights(self) -> None:
+        """Move params to host and free device HBM (sleep)."""
+        if getattr(self, "_host_params", None) is not None:
+            return
+        self._host_params = jax.device_get(self.params)
+        self.params = None
+        self.kv_pages = None  # KV is invalidated by sleep
+
+    def resume_weights(self) -> None:
+        """Re-upload params and reallocate KV pools (wake)."""
+        if getattr(self, "_host_params", None) is None:
+            return
+        self.params = self._shard_params(self._host_params)
+        self._host_params = None
+        self.kv_pages = self._make_kv_pages()
+        self.prev_tokens = jnp.zeros((self.max_batch_size,), jnp.int32)
+
+    def update_weights(self, state_dict: Dict[str, np.ndarray]) -> None:
+        """RLHF hot-swap: re-ingest a full HF state dict in place
+        (reference: llmapi/rlhf_utils.py)."""
+        params = self.model.load_hf_state_dict(state_dict)
+        self.params = self._shard_params(params)
+
+    # ------------------------------------------------------------------ #
     # Warmup: pre-compile every token bucket (the reference's
     # model_engine.warmup + CUDA-graph capture, model_engine.py:798 —
     # a single mid-run compile costs seconds and wrecks tail latency)
@@ -358,7 +392,7 @@ class ModelEngine:
                           jnp.asarray(ints_t), jnp.asarray(ints_s),
                           jnp.asarray(page_indices), jnp.asarray(floats),
                           jnp.zeros((1, 1), bool))
-            _, _, self.prev_tokens, _, self.kv_pages = out
+            _, _, _, _, self.prev_tokens, _, self.kv_pages = out
             last = out[0]
             logger.info("warmed bucket T=%d", T)
         if last is not None:
@@ -469,7 +503,14 @@ class ModelEngine:
             counts = jnp.zeros((S, self.model.vocab_size), jnp.int32)
         use_mask = logits_mask is not None
         all_greedy = all(r.sampling_params.greedy for r in reqs)
-        step_fn = self._get_step_fn(use_penalties, use_mask, all_greedy)
+        # round the requested top-k logprob count to a small fixed menu so
+        # variants stay few (0 = none)
+        want_lp = max((r.sampling_params.logprobs or 0) for r in reqs) \
+            if reqs else 0
+        num_logprobs = 0 if want_lp == 0 else min(
+            next(k for k in (1, 5, 8, 20) if k >= min(want_lp, 20)), 20)
+        step_fn = self._get_step_fn(use_penalties, use_mask, all_greedy,
+                                    num_logprobs)
         mask_arr = jnp.asarray(logits_mask) if use_mask else \
             jnp.zeros((1, 1), bool)
         out = step_fn(self.params, self.kv_pages, self.prev_tokens,
@@ -477,7 +518,9 @@ class ModelEngine:
                       jnp.asarray(ints_t), jnp.asarray(ints_s),
                       jnp.asarray(inp.page_indices), jnp.asarray(floats),
                       mask_arr)
-        tokens, logprobs, self.prev_tokens, new_counts, self.kv_pages = out
+        (tokens, logprobs, tl_vals, tl_ids, self.prev_tokens, new_counts,
+         self.kv_pages) = out
         if use_penalties:
             self.token_counts = new_counts
-        return tokens, logprobs
+        top_lp = (tl_vals, tl_ids) if num_logprobs else None
+        return tokens, logprobs, top_lp

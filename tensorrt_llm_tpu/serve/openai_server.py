@@ -47,6 +47,9 @@ class OpenAIServer:
         r.add_get("/kv_cache_events", self.kv_cache_events)
         r.add_post("/v1/completions", self.completions)
         r.add_post("/v1/chat/completions", self.chat_completions)
+        r.add_post("/release_memory", self.release_memory)
+        r.add_post("/resume_memory", self.resume_memory)
+        r.add_get("/server_info", self.server_info)
 
     # ------------------------------------------------------------------ #
     async def health(self, request) -> web.Response:
@@ -102,6 +105,29 @@ class OpenAIServer:
         events = [dataclasses.asdict(e)
                   for e in self.llm.kv_cache_manager.get_latest_events()]
         return web.json_response(events)
+
+    async def release_memory(self, request) -> web.Response:
+        try:
+            self.llm.release_memory()
+            return web.json_response({"status": "sleeping"})
+        except Exception as e:
+            return self._error(str(e), 409)
+
+    async def resume_memory(self, request) -> web.Response:
+        self.llm.resume_memory()
+        return web.json_response({"status": "awake"})
+
+    async def server_info(self, request) -> web.Response:
+        eng = self.llm.engine
+        return web.json_response({
+            "model": self.model_name,
+            "version": __version__,
+            "max_batch_size": eng.max_batch_size,
+            "kv_pages": eng.num_kv_pages,
+            "page_size": eng.page_size,
+            "token_buckets": eng.token_buckets,
+            "backend": "jax/" + __import__("jax").default_backend(),
+        })
 
     # ------------------------------------------------------------------ #
     async def _generate_async(self, prompt, sampling_params, streaming=False):

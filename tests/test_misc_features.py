@@ -1,0 +1,105 @@
+"""Sleep/wake, weight update, top-k logprobs, penalties e2e, detokenizer,
+accuracy-core math."""
+import numpy as np
+import pytest
+
+from tensorrt_llm_tpu import LLM, KvCacheConfig, SamplingParams
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+    torch.manual_seed(0)
+    cfg = LlamaConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, max_position_embeddings=512)
+    tmodel = LlamaForCausalLM(cfg).eval()
+    llm = LLM(model=tmodel, skip_tokenizer_init=True, dtype="float32",
+              max_batch_size=4, max_input_len=64, max_seq_len=128,
+              max_num_tokens=256,
+              kv_cache_config=KvCacheConfig(tokens_per_block=16,
+                                            max_tokens=1024))
+    yield llm, tmodel
+    llm.shutdown()
+
+
+def test_sleep_wake_roundtrip(tiny):
+    llm, _ = tiny
+    before = llm.generate([5, 9, 23], SamplingParams(max_tokens=4, top_k=1))
+    llm.release_memory()
+    assert llm.engine.params is None
+    llm.resume_memory()
+    after = llm.generate([5, 9, 23], SamplingParams(max_tokens=4, top_k=1))
+    assert before.outputs[0].token_ids == after.outputs[0].token_ids
+
+
+def test_update_weights_changes_outputs(tiny):
+    llm, tmodel = tiny
+    import torch
+    base = llm.generate([7, 8, 9], SamplingParams(max_tokens=4, top_k=1))
+    # perturb and hot-swap
+    sd = {k: v + 0.05 * torch.randn_like(v)
+          for k, v in tmodel.state_dict().items()}
+    llm.update_weights(sd)
+    new = llm.generate([7, 8, 9], SamplingParams(max_tokens=4, top_k=1))
+    llm.update_weights(tmodel.state_dict())  # restore
+    back = llm.generate([7, 8, 9], SamplingParams(max_tokens=4, top_k=1))
+    assert back.outputs[0].token_ids == base.outputs[0].token_ids
+    assert new.outputs[0].token_ids != base.outputs[0].token_ids
+
+
+def test_top_logprobs_returned(tiny):
+    llm, _ = tiny
+    out = llm.generate([3, 5, 7], SamplingParams(max_tokens=3, top_k=1,
+                                                 logprobs=5))
+    lps = out.outputs[0].logprobs
+    assert len(lps) == 3
+    for entry, tok in zip(lps, out.outputs[0].token_ids):
+        assert tok in entry
+        assert len(entry) >= 5
+        assert all(v <= 0 for v in entry.values())
+
+
+def test_penalties_e2e_changes_output(tiny):
+    llm, _ = tiny
+    plain = llm.generate([4] * 8, SamplingParams(max_tokens=10, top_k=1))
+    pen = llm.generate([4] * 8, SamplingParams(
+        max_tokens=10, top_k=1, repetition_penalty=5.0,
+        frequency_penalty=2.0))
+    # strong penalties must change a repetitive greedy continuation
+    assert plain.outputs[0].token_ids != pen.outputs[0].token_ids
+    # ... and reduce repetition
+    def max_run(ts):
+        best = cur = 1
+        for a, b in zip(ts, ts[1:]):
+            cur = cur + 1 if a == b else 1
+            best = max(best, cur)
+        return best
+    assert max_run(pen.outputs[0].token_ids) <= \
+        max(2, max_run(plain.outputs[0].token_ids))
+
+
+def test_accuracy_core_math():
+    from tensorrt_llm_tpu.evaluate.accuracy_core import (
+        compute_theta, compute_threshold, hypothesis_test_pass)
+    thr = compute_threshold(num_samples=400, reference_accuracy=74.2,
+                            sigma=40.0)
+    assert 65 < thr < 74.2
+    assert hypothesis_test_pass(73.0, 74.2, 400, 40.0)
+    assert not hypothesis_test_pass(60.0, 74.2, 400, 40.0)
+    assert compute_theta(400, 40.0) > 0
+
+
+def test_incremental_detokenizer():
+    from tensorrt_llm_tpu.runtime.detokenizer import IncrementalDetokenizer
+
+    class FakeTok:
+        def decode(self, ids, skip_special_tokens=True):
+            return "".join(chr(97 + (i % 26)) for i in ids)
+
+    d = IncrementalDetokenizer(FakeTok())
+    assert d.put([0, 1]) == "ab"
+    assert d.put([2]) == "c"
+    assert d.finish() == ""
+    assert d.full_text == "abc"
