@@ -1,0 +1,139 @@
+"""Multi-host request/schedule broadcast.
+
+Role of the reference's cross-rank intake (reference:
+tensorrt_llm/_torch/pyexecutor/executor_request_queue.py:42 — rank 0
+dequeues and broadcasts to other ranks; request_utils.RequestBroadcaster;
+SerializableSchedulerOutput scheduler/scheduler.py:160).
+
+On TPU pods the data plane is a single GSPMD program, but each *host*
+runs its own python process that must issue identical jit calls each
+iteration. The leader (host 0) makes every scheduling decision and
+broadcasts a compact, deterministic description of the batch; followers
+replay it. Transport: length-prefixed TCP fan-out (DCN); the payload is
+msgpack-serialized (no pickle across trust boundaries).
+"""
+from __future__ import annotations
+
+import dataclasses
+import socket
+import struct
+import threading
+from typing import Dict, List, Optional
+
+import msgpack
+
+from ..runtime.request import LlmRequest
+from ..runtime.scheduler import ScheduledRequests
+from ..sampling_params import SamplingParams
+
+
+@dataclasses.dataclass
+class SerializableBatch:
+    """Deterministic description of one scheduled iteration."""
+    iter_id: int
+    # new requests entering this iteration: full definition
+    new_requests: List[dict]
+    # per-request scheduling decisions, by request_id
+    context_chunks: Dict[int, int]
+    scheduled_ctx_ids: List[int]
+    scheduled_gen_ids: List[int]
+    draft_tokens: Dict[int, List[int]]
+
+    def pack(self) -> bytes:
+        return msgpack.packb(dataclasses.asdict(self), use_bin_type=True)
+
+    @classmethod
+    def unpack(cls, raw: bytes) -> "SerializableBatch":
+        d = msgpack.unpackb(raw, raw=False, strict_map_key=False)
+        return cls(**d)
+
+    @classmethod
+    def from_schedule(cls, iter_id: int, batch: ScheduledRequests,
+                      new_requests: List[LlmRequest]) -> "SerializableBatch":
+        def req_dict(r: LlmRequest) -> dict:
+            sp = r.sampling_params
+            return {"request_id": r.request_id,
+                    "prompt_token_ids": list(r.prompt_token_ids),
+                    "max_tokens": sp.max_tokens,
+                    "top_k": sp.top_k, "top_p": sp.top_p,
+                    "temperature": sp.temperature,
+                    "end_id": sp.end_id,
+                    "cache_salt": r.cache_salt}
+        return cls(
+            iter_id=iter_id,
+            new_requests=[req_dict(r) for r in new_requests],
+            context_chunks={r.request_id: r.context_chunk_size
+                            for r in batch.context_requests},
+            scheduled_ctx_ids=[r.request_id
+                               for r in batch.context_requests],
+            scheduled_gen_ids=[r.request_id
+                               for r in batch.generation_requests],
+            draft_tokens={r.request_id: list(r.draft_tokens)
+                          for r in batch.generation_requests
+                          if r.draft_tokens})
+
+    def materialize_new_requests(self) -> List[LlmRequest]:
+        out = []
+        for d in self.new_requests:
+            sp = SamplingParams(max_tokens=d["max_tokens"],
+                                top_k=d["top_k"], top_p=d["top_p"],
+                                temperature=d["temperature"],
+                                end_id=d["end_id"])
+            out.append(LlmRequest(prompt_token_ids=d["prompt_token_ids"],
+                                  sampling_params=sp,
+                                  request_id=d["request_id"],
+                                  cache_salt=d["cache_salt"]))
+        return out
+
+
+class RequestBroadcaster:
+    """Leader: ``serve(followers)`` then ``broadcast(batch)``.
+    Follower: ``connect(leader)`` then ``recv()`` per iteration."""
+
+    def __init__(self, rank: int = 0):
+        self.rank = rank
+        self._conns: List[socket.socket] = []
+        self._sock: Optional[socket.socket] = None
+        self._lock = threading.Lock()
+
+    # leader ----------------------------------------------------------- #
+    def serve(self, port: int, num_followers: int) -> None:
+        srv = socket.create_server(("0.0.0.0", port))
+        for _ in range(num_followers):
+            conn, _ = srv.accept()
+            conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            self._conns.append(conn)
+        srv.close()
+
+    def broadcast(self, batch: SerializableBatch) -> None:
+        payload = batch.pack()
+        header = struct.pack("<Q", len(payload))
+        with self._lock:
+            for c in self._conns:
+                c.sendall(header)
+                c.sendall(payload)
+
+    # follower --------------------------------------------------------- #
+    def connect(self, host: str, port: int, timeout: float = 60.0) -> None:
+        self._sock = socket.create_connection((host, port), timeout)
+        self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+
+    def recv(self) -> SerializableBatch:
+        raw = self._read_exact(8)
+        (n,) = struct.unpack("<Q", raw)
+        return SerializableBatch.unpack(self._read_exact(n))
+
+    def _read_exact(self, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = self._sock.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("leader closed")
+            buf += chunk
+        return buf
+
+    def close(self) -> None:
+        for c in self._conns:
+            c.close()
+        if self._sock:
+            self._sock.close()

@@ -33,10 +33,14 @@ PromptInput = Union[str, Sequence[int]]
 
 
 class RequestOutput:
-    """Final result wrapper (reference: executor/result.py RequestOutput)."""
+    """Final result wrapper (reference: executor/result.py RequestOutput).
+    May aggregate n>1 parallel samples (SamplingParams.n) — each sample is
+    its own engine request sharing the prompt via the prefix cache."""
 
-    def __init__(self, result: GenerationResult, prompt: Optional[str]):
+    def __init__(self, result: GenerationResult, prompt: Optional[str],
+                 extra_results: Optional[List[GenerationResult]] = None):
         self._result = result
+        self._extra = extra_results or []
         self.prompt = prompt
 
     @property
@@ -49,14 +53,21 @@ class RequestOutput:
 
     @property
     def outputs(self):
-        return self._result.outputs
+        outs = list(self._result.outputs)
+        for i, r in enumerate(self._extra):
+            for o in r.outputs:
+                o.index = i + 1
+                outs.append(o)
+        return outs
 
     @property
     def finished(self) -> bool:
-        return self._result.finished
+        return self._result.finished and all(r.finished for r in self._extra)
 
     def result(self, timeout: Optional[float] = None) -> "RequestOutput":
         self._result.result(timeout)
+        for r in self._extra:
+            r.result(timeout)
         return self
 
     def __iter__(self):
@@ -297,7 +308,16 @@ class LLM:
             req.host_token_override = first
             req.output_token_ids = [first]
         res = self.executor.submit(req, kv_transfer_key=kv_key)
-        return RequestOutput(res, prompt_text)
+        extra = []
+        if sampling_params.n > 1 and not sampling_params.use_beam_search:
+            import copy
+            for _ in range(sampling_params.n - 1):
+                sibling = LlmRequest(
+                    prompt_token_ids=list(token_ids),
+                    sampling_params=copy.copy(sampling_params),
+                    streaming=False, cache_salt=cache_salt)
+                extra.append(self.executor.submit(sibling))
+        return RequestOutput(res, prompt_text, extra_results=extra)
 
     # ------------------------------------------------------------------ #
     # Sleep / wake / weight hot-swap (reference: /release_memory,

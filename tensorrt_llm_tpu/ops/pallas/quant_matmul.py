@@ -62,8 +62,10 @@ def _w4_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, group_size, k_half):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     kp0 = k * group_size
-    w8 = w_ref[:]                                    # [G, TILE_N] packed
-    lo = ((w8 << 4).astype(jnp.int8) >> 4).astype(jnp.bfloat16)
+    w8 = w_ref[:].astype(jnp.int32)                  # [G, TILE_N] packed
+    # nibble unpack in i32 (Mosaic has no i8 vector shifts):
+    # low nibble sign-extended via <<28 >>28; high via arithmetic >>4
+    lo = ((w8 << 28) >> 28).astype(jnp.bfloat16)
     hi = (w8 >> 4).astype(jnp.bfloat16)
     x_lo = x_ref[:, pl.ds(kp0, group_size)]
     x_hi = x_ref[:, pl.ds(kp0 + k_half, group_size)]
