@@ -94,6 +94,21 @@ def main():
     total_out = sum(len(o.outputs[0].token_ids) for o in outs)
     tput = total_out / dt
 
+    # latency stats (trtllm-bench report analog: TTFT / TPOT percentiles)
+    ttfts, tpots = [], []
+    for f in futs:
+        p = f._result.request.perf
+        if p.first_token_time and p.first_scheduled_time:
+            ttfts.append(p.first_token_time - p.arrival_time)
+        if p.last_token_time > p.first_token_time and osl > 1:
+            tpots.append((p.last_token_time - p.first_token_time)
+                         / (osl - 1))
+    if ttfts:
+        q = lambda xs, p: sorted(xs)[int(p * (len(xs) - 1))]
+        print(f"# ttft p50={q(ttfts, .5)*1e3:.0f}ms p95={q(ttfts, .95)*1e3:.0f}ms "
+              f"tpot p50={q(tpots, .5)*1e3:.1f}ms p95={q(tpots, .95)*1e3:.1f}ms",
+              file=sys.stderr, flush=True)
+
     # HBM-bandwidth decode roofline: tok/s ≈ batch * BW / bytes_touched/step
     param_bytes = {"none": 2.0, "int8": 1.0, "int4": 0.5}[quant]
     n_params = (cfg.vocab_size * cfg.hidden_size * 2 +

@@ -1,8 +1,10 @@
 #!/usr/bin/env python
-"""Bisect the decode step cost: full model vs no-attention vs matmul-only.
+"""Bisect the decode step cost with CHAINED iterations.
 
-Identifies where the per-step time beyond the weight-read floor goes
-(scan overhead, attention kernel, sampling, transfers).
+On the tunneled axon backend ``block_until_ready`` does not actually wait
+for device completion, so each measurement chains N dependent steps
+(kv_pages output feeds the next input) and fetches one element at the end
+— wall time / N is the true per-step device time.
 """
 import os
 import sys
@@ -11,16 +13,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
-
-def timed(f, *args, n=20):
-    out = f(*args)
-    import jax
-    jax.block_until_ready(out)
-    t0 = time.monotonic()
-    for _ in range(n):
-        out = f(*args)
-    jax.block_until_ready(out)
-    return (time.monotonic() - t0) / n * 1e3
+N_CHAIN = 30
 
 
 def main():
@@ -49,52 +42,63 @@ def main():
         cu_q_lens=jnp.concatenate([jnp.zeros(1, jnp.int32),
                                    jnp.cumsum(jnp.full(S, 2, jnp.int32))]),
         num_seqs=jnp.asarray([S], jnp.int32),
-        slot_mapping=jnp.full((T,), 320 * ps, jnp.int32),
+        slot_mapping=jnp.arange(T, dtype=jnp.int32),
         positions=jnp.zeros(T, jnp.int32),
         logits_indices=jnp.zeros(S, jnp.int32))
 
-    fwd = jax.jit(lambda p, t, k, m: model.forward(p, t, k, m)[0])
-    print(f"full forward: {timed(fwd, params, tokens, kv, md):.2f} ms",
-          flush=True)
+    def measure(name, fn, kv0):
+        # chained: kv feeds forward; one fetch at the end
+        k = kv0
+        logits, k = fn(params, tokens, k, md)     # compile
+        float(np.asarray(logits[0, 0]))           # true sync
+        t0 = time.monotonic()
+        for _ in range(N_CHAIN):
+            logits, k = fn(params, tokens, k, md)
+        float(np.asarray(logits[0, 0]))
+        dt = (time.monotonic() - t0 - 0.04) / N_CHAIN * 1e3  # ~RTT comp
+        print(f"{name}: {dt:.2f} ms/step", flush=True)
+        return k
 
-    # forward without attention: monkeypatch ragged attention to identity
+    full = jax.jit(lambda p, t, k, m: model.forward(p, t, k, m))
+    measure("full forward", full, kv)
+
     import tensorrt_llm_tpu.models.modeling_utils as MU
-    orig = MU.ragged_paged_attention
+    orig_attn = MU.ragged_paged_attention
+    orig_write = MU.write_kv
     MU.ragged_paged_attention = lambda q, kvp, md, **kw: q
-    fwd2 = jax.jit(lambda p, t, k, m: model.forward(p, t, k, m)[0])
-    print(f"no-attention forward: {timed(fwd2, params, tokens, kv, md):.2f} ms",
-          flush=True)
-    MU.ragged_paged_attention = orig
+    model2 = get_model_class(hf.model_type)(mc)
+    noattn = jax.jit(lambda p, t, k, m: model2.forward(p, t, k, m))
+    measure("no-attention (kv write kept)", noattn, kv)
+    MU.write_kv = lambda kvp, k, v, slots, **kw: kvp
+    model3 = get_model_class(hf.model_type)(mc)
+    nokv = jax.jit(lambda p, t, k, m: model3.forward(p, t, k, m))
+    measure("no-attention no-kv-write", nokv, kv)
+    MU.ragged_paged_attention = orig_attn
+    MU.write_kv = orig_write
 
-    # raw weight-sweep matmul chain (the HBM floor): x @ every layer weight
-    L = model.num_layers
-    lw = params["layers"]
+    # matmul-only floor
+    eps = jnp.bfloat16(1e-3)
 
-    def sweep(p, x):
-        eps = jnp.bfloat16(1e-6)
+    def sweep(p, t, k, m):
+        x = jnp.zeros((T, 2048), jnp.bfloat16) + eps
 
         def body(h, layer):
             q = h @ layer["q"]["weight"]
-            k = h @ layer["k"]["weight"]
+            kk = h @ layer["k"]["weight"]
             v = h @ layer["v"]["weight"]
             o = q @ layer["o"]["weight"]
             g = h @ layer["gate"]["weight"]
             u = h @ layer["up"]["weight"]
             d = (g * u) @ layer["down"]["weight"]
-            h = h + eps * (o + d) + eps * (jnp.sum(k) + jnp.sum(v))
-            return h, None
+            return h + eps * (o + d) + eps * (jnp.sum(kk) + jnp.sum(v)), None
 
-        layers = {k: v for k, v in p["layers"].items()
-                  if k in ("q", "k", "v", "o", "gate", "up", "down")}
-        h, _ = jax.lax.scan(body, x, layers)
-        return h
+        sub = {n: p["layers"][n] for n in
+               ("q", "k", "v", "o", "gate", "up", "down")}
+        h, _ = jax.lax.scan(body, x, sub)
+        logits = h[:S] @ p["lm_head"]["weight"]
+        return logits, k
 
-    x = jnp.zeros((T, 2048), jnp.bfloat16)
-    try:
-        sw = jax.jit(sweep)
-        print(f"matmul sweep: {timed(sw, params, x):.2f} ms", flush=True)
-    except Exception as e:
-        print("sweep failed:", str(e)[:200])
+    measure("matmul sweep (incl lm_head)", jax.jit(sweep), kv)
 
 
 if __name__ == "__main__":
