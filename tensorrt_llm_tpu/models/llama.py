@@ -192,32 +192,41 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
     # Sharding (GSPMD PartitionSpecs; reference TP semantics linear.py:86)
     # ------------------------------------------------------------------ #
     def param_pspecs(self, params) -> Any:
+        # pp>1: shard the stacked layer dim over "pp" (weight-sharded
+        # pipeline — memory scales with pp; XLA broadcasts each layer's
+        # weights during its scan step, prefetch-overlapped)
+        pp = "pp" if self.config.mapping.pp_size > 1 else None
+
         def linear_spec(p, col: bool):
             """col: output-dim sharded (P(None,'tp')); row: input-dim."""
             spec = {}
             for k, v in p.items():
                 nd = v.ndim
+                lead = [pp] + [None] * (nd - 3) if nd >= 3 else \
+                    [None] * (nd - 2)
                 if k == "weight":
-                    spec[k] = P(*([None] * (nd - 2)),
+                    spec[k] = P(*lead,
                                 "tp" if not col else None,
                                 "tp" if col else None)
                 elif k == "weight_scale":
                     if nd == 3:   # [L, K//G, N] groupwise: groups follow K
-                        spec[k] = P(None, None if col else "tp",
+                        spec[k] = P(pp, None if col else "tp",
                                     "tp" if col else None)
                     else:         # [L, N] or [N] per-channel: follows N
-                        spec[k] = P(*([None] * (nd - 1)),
+                        spec[k] = P(*([pp] + [None] * max(0, nd - 2)
+                                      if nd >= 2 else []),
                                     "tp" if col else None)
                 else:             # bias / zeros follow output dim
-                    spec[k] = P(*([None] * (nd - 1)), "tp" if col else None)
+                    spec[k] = P(*([pp] + [None] * (nd - 2) if nd >= 2
+                                  else []), "tp" if col else None)
             return spec
 
         layers = params["layers"]
         return {
             "embed": {"weight": P(None, None)},
             "layers": {
-                "input_norm": P(None, None),
-                "post_norm": P(None, None),
+                "input_norm": P(pp, None),
+                "post_norm": P(pp, None),
                 "q": linear_spec(layers["q"], col=True),
                 "k": linear_spec(layers["k"], col=True),
                 "v": linear_spec(layers["v"], col=True),
@@ -231,8 +240,11 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
         }
 
     def kv_pspec(self) -> P:
-        """Shard KV pools over kv heads when divisible, else replicate."""
-        tp = self.config.mapping.tp_size
-        if (2 * self.num_kv_heads) % tp == 0 and tp > 1:
-            return P(None, None, None, "tp", None)
-        return P()
+        """Shard KV pools: layer dim over pp, kv heads over tp."""
+        m = self.config.mapping
+        pp = "pp" if m.pp_size > 1 else None
+        tp = "tp" if (m.tp_size > 1 and
+                      (2 * self.num_kv_heads) % m.tp_size == 0) else None
+        if pp is None and tp is None:
+            return P()
+        return P(pp, None, None, tp, None)

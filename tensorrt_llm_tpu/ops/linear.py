@@ -92,9 +92,12 @@ class WeightOnlyGroupwiseMethod(LinearMethod):
         return out
 
     def apply(self, params, x):
+        import os
         use_pallas = self.use_pallas
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+            use_pallas = (jax.default_backend() == "tpu" and
+                          os.environ.get("TLLM_TPU_DISABLE_PALLAS_QUANT")
+                          != "1")
         packed = self.bits == 4 and "weight_zero" not in params
         x2d = x.reshape(-1, x.shape[-1])
         if use_pallas and packed:
