@@ -198,12 +198,24 @@ class LLM:
             else:
                 logger.warning("TLLM_TPU_NATIVE=1 but libtllm_tpu_host.so "
                                "not built; using the python block manager")
+        kv_kwargs = {}
+        host_bytes = args.kv_cache_config.host_cache_size
+        if host_bytes and kv_cls is KVCacheManager:
+            kv_kwargs = dict(
+                host_cache_blocks=max(
+                    1, host_bytes // self.engine.bytes_per_kv_block),
+                offload_fn=self.engine.offload_page,
+                onboard_fn=self.engine.onboard_page,
+                secondary_offload_min_priority=(
+                    args.kv_cache_config.secondary_offload_min_priority
+                    or 0))
         self.kv_cache_manager = kv_cls(
             num_blocks=self.engine.num_kv_pages,
             tokens_per_block=args.kv_cache_config.tokens_per_block,
             max_seq_len=args.max_seq_len,
             enable_block_reuse=args.kv_cache_config.enable_block_reuse,
-            event_buffer_max_size=args.kv_cache_config.event_buffer_max_size)
+            event_buffer_max_size=args.kv_cache_config.event_buffer_max_size,
+            **kv_kwargs)
         capacity = CapacityScheduler(
             max_num_requests=args.max_batch_size,
             kv_cache_manager=self.kv_cache_manager,

@@ -1,31 +1,33 @@
-"""Paged KV-cache block manager with radix-tree prefix reuse.
+"""Paged KV-cache block manager with radix-tree prefix reuse and an
+optional host-memory secondary tier.
 
 Host-side analog of the reference C++ ``KVCacheManager``/``BlockManager``
 (reference: cpp/include/tensorrt_llm/batch_manager/kvCacheManager.h:358-2201,
 blockKey.h:43-110, evictionPolicy.h:71-125; python facade
-tensorrt_llm/_torch/pyexecutor/resource_manager.py:535). The reference keeps
-this in C++ for speed but also ships a pure-Python v2
-(tensorrt_llm/runtime/kv_cache_manager_v2/) — we start pure-Python with the
-same semantics and keep the door open for a C-extension hot path.
+tensorrt_llm/_torch/pyexecutor/resource_manager.py:535). The reference
+keeps this in C++ but also ships a pure-Python v2
+(tensorrt_llm/runtime/kv_cache_manager_v2/); we do the same — this module
+is the behavioral reference, cpp/block_manager.cpp the native twin.
 
 Semantics replicated:
   * Block identity: ``BlockKey`` = (tokens_in_block, lora_task_id,
-    cache_salt, extra multimodal hashes); exact-key matching per block,
-    longest-prefix matching over the chain (blockKey.h:43-110).
-  * Reuse: finished sequences re-attach their block chain to a radix tree;
-    new sequences claim the longest matched prefix (ref-counted sharing).
-  * Eviction: priority-bucketed LRU over *leaf* blocks only
-    (evictionPolicy.h:71-125; docs/source/features/kvcache.md), default
-    priority 35 on a 0-100 scale.
-  * The device tensors are NOT owned here: this class hands out integer
-    page ids; the model engine owns the `[layers, pages, page, heads, dim]`
-    pools (see runtime/model_engine.py).
+    cache_salt, extra hashes); exact-key per block, longest-prefix over
+    the chain.
+  * Reuse: finished sequences attach their chain to a radix tree;
+    new sequences claim the longest matched prefix (ref-counted).
+  * Eviction: priority-bucketed LRU over *leaf* blocks only; with a host
+    tier configured, evicted primary blocks offload to host memory and
+    re-onboard on a later prefix match (primary→secondary flow of
+    evictionPolicy.h:71-125 + KvCacheConfig.host_cache_size).
+  * Device tensors are NOT owned here: integer page ids only; the
+    offload/onboard data movers are injected callbacks (the engine's
+    jitted page gather/scatter).
 """
 from __future__ import annotations
 
 import dataclasses
 from collections import OrderedDict
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 from ..logger import logger
 from .request import LlmRequest
@@ -42,19 +44,19 @@ class BlockKey:
     extra_hashes: Tuple[int, ...] = ()
 
 
-class Block:
-    """One KV page. ``ref_count`` counts active sequences using the page;
-    a page may additionally be retained by the reuse tree (``in_tree``)."""
-    __slots__ = ("block_id", "ref_count", "key", "parent", "children",
-                 "in_tree", "priority", "_lru_tick")
+class RadixNode:
+    """Reuse-tree node: holds either a primary block, offloaded host
+    data, or (transiently) neither before being pruned."""
+    __slots__ = ("key", "parent", "children", "block", "host_data",
+                 "priority", "_lru_tick")
 
-    def __init__(self, block_id: int):
-        self.block_id = block_id
-        self.ref_count = 0
-        self.key: Optional[BlockKey] = None
-        self.parent: Optional["Block"] = None
-        self.children: Dict[BlockKey, "Block"] = {}
-        self.in_tree = False
+    def __init__(self, key: Optional[BlockKey] = None,
+                 parent: Optional["RadixNode"] = None):
+        self.key = key
+        self.parent = parent
+        self.children: Dict[BlockKey, "RadixNode"] = {}
+        self.block: Optional["Block"] = None
+        self.host_data = None
         self.priority = DEFAULT_PRIORITY
         self._lru_tick = 0
 
@@ -66,9 +68,20 @@ class Block:
         if self.parent is not None:
             self.parent.children.pop(self.key, None)
         self.parent = None
-        self.key = None
-        self.in_tree = False
         self.children = {}
+        self.host_data = None
+        if self.block is not None:
+            self.block.node = None
+            self.block = None
+
+
+class Block:
+    __slots__ = ("block_id", "ref_count", "node")
+
+    def __init__(self, block_id: int):
+        self.block_id = block_id
+        self.ref_count = 0
+        self.node: Optional[RadixNode] = None
 
 
 @dataclasses.dataclass
@@ -82,6 +95,9 @@ class KvCacheStats:
     reused_blocks: int = 0
     missed_blocks: int = 0
     cache_hit_rate: float = 0.0
+    offloaded_blocks: int = 0
+    onboarded_blocks: int = 0
+    host_blocks: int = 0
 
 
 @dataclasses.dataclass
@@ -89,15 +105,15 @@ class KVCacheEvent:
     """Block stored/removed events for external routers
     (reference: kvCacheEventManager.h:38, resource_manager.py:1678)."""
     event_id: int
-    kind: str                   # "created" | "stored" | "removed"
+    kind: str                   # "created" | "stored" | "removed" | "offloaded"
     block_hashes: List[int]
 
 
 class KVCacheManager:
     """Paged KV allocator for one attention-window size.
 
-    Multiple window sizes (VSWA) each get their own manager instance, as in
-    the reference's pool-per-window design (resource_manager.py:1878).
+    Multiple window sizes (VSWA) each get their own manager instance, as
+    in the reference's pool-per-window design (resource_manager.py:1878).
     """
 
     def __init__(self,
@@ -106,7 +122,11 @@ class KVCacheManager:
                  max_seq_len: int = 1 << 30,
                  enable_block_reuse: bool = True,
                  event_buffer_max_size: int = 0,
-                 sink_token_length: int = 0):
+                 sink_token_length: int = 0,
+                 host_cache_blocks: int = 0,
+                 offload_fn: Optional[Callable[[int], object]] = None,
+                 onboard_fn: Optional[Callable[[int, object], None]] = None,
+                 secondary_offload_min_priority: int = 0):
         if tokens_per_block <= 0:
             raise ValueError("tokens_per_block must be positive")
         self.num_blocks = num_blocks
@@ -114,18 +134,25 @@ class KVCacheManager:
         self.max_seq_len = max_seq_len
         self.enable_block_reuse = enable_block_reuse
         self.sink_token_length = sink_token_length
+        # host secondary tier
+        self.host_cache_blocks = host_cache_blocks
+        self._offload_fn = offload_fn
+        self._onboard_fn = onboard_fn
+        self.secondary_offload_min_priority = secondary_offload_min_priority
+        self._host_lru: "OrderedDict[RadixNode, None]" = OrderedDict()
 
         self._blocks = [Block(i) for i in range(num_blocks)]
         self._free: List[int] = list(range(num_blocks - 1, -1, -1))  # LIFO
-        # reusable leaves: priority -> OrderedDict[block_id, None] (LRU order)
+        # reusable tree-attached blocks with ref 0:
+        # priority -> OrderedDict[block_id, None] (LRU order)
         self._reusable: Dict[int, OrderedDict] = {}
         self._num_reusable = 0
-        self._root = Block(-1)  # sentinel radix-tree root (no storage)
-        self._root.in_tree = True
+        self._root = RadixNode()
         self._lru_clock = 0
 
-        # per-request allocations
         self._seq_blocks: Dict[int, List[Block]] = {}
+        self._req_priority: Dict[int, int] = {}
+        self._reusable_prio: Dict[int, int] = {}  # block_id -> bucket used
 
         self._stats = KvCacheStats(max_blocks=num_blocks)
         self._events: List[KVCacheEvent] = []
@@ -145,39 +172,38 @@ class KVCacheManager:
     def blocks_for_tokens(self, num_tokens: int) -> int:
         return -(-num_tokens // self.tokens_per_block)
 
+    @staticmethod
+    def _device_progress(request: LlmRequest) -> int:
+        """Allocation follows *device* progress, which runs ahead of the
+        host-accepted token count by up to the executor pipeline depth."""
+        return max(request.num_total_tokens, request.num_device_tokens)
+
     def get_needed_blocks_one_step(self, request: LlmRequest) -> int:
-        """Blocks needed to schedule `request` for one more iteration."""
         if request.is_context_init_state:
             end = min(request.prompt_len,
                       request.context_current_position + request.context_chunk_size)
             have = len(self._seq_blocks.get(request.request_id, ()))
             return max(0, self.blocks_for_tokens(end) - have)
-        # generation: one more token
         have = len(self._seq_blocks.get(request.request_id, ()))
         return max(0, self.blocks_for_tokens(
             self._device_progress(request) + 1) - have)
 
     def get_remaining_blocks_to_completion(self, request: LlmRequest) -> int:
-        """Worst-case blocks to finish the request (GuaranteedNoEvict policy;
-        reference: capacityScheduler.h:109)."""
+        """Worst-case blocks to finish the request (GuaranteedNoEvict
+        policy; reference: capacityScheduler.h:109)."""
         total = request.prompt_len + request.max_new_tokens
         have = len(self._seq_blocks.get(request.request_id, ()))
         return max(0, self.blocks_for_tokens(total) - have)
 
     # ------------------------------------------------------------------ #
-    # Allocation API (called from prepare_resources each iteration)
+    # Allocation API
     # ------------------------------------------------------------------ #
     def add_sequence(self, request: LlmRequest,
                      enable_reuse: Optional[bool] = None) -> int:
-        """Claim blocks for a new context-phase sequence.
-
-        Performs longest-prefix reuse over full blocks of the prompt (all
-        but the final token — its KV must be recomputed to produce logits,
-        matching kvCacheManager.cpp loadOrAllocateBlocks). Returns the
-        number of prefix tokens reused. Two-phase claim-then-allocate so a
-        matched block is never evicted to serve the same request's tail
-        allocation (resource_manager.py:986-1066).
-        """
+        """Claim blocks for a new context-phase sequence with
+        longest-prefix reuse over full blocks (all but the final token —
+        its KV must be recomputed for logits; kvCacheManager.cpp
+        loadOrAllocateBlocks). Offloaded host blocks re-onboard."""
         rid = request.request_id
         if rid in self._seq_blocks:
             raise ValueError(f"request {rid} already has KV blocks")
@@ -193,18 +219,19 @@ class KVCacheManager:
                 child = node.children.get(key)
                 if child is None:
                     break
-                self._claim_reused(child)
-                chain.append(child)
+                block = self._claim_node(child)
+                if block is None:
+                    break  # onboard failed (no capacity)
+                chain.append(block)
                 pos += self.tokens_per_block
                 node = child
             reused_tokens = pos
 
         total_needed = self.blocks_for_tokens(request.prompt_len)
         new_needed = total_needed - len(chain)
-        if new_needed > len(self._free) + self._num_reusable:
-            # roll back claims
+        if new_needed > self.free_block_count:
             for b in chain:
-                self._release_block(b, request)
+                self._release_block(b)
             raise NoFreeBlocksError(
                 f"need {new_needed} blocks, have {self.free_block_count}")
         for _ in range(new_needed):
@@ -218,27 +245,15 @@ class KVCacheManager:
         self._stats.alloc_total_blocks += len(chain)
         return reused_tokens
 
-    @staticmethod
-    def _device_progress(request: LlmRequest) -> int:
-        """Allocation follows *device* progress, which runs ahead of the
-        host-accepted token count by up to the executor pipeline depth."""
-        return max(request.num_total_tokens, request.num_device_tokens)
-
     def add_token(self, request: LlmRequest) -> None:
-        """Ensure capacity for one more generated token."""
-        chain = self._seq_blocks[request.request_id]
-        needed = self.blocks_for_tokens(self._device_progress(request) + 1)
-        while len(chain) < needed:
-            chain.append(self._allocate_block())
-            self._stats.alloc_new_blocks += 1
-            self._stats.alloc_total_blocks += 1
-        request.kv_block_ids = [b.block_id for b in chain]
+        self._grow(request, self._device_progress(request) + 1)
 
     def add_draft_tokens(self, request: LlmRequest, num_draft: int) -> None:
-        """Capacity for speculative draft tokens verified next step."""
+        self._grow(request, self._device_progress(request) + 1 + num_draft)
+
+    def _grow(self, request: LlmRequest, total_tokens: int) -> None:
         chain = self._seq_blocks[request.request_id]
-        needed = self.blocks_for_tokens(
-            self._device_progress(request) + 1 + num_draft)
+        needed = self.blocks_for_tokens(total_tokens)
         while len(chain) < needed:
             chain.append(self._allocate_block())
             self._stats.alloc_new_blocks += 1
@@ -247,62 +262,65 @@ class KVCacheManager:
 
     def free_resources(self, request: LlmRequest,
                        store_for_reuse: Optional[bool] = None) -> None:
-        """Release a sequence's blocks; optionally attach them to the reuse
-        tree keyed by the tokens they hold."""
+        """Release a sequence's blocks; optionally attach them to the
+        reuse tree keyed by the tokens they hold."""
         rid = request.request_id
         chain = self._seq_blocks.pop(rid, None)
         if chain is None:
             return
         store = self.enable_block_reuse if store_for_reuse is None else store_for_reuse
         tokens = request.all_token_ids
-        node = self._root
+        node: Optional[RadixNode] = self._root
         stored_hashes: List[int] = []
         for i, block in enumerate(chain):
             start = i * self.tokens_per_block
             full = start + self.tokens_per_block <= len(tokens)
-            if store and full and node is not None and not block.in_tree:
+            if store and full and node is not None and block.node is None:
                 key = BlockKey(
                     tokens=tuple(tokens[start:start + self.tokens_per_block]),
                     lora_task_id=request.lora_task_id,
                     cache_salt=request.cache_salt)
-                if key in node.children and node.children[key] is not block:
-                    # duplicate content: keep existing tree block, just release ours
-                    self._release_block(block, request)
-                    node = node.children[key]
+                existing = node.children.get(key)
+                if existing is not None:
+                    # duplicate content: keep the existing node
+                    self._release_block(block)
+                    node = existing
                     continue
-                block.key = key
-                block.parent = node
-                block.in_tree = True
-                node.children[key] = block
+                child = RadixNode(key, node)
+                child.block = block
+                child.priority = self._req_priority.get(
+                    rid, DEFAULT_PRIORITY)
+                block.node = child
+                node.children[key] = child
                 stored_hashes.append(hash(key))
-                node = block
-                self._release_block(block, request)
-            elif block.in_tree:
-                node = block
-                self._release_block(block, request)
+                node = child
+                self._release_block(block)
+            elif block.node is not None:
+                node = block.node
+                self._release_block(block)
             else:
                 node = None  # chain broken: deeper blocks cannot attach
-                self._release_block(block, request)
+                self._release_block(block)
         if stored_hashes:
             self._push_event("stored", stored_hashes)
         request.kv_block_ids = []
 
-    def update_priority(self, request: LlmRequest, priority: int) -> None:
-        for b in self._seq_blocks.get(request.request_id, ()):
-            b.priority = priority
-
-    def get_cache_block_ids(self, request: LlmRequest) -> List[int]:
-        return [b.block_id for b in self._seq_blocks[request.request_id]]
-
     def rewind_tokens(self, request: LlmRequest, num_tokens: int) -> None:
-        """Drop KV for the last ``num_tokens`` (speculative rejection);
-        frees now-unused tail blocks (reference: kvCacheManager rewind)."""
+        """Drop KV for the last ``num_tokens`` (speculative rejection)."""
         chain = self._seq_blocks[request.request_id]
-        needed = self.blocks_for_tokens(max(1, request.num_total_tokens - num_tokens))
+        needed = self.blocks_for_tokens(
+            max(1, request.num_total_tokens - num_tokens))
         while len(chain) > needed:
-            block = chain.pop()
-            self._release_block(block, request)
+            self._release_block(chain.pop())
         request.kv_block_ids = [b.block_id for b in chain]
+
+    def update_priority(self, request: LlmRequest, priority: int) -> None:
+        """Retention priority (KvCacheRetentionConfig semantics): applied
+        to tree nodes now and remembered for blocks stored at free time."""
+        self._req_priority[request.request_id] = priority
+        for b in self._seq_blocks.get(request.request_id, ()):
+            if b.node is not None:
+                b.node.priority = priority
 
     # ------------------------------------------------------------------ #
     # Stats / events
@@ -312,6 +330,7 @@ class KVCacheManager:
         s.free_blocks = self.free_block_count
         s.used_blocks = self.num_blocks - s.free_blocks
         s.reusable_blocks = self._num_reusable
+        s.host_blocks = len(self._host_lru)
         total = s.reused_blocks + s.missed_blocks
         s.cache_hit_rate = s.reused_blocks / total if total else 0.0
         return s
@@ -331,18 +350,35 @@ class KVCacheManager:
             lora_task_id=request.lora_task_id,
             cache_salt=request.cache_salt)
 
-    def _claim_reused(self, block: Block) -> None:
-        if block.ref_count == 0:
-            self._reusable_remove(block)
-        block.ref_count += 1
+    def _claim_node(self, node: RadixNode) -> Optional[Block]:
+        """Take a reference on a matched node's block, onboarding from the
+        host tier if necessary. Returns None if onboarding is impossible."""
+        if node.block is not None:
+            if node.block.ref_count == 0:
+                self._reusable_remove(node.block, node)
+            node.block.ref_count += 1
+            return node.block
+        if node.host_data is not None and self._onboard_fn is not None:
+            try:
+                block = self._allocate_block()
+            except NoFreeBlocksError:
+                return None
+            self._onboard_fn(block.block_id, node.host_data)
+            self._host_lru.pop(node, None)
+            node.host_data = None
+            node.block = block
+            block.node = node
+            self._stats.onboarded_blocks += 1
+            return block
+        return None
 
-    def _release_block(self, block: Block, request: LlmRequest) -> None:
+    def _release_block(self, block: Block) -> None:
         block.ref_count -= 1
         if block.ref_count < 0:
             raise AssertionError(f"double free of block {block.block_id}")
         if block.ref_count == 0:
-            if block.in_tree:
-                self._reusable_add(block)
+            if block.node is not None:
+                self._reusable_add(block, block.node)
             else:
                 self._free.append(block.block_id)
 
@@ -352,37 +388,75 @@ class KVCacheManager:
         else:
             block = self._evict_one()
         block.ref_count = 1
-        block.priority = DEFAULT_PRIORITY
         return block
 
     def _evict_one(self) -> Block:
-        """Evict the lowest-priority, least-recently-used *leaf* reusable
-        block (evictionPolicy.h:71-125)."""
+        """Evict the lowest-priority LRU *leaf* reusable block; offload to
+        the host tier when configured (evictionPolicy.h:71-125)."""
+        def primary_below(n: RadixNode) -> bool:
+            return any(c.block is not None or primary_below(c)
+                       for c in n.children.values())
+
         for priority in sorted(self._reusable):
             bucket = self._reusable[priority]
             for block_id in bucket:
                 block = self._blocks[block_id]
-                if block.is_leaf:
-                    self._reusable_remove(block)
-                    self._push_event("removed", [hash(block.key)])
-                    block.detach()
-                    # parent may become an evictable leaf; nothing to do —
-                    # it is already in the reusable structure if ref==0.
+                node = block.node
+                # evictable = deepest primary block on its path (children
+                # may remain as host-tier/offloaded descendants)
+                if node is not None and not primary_below(node):
+                    self._reusable_remove(block, node)
+                    if (self._offload_fn is not None
+                            and self.host_cache_blocks > 0
+                            and node.priority >=
+                            self.secondary_offload_min_priority):
+                        self._offload_node(node)
+                    else:
+                        self._push_event("removed", [hash(node.key)])
+                        parent = node.parent
+                        node.detach()
+                        self._maybe_prune(parent)
+                    block.node = None
                     return block
         raise NoFreeBlocksError("no free or evictable KV blocks")
 
-    def _reusable_add(self, block: Block) -> None:
+    def _offload_node(self, node: RadixNode) -> None:
+        node.host_data = self._offload_fn(node.block.block_id)
+        node.block = None
+        self._host_lru[node] = None
+        self._stats.offloaded_blocks += 1
+        self._push_event("offloaded", [hash(node.key)])
+        while len(self._host_lru) > self.host_cache_blocks:
+            victim, _ = self._host_lru.popitem(last=False)
+            # only detach subtree-safe (leaf) victims; non-leaves wait
+            if victim.is_leaf:
+                victim.detach()
+            else:
+                victim.host_data = None
+
+    def _maybe_prune(self, node: Optional[RadixNode]) -> None:
+        """Remove dataless interior nodes that became childless."""
+        while (node is not None and node is not self._root and node.is_leaf
+               and node.block is None and node.host_data is None):
+            parent = node.parent
+            node.detach()
+            node = parent
+
+    def _reusable_add(self, block: Block, node: RadixNode) -> None:
         self._lru_clock += 1
-        block._lru_tick = self._lru_clock
-        self._reusable.setdefault(block.priority, OrderedDict())[block.block_id] = None
+        node._lru_tick = self._lru_clock
+        self._reusable.setdefault(node.priority, OrderedDict())[
+            block.block_id] = None
+        self._reusable_prio[block.block_id] = node.priority
         self._num_reusable += 1
 
-    def _reusable_remove(self, block: Block) -> None:
-        bucket = self._reusable.get(block.priority)
+    def _reusable_remove(self, block: Block, node: RadixNode) -> None:
+        prio = self._reusable_prio.pop(block.block_id, node.priority)
+        bucket = self._reusable.get(prio)
         if bucket is not None and block.block_id in bucket:
             del bucket[block.block_id]
             if not bucket:
-                del self._reusable[block.priority]
+                del self._reusable[prio]
             self._num_reusable -= 1
 
     def _push_event(self, kind: str, hashes: List[int]) -> None:

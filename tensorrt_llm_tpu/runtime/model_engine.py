@@ -445,6 +445,38 @@ class ModelEngine:
             return kv_pages.at[:, ids].set(blob)
         return fn
 
+    # single-page movers for the host KV tier (evictionPolicy secondary
+    # offload; KvCacheConfig.host_cache_size)
+    def offload_page(self, block_id: int) -> np.ndarray:
+        return np.asarray(self._page_gather_fn(
+            self.kv_pages, jnp.asarray(block_id, jnp.int32)))
+
+    def onboard_page(self, block_id: int, data: np.ndarray) -> None:
+        self.kv_pages = self._page_scatter_fn(
+            self.kv_pages,
+            jnp.asarray(data, self.model.config.kv_cache_dtype),
+            jnp.asarray(block_id, jnp.int32))
+
+    @functools.cached_property
+    def _page_gather_fn(self):
+        @jax.jit
+        def fn(kv_pages, bid):
+            return kv_pages[:, bid]   # [L, ps, 2kvh, hd]
+        return fn
+
+    @functools.cached_property
+    def _page_scatter_fn(self):
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def fn(kv_pages, page, bid):
+            return kv_pages.at[:, bid].set(page)
+        return fn
+
+    @property
+    def bytes_per_kv_block(self) -> int:
+        el = jnp.dtype(self.model.config.kv_cache_dtype).itemsize
+        return (self.model.num_layers * self.page_size *
+                2 * self.model.num_kv_heads * self.model.head_dim * el)
+
     def _pick_bucket(self, n: int) -> int:
         for b in self.token_buckets:
             if n <= b:
