@@ -247,7 +247,8 @@ class LLM:
             self.engine, self.kv_cache_manager,
             RequestScheduler(capacity, micro),
             tokenizer=self.tokenizer,
-            enable_overlap=not args.disable_overlap_scheduler,
+            enable_overlap=(not args.disable_overlap_scheduler
+                            and args.max_beam_width <= 1),
             stream_interval=args.stream_interval,
             drafter=drafter,
             guided_decoder=guided_decoder,

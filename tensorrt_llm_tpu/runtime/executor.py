@@ -198,6 +198,9 @@ class PyExecutor:
         import os
         self._trace_iters = os.environ.get("TLLM_TPU_TRACE_ITERS") == "1"
 
+        # beam groups keyed by parent request id
+        self._beam_groups: Dict[int, Any] = {}
+
         from .hang_detector import HangDetector
         self._hang_detector = HangDetector(timeout_s=600.0)
         self._hang_detector.start()
@@ -218,7 +221,22 @@ class PyExecutor:
         with self._lock:
             self._results[request.request_id] = res
         from .request import LlmRequestType
-        if request.request_type == LlmRequestType.REQUEST_TYPE_GENERATION_ONLY:
+        if request.sampling_params.use_beam_search:
+            if self.enable_overlap:
+                raise ValueError(
+                    "beam search needs the sync scheduler: build the LLM "
+                    "with disable_overlap_scheduler=True (or max_beam_width"
+                    " > 1, which implies it)")
+            from .beam_search import BeamGroup, make_beam_rows
+            rows = make_beam_rows(request)
+            group = BeamGroup(request, rows)
+            group.steps = 0
+            with self._lock:
+                self._beam_groups[request.request_id] = group
+            for row in rows:
+                self._request_queue.put(row)
+        elif request.request_type == \
+                LlmRequestType.REQUEST_TYPE_GENERATION_ONLY:
             self._pending_disagg.put((request, kv_transfer_key))
         else:
             self._request_queue.put(request)
@@ -501,6 +519,50 @@ class PyExecutor:
                     and r.request_id in self._results]:
             if req not in finished:
                 self._finish_request(req)
+        self._update_beam_groups()
+
+    def _update_beam_groups(self):
+        if not self._beam_groups:
+            return
+        done_groups = []
+        for pid, group in list(self._beam_groups.items()):
+            rows = group.rows
+            if any(r.is_context_init_state for r in rows):
+                continue
+            step = min(r.num_output_tokens for r in rows)
+            if step <= group.steps:
+                continue
+            group.steps = step
+            group.update(self.engine, self.kv)
+            if group.done:
+                done_groups.append(pid)
+        for pid in done_groups:
+            group = self._beam_groups.pop(pid)
+            hyps = group.finalize()
+            parent = group.parent
+            parent.output_token_ids = list(hyps[0].tokens) if hyps else []
+            parent.cum_logprob = hyps[0].score if hyps else 0.0
+            parent.finish_by_reason(FinishReason.END_ID
+                                    if (group.end_id is not None and hyps
+                                        and hyps[0].tokens
+                                        and hyps[0].tokens[-1] ==
+                                        group.end_id)
+                                    else FinishReason.LENGTH)
+            with self._lock:
+                res = self._results.pop(parent.request_id, None)
+            if res is not None:
+                res._on_finish()
+                # attach runner-up hypotheses as extra outputs
+                for j, h in enumerate(hyps[1:], start=1):
+                    out = CompletionOutput(
+                        index=j, token_ids=list(h.tokens),
+                        cumulative_logprob=h.score,
+                        text=res._safe_decode(h.tokens),
+                        finish_reason=res.outputs[0].finish_reason)
+                    res.outputs.append(out)
+            for row in rows:
+                row.cancel()
+                self._finish_request(row)
 
     def _finish_request(self, req: LlmRequest):
         if self.guided_decoder is not None:

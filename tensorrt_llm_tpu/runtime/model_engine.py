@@ -471,6 +471,19 @@ class ModelEngine:
             return kv_pages.at[:, bid].set(page)
         return fn
 
+    def copy_page(self, src_block: int, dst_block: int) -> None:
+        """Device-side page copy (beam fork; the cache_indirection analog)."""
+        self.kv_pages = self._page_copy_fn(
+            self.kv_pages, jnp.asarray(src_block, jnp.int32),
+            jnp.asarray(dst_block, jnp.int32))
+
+    @functools.cached_property
+    def _page_copy_fn(self):
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def fn(kv_pages, src, dst):
+            return kv_pages.at[:, dst].set(kv_pages[:, src])
+        return fn
+
     @property
     def bytes_per_kv_block(self) -> int:
         el = jnp.dtype(self.model.config.kv_cache_dtype).itemsize
