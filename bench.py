@@ -37,11 +37,18 @@ def main():
     from tensorrt_llm_tpu import LLM, KvCacheConfig, QuantConfig, SamplingParams
     from tensorrt_llm_tpu.quantization.mode import QuantAlgo
 
+    model_size = os.environ.get("BENCH_MODEL", "1b")
     if tiny:
         cfg = LlamaConfig(vocab_size=256, hidden_size=128,
                           intermediate_size=256, num_hidden_layers=2,
                           num_attention_heads=4, num_key_value_heads=2,
                           max_position_embeddings=2048)
+    elif model_size == "8b":
+        # Llama-3-8B geometry (the BASELINE north-star config on v5e)
+        cfg = LlamaConfig(vocab_size=128256, hidden_size=4096,
+                          intermediate_size=14336, num_hidden_layers=32,
+                          num_attention_heads=32, num_key_value_heads=8,
+                          max_position_embeddings=8192)
     else:
         # TinyLlama-1.1B-scale geometry with TPU-native head_dim 128
         # (the RPA kernel's lane width; 32×64-dim heads would fall back
@@ -126,8 +133,10 @@ def main():
     step_bytes = weight_bytes + batch * avg_ctx * kv_bytes_per_tok
     roofline = batch * hbm_bw / step_bytes
 
+    name = {"1b": "TinyLlama-1.1B", "8b": "Llama-8B"}.get(model_size,
+                                                          model_size)
     print(json.dumps({
-        "metric": f"output tok/s/chip TinyLlama-1.1B {quant} "
+        "metric": f"output tok/s/chip {name} {quant} "
                   f"bs{batch} {isl}/{osl}",
         "value": round(tput, 1),
         "unit": "tok/s",

@@ -214,8 +214,16 @@ class DecoderModelForCausalLM:
 def quantize_linear(method: LinearMethod, w: np.ndarray,
                     bias: Optional[np.ndarray] = None,
                     dtype=jnp.bfloat16) -> Dict[str, jax.Array]:
-    """Load-time conversion of one [K, N] weight through its method."""
-    params = method.quantize_weights(jnp.asarray(w), dtype=dtype)
-    if bias is not None:
-        params["bias"] = jnp.asarray(bias, dtype=dtype)
+    """Load-time conversion of one [K, N] weight through its method.
+
+    Quantization runs on the host CPU backend so only the *quantized*
+    bytes cross to the accelerator (an f32 staging upload would be 8x the
+    int4 footprint — the role of the reference's host-side weight
+    preprocessors, cutlass_preprocessors.cpp)."""
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        params = method.quantize_weights(jnp.asarray(w), dtype=dtype)
+        if bias is not None:
+            params["bias"] = jnp.asarray(bias, dtype=dtype)
+        params = jax.tree.map(lambda a: np.asarray(a), params)
     return params
