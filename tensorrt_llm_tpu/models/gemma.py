@@ -147,11 +147,14 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
             head_dim=spec.head_dim, sm_scale=spec.sm_scale, rope=spec.rope,
             sliding_window=self.sliding_window, soft_cap=spec.soft_cap)
 
+        shard_mesh, shard_axis = self.attn_shard_args()
+
         def attn(which_spec, layer, normed, layer_kv):
             return attention_block(
                 layer, normed, layer_kv, metadata, which_spec,
                 self.m_q, self.m_o, attn_backend=self.attn_backend,
-                kv_scale=self.config.kv_scale, rope_cos_sin=cos_sin)
+                kv_scale=self.config.kv_scale, rope_cos_sin=cos_sin,
+                mesh=shard_mesh, tp_axis=shard_axis)
 
         def layer_body(h, xs):
             layer, layer_kv = xs

@@ -138,13 +138,16 @@ class GPT2LMHeadModel(DecoderModelForCausalLM):
         spec = self.attn_spec
         eps = self.ln_eps
 
+        shard_mesh, shard_axis = self.attn_shard_args()
+
         def layer_body(h, xs):
             layer, layer_kv = xs
             normed = layer_norm(h, layer["ln1_w"], layer["ln1_b"], eps)
             attn_out, new_pages = attention_block(
                 layer, normed, layer_kv, metadata, spec,
                 self.m_attn, self.m_attn, attn_backend=self.attn_backend,
-                kv_scale=self.config.kv_scale)
+                kv_scale=self.config.kv_scale,
+                mesh=shard_mesh, tp_axis=shard_axis)
             h = h + attn_out
             normed = layer_norm(h, layer["ln2_w"], layer["ln2_b"], eps)
             fc = self.m_mlp.apply(layer["fc"], normed)

@@ -160,6 +160,8 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
         else:
             q_norm = k_norm = None
 
+        shard_mesh, shard_axis = self.attn_shard_args()
+
         def layer_body(h, xs):
             # per-layer KV pages ride the scan xs/ys (sliced in, stacked
             # out) so XLA aliases them in place instead of copying the
@@ -170,7 +172,8 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
                 layer, normed, layer_kv, metadata, spec,
                 self.m_q, self.m_o, attn_backend=self.attn_backend,
                 kv_scale=self.config.kv_scale, rope_cos_sin=cos_sin,
-                q_norm=q_norm, k_norm=k_norm)
+                q_norm=q_norm, k_norm=k_norm,
+                mesh=shard_mesh, tp_axis=shard_axis)
             h = h + attn_out
             normed = rms_norm(h, layer["post_norm"], eps)
             gate = self.m_mlp.apply(layer["gate"], normed)

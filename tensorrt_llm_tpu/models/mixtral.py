@@ -129,13 +129,16 @@ class MixtralForCausalLM(LlamaForCausalLM):
         cos_sin = rope_cos_sin(spec.rope, metadata.positions)
         mapping = self.config.mapping
 
+        shard_mesh, shard_axis = self.attn_shard_args()
+
         def layer_body(h, xs):
             layer, layer_kv = xs
             normed = rms_norm(h, layer["input_norm"], eps)
             attn_out, new_pages = attention_block(
                 layer, normed, layer_kv, metadata, spec,
                 self.m_q, self.m_o, attn_backend=self.attn_backend,
-                kv_scale=self.config.kv_scale, rope_cos_sin=cos_sin)
+                kv_scale=self.config.kv_scale, rope_cos_sin=cos_sin,
+                mesh=shard_mesh, tp_axis=shard_axis)
             h = h + attn_out
             normed = rms_norm(h, layer["post_norm"], eps)
             h = h + moe_mlp(normed, layer["w_gate"], layer["w_up"],

@@ -104,7 +104,9 @@ def attention_block(params: Dict[str, Any],
                     kv_scale: Optional[float] = None,
                     q_norm: Optional[Callable] = None,
                     k_norm: Optional[Callable] = None,
-                    rope_cos_sin: Optional[Tuple[jax.Array, jax.Array]] = None
+                    rope_cos_sin: Optional[Tuple[jax.Array, jax.Array]] = None,
+                    mesh=None,
+                    tp_axis: Optional[str] = None
                     ) -> Tuple[jax.Array, jax.Array]:
     """Attention with paged KV (reference: modules/attention.py:314
     forward → attention_backend.trtllm.py:1629 single-op path).
@@ -136,7 +138,8 @@ def attention_block(params: Dict[str, Any],
     attn = ragged_paged_attention(
         q, kv_pages, metadata, sm_scale=spec.sm_scale,
         sliding_window=spec.sliding_window, soft_cap=spec.soft_cap,
-        k_scale=ks, v_scale=ks, backend=attn_backend)
+        k_scale=ks, v_scale=ks, backend=attn_backend,
+        mesh=mesh, tp_axis=tp_axis)
     out = o_method.apply(params["o"], attn.reshape(T, nq * hd))
     return out, kv_pages
 
@@ -157,6 +160,18 @@ class DecoderModelForCausalLM:
         self.hf = model_config.hf_config
         self.dtype = model_config.dtype
         self.attn_backend = "auto"
+        # set by the engine when running under a device mesh
+        self.mesh = None
+
+    def attn_shard_args(self):
+        """(mesh, tp_axis) for head-sharded attention under shard_map, or
+        (None, None) when attention runs unsharded/replicated."""
+        m = self.config.mapping
+        if (self.mesh is not None and m.tp_size > 1
+                and self.num_heads % m.tp_size == 0
+                and (2 * self.num_kv_heads) % m.tp_size == 0):
+            return self.mesh, "tp"
+        return None, None
 
     # ---- geometry used by the engine to size KV pools ------------------
     @property

@@ -110,8 +110,37 @@ def ragged_paged_attention(
         soft_cap: Optional[float] = None,
         k_scale: Optional[float] = None,
         v_scale: Optional[float] = None,
-        backend: str = "auto") -> jax.Array:
-    """Mixed prefill/decode attention over the paged KV pool."""
+        backend: str = "auto",
+        mesh=None,
+        tp_axis: Optional[str] = None) -> jax.Array:
+    """Mixed prefill/decode attention over the paged KV pool.
+
+    With ``mesh``/``tp_axis`` set, the op runs under ``shard_map`` over
+    the head dimension: attention is embarrassingly parallel across kv
+    heads, and GSPMD cannot partition a pallas_call on its own (the role
+    of the reference's per-rank attention with NCCL around it — here each
+    device runs the kernel on its local head shard, no collectives)."""
+    if mesh is not None and tp_axis is not None and \
+            mesh.shape.get(tp_axis, 1) > 1:
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        def local_attn(q_l, kv_l):
+            return ragged_paged_attention(
+                q_l, kv_l, metadata, sm_scale=sm_scale,
+                sliding_window=sliding_window, soft_cap=soft_cap,
+                k_scale=k_scale, v_scale=v_scale, backend=backend)
+
+        return shard_map(
+            local_attn, mesh=mesh,
+            in_specs=(P(None, tp_axis, None),
+                      P(None, None, tp_axis, None)),
+            out_specs=P(None, tp_axis, None),
+            check_rep=False)(q, kv_pages)
+
     if backend == "auto":
         # the library RPA kernel requires lane-aligned head_dim (128);
         # other geometries fall back to the XLA reference path until the

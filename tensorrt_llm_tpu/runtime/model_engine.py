@@ -82,6 +82,8 @@ class ModelEngine:
                     self._kv_bytes_per_layer() / 1e6)
 
         # device state
+        if self.mesh is not None and self.mapping.world_size > 1:
+            model.mesh = self.mesh  # enables shard_map'd attention
         self.params = self._shard_params(params)
         self.kv_pages = self._make_kv_pages()
         self.prev_tokens = jnp.zeros((self.max_batch_size,), jnp.int32)
