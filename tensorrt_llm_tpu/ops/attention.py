@@ -138,8 +138,7 @@ def ragged_paged_attention(
             local_attn, mesh=mesh,
             in_specs=(P(None, tp_axis, None),
                       P(None, None, tp_axis, None)),
-            out_specs=P(None, tp_axis, None),
-            check_rep=False)(q, kv_pages)
+            out_specs=P(None, tp_axis, None))(q, kv_pages)
 
     if backend == "auto":
         # the library RPA kernel requires lane-aligned head_dim (128);
