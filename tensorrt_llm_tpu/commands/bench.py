@@ -4,10 +4,8 @@ repo-root bench harness with dataset-style arguments."""
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import sys
-import time
 
 
 def main(argv=None):
