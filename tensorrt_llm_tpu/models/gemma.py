@@ -135,9 +135,10 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
         }
 
     # ------------------------------------------------------------------ #
-    def forward(self, params, token_ids, kv_pages, metadata):
+    def forward(self, params, token_ids, kv_pages, metadata,
+                input_embeds=None):
         H = self.hidden_size
-        h = params["embed"]["weight"][token_ids].astype(self.dtype)
+        h = self._embed(params, token_ids, input_embeds)
         h = h * jnp.asarray(math.sqrt(H), self.dtype)
         spec = self.attn_spec
         eps = self.rms_eps

@@ -132,8 +132,9 @@ class GPT2LMHeadModel(DecoderModelForCausalLM):
         return params
 
     # ------------------------------------------------------------------ #
-    def forward(self, params, token_ids, kv_pages, metadata):
-        h = params["embed"]["weight"][token_ids].astype(self.dtype)
+    def forward(self, params, token_ids, kv_pages, metadata,
+                input_embeds=None):
+        h = self._embed(params, token_ids, input_embeds)
         h = h + params["wpe"][metadata.positions].astype(self.dtype)
         spec = self.attn_spec
         eps = self.ln_eps

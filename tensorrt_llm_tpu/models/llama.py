@@ -144,8 +144,9 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
     # Forward (jitted hot path)
     # ------------------------------------------------------------------ #
     def forward(self, params: Dict[str, Any], token_ids: jax.Array,
-                kv_pages: jax.Array, metadata: AttentionMetadata):
-        h = params["embed"]["weight"][token_ids].astype(self.dtype)
+                kv_pages: jax.Array, metadata: AttentionMetadata,
+                input_embeds=None):
+        h = self._embed(params, token_ids, input_embeds)
         spec = self.attn_spec
         eps = self.rms_eps
         from ..ops.rope import rope_cos_sin

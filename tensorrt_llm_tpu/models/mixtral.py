@@ -122,8 +122,9 @@ class MixtralForCausalLM(LlamaForCausalLM):
         return params
 
     # ------------------------------------------------------------------ #
-    def forward(self, params, token_ids, kv_pages, metadata):
-        h = params["embed"]["weight"][token_ids].astype(self.dtype)
+    def forward(self, params, token_ids, kv_pages, metadata,
+                input_embeds=None):
+        h = self._embed(params, token_ids, input_embeds)
         spec = self.attn_spec
         eps = self.rms_eps
         cos_sin = rope_cos_sin(spec.rope, metadata.positions)

@@ -220,6 +220,20 @@ class DecoderModelForCausalLM:
     def _method(self, name: str) -> LinearMethod:
         return make_linear_method(self.config.quant_config, name)
 
+    def _embed(self, params, token_ids: jax.Array,
+               input_embeds: Optional[jax.Array] = None) -> jax.Array:
+        """Token embedding lookup with optional per-token embedding
+        override (multimodal / prompt-embeds path: rows of
+        ``input_embeds`` that are non-NaN replace the lookup — the
+        AutoDeploy flattened multimodal-embedding insertion,
+        reference: tensorrt_llm/inputs/multimodal.py)."""
+        h = params["embed"]["weight"][token_ids].astype(self.dtype)
+        if input_embeds is not None:
+            override = ~jnp.isnan(input_embeds[:, 0])
+            h = jnp.where(override[:, None],
+                          jnp.nan_to_num(input_embeds).astype(self.dtype), h)
+        return h
+
     @staticmethod
     def _gather_logits(hidden: jax.Array, metadata: AttentionMetadata
                        ) -> jax.Array:

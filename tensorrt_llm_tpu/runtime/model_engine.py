@@ -147,14 +147,16 @@ class ModelEngine:
     # Step compilation
     # ------------------------------------------------------------------ #
     def _build_step(self, use_penalties: bool, use_mask: bool = False,
-                    all_greedy: bool = False, num_logprobs: int = 0):
+                    all_greedy: bool = False, num_logprobs: int = 0,
+                    use_embeds: bool = False):
         model = self.model
         G = self.max_draft_len + 1  # logits gathered per sequence
         S = self.max_batch_size
         base_key = jax.random.PRNGKey(0)
 
         def step(params, kv_pages, prev_tokens, token_counts,
-                 ints_t, ints_s, page_indices, floats, logits_mask):
+                 ints_t, ints_s, page_indices, floats, logits_mask,
+                 input_embeds):
             # Per-step host metadata arrives packed in four arrays (the
             # tunnel/PCIe round-trip per transfer is the decode-latency
             # floor, so transfers are minimized):
@@ -189,8 +191,9 @@ class ModelEngine:
             from_prev = prev_slot >= 0
             gathered = prev_tokens[jnp.clip(prev_slot, 0)]
             tokens = jnp.where(from_prev, gathered, token_ids)
+            embeds = input_embeds if use_embeds else None
             logits, kv_pages = model.forward(params, tokens, kv_pages,
-                                             metadata)
+                                             metadata, input_embeds=embeds)
             if use_mask:
                 # guided-decoding bitmask (logitsBitmask.cu role)
                 mask = logits_mask
@@ -243,11 +246,14 @@ class ModelEngine:
         return jax.jit(step, donate_argnums=donate)
 
     def _get_step_fn(self, use_penalties: bool, use_mask: bool = False,
-                     all_greedy: bool = False, num_logprobs: int = 0):
-        key = (use_penalties, use_mask, all_greedy, num_logprobs)
+                     all_greedy: bool = False, num_logprobs: int = 0,
+                     use_embeds: bool = False):
+        key = (use_penalties, use_mask, all_greedy, num_logprobs,
+               use_embeds)
         if key not in self._step_fns:
             self._step_fns[key] = self._build_step(
-                use_penalties, use_mask, all_greedy, num_logprobs)
+                use_penalties, use_mask, all_greedy, num_logprobs,
+                use_embeds)
         return self._step_fns[key]
 
     # ------------------------------------------------------------------ #
@@ -393,7 +399,8 @@ class ModelEngine:
                           jnp.zeros((1, 1), jnp.int32),
                           jnp.asarray(ints_t), jnp.asarray(ints_s),
                           jnp.asarray(page_indices), jnp.asarray(floats),
-                          jnp.zeros((1, 1), bool))
+                          jnp.zeros((1, 1), bool),
+                          jnp.zeros((1, 1), jnp.float32))
             _, _, _, _, self.prev_tokens, _, self.kv_pages = out
             last = out[0]
             logger.info("warmed bucket T=%d", T)
@@ -556,15 +563,32 @@ class ModelEngine:
             if reqs else 0
         num_logprobs = 0 if want_lp == 0 else min(
             next(k for k in (1, 5, 8, 20) if k >= min(want_lp, 20)), 20)
+        # multimodal / prompt-embedding rows (NaN = use token lookup)
+        embeds = None
+        if any(r.prompt_embeds is not None
+               for r in batch.context_requests):
+            H = self.model.hidden_size
+            embeds = np.full((T, H), np.nan, np.float32)
+            pos = 0
+            for r in batch.context_requests:
+                start = r.context_current_position
+                end = min(r.prompt_len, start + r.context_chunk_size)
+                if r.prompt_embeds is not None:
+                    embeds[pos:pos + (end - start)] = \
+                        np.asarray(r.prompt_embeds)[start:end]
+                pos += end - start
+        use_embeds = embeds is not None
         step_fn = self._get_step_fn(use_penalties, use_mask, all_greedy,
-                                    num_logprobs)
+                                    num_logprobs, use_embeds)
         mask_arr = jnp.asarray(logits_mask) if use_mask else \
             jnp.zeros((1, 1), bool)
+        embeds_arr = jnp.asarray(embeds) if use_embeds else \
+            jnp.zeros((1, 1), jnp.float32)
         out = step_fn(self.params, self.kv_pages, self.prev_tokens,
                       counts if use_penalties else jnp.zeros((1, 1), jnp.int32),
                       jnp.asarray(ints_t), jnp.asarray(ints_s),
                       jnp.asarray(inp.page_indices), jnp.asarray(floats),
-                      mask_arr)
+                      mask_arr, embeds_arr)
         (tokens, logprobs, tl_vals, tl_ids, self.prev_tokens, new_counts,
          self.kv_pages) = out
         if use_penalties:

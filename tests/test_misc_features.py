@@ -103,3 +103,20 @@ def test_incremental_detokenizer():
     assert d.put([2]) == "c"
     assert d.finish() == ""
     assert d.full_text == "abc"
+
+
+def test_prompt_embeds_override(tiny):
+    """Prompt-embedding input path (multimodal foundation): feeding the
+    model's own embedding rows must reproduce the token-id result."""
+    import numpy as np
+    llm, tmodel = tiny
+    prompt = [5, 9, 23, 44, 17]
+    ref = llm.generate(prompt, SamplingParams(max_tokens=5, top_k=1))
+    embeds = tmodel.get_input_embeddings().weight.detach().numpy()[prompt]
+    from tensorrt_llm_tpu.runtime.request import LlmRequest
+    req = LlmRequest(prompt_token_ids=list(prompt),
+                     sampling_params=SamplingParams(max_tokens=5, top_k=1),
+                     prompt_embeds=np.asarray(embeds, np.float32))
+    out = llm.executor.submit(req).result(60)
+    got = out.request.output_token_ids
+    assert got == ref.outputs[0].token_ids
