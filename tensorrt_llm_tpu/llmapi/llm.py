@@ -298,6 +298,13 @@ class LLM:
             raise ValueError(
                 f"prompt length {len(token_ids)} exceeds max_input_len "
                 f"{self.args.max_input_len}")
+        # keep the request within engine sequence bounds (reference clamps
+        # the same way at submission)
+        room = self.args.max_seq_len - len(token_ids)
+        if room < 1:
+            raise ValueError("prompt leaves no room for generation within "
+                             f"max_seq_len {self.args.max_seq_len}")
+        sampling_params.max_tokens = min(sampling_params.max_tokens, room)
         if sampling_params.end_id is None and self.tokenizer is not None:
             eos = getattr(self.tokenizer, "eos_token_id", None)
             if eos is not None:
@@ -350,6 +357,10 @@ class LLM:
                   if hasattr(v, "detach") else _np.asarray(v))
               for k, v in state_dict.items()}
         self.engine.update_weights(sd)
+
+    def abort_request(self, request_id: int) -> None:
+        """Cancel an in-flight request (reference: LLM.abort_request)."""
+        self.executor.cancel(request_id)
 
     # ------------------------------------------------------------------ #
     def get_stats(self) -> list:

@@ -273,6 +273,7 @@ class PyExecutor:
                     self._work_event.clear()
                 self._fetch_new_requests()
                 self._admit_disagg_generation()
+                self._reap_finished()
                 if not self._active and not self._inflight:
                     self._hang_detector.disarm()
                     continue
@@ -514,12 +515,13 @@ class PyExecutor:
                 finished.append(req)
         for req in finished:
             self._finish_request(req)
-        # reap cancelled requests
-        for req in [r for r in self._active if r.is_finished
-                    and r.request_id in self._results]:
-            if req not in finished:
-                self._finish_request(req)
+        self._reap_finished()
         self._update_beam_groups()
+
+    def _reap_finished(self):
+        """Complete requests finished out-of-band (cancellation)."""
+        for req in [r for r in self._active if r.is_finished]:
+            self._finish_request(req)
 
     def _update_beam_groups(self):
         if not self._beam_groups:

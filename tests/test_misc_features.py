@@ -120,3 +120,14 @@ def test_prompt_embeds_override(tiny):
     out = llm.executor.submit(req).result(60)
     got = out.request.output_token_ids
     assert got == ref.outputs[0].token_ids
+
+
+def test_abort_request(tiny):
+    llm, _ = tiny
+    fut = llm.generate_async([9, 8, 7], SamplingParams(max_tokens=10000,
+                                                       top_k=1))
+    import time
+    time.sleep(0.2)
+    llm.abort_request(fut.request_id)
+    out = fut.result(timeout=30)
+    assert out.finished
