@@ -142,11 +142,38 @@ def ragged_paged_attention(
 
     if backend == "auto":
         # the library RPA kernel requires lane-aligned head_dim (128);
-        # other geometries fall back to the XLA reference path until the
-        # in-repo kernel covers them
-        head_dim_ok = q.shape[-1] % 128 == 0
-        backend = "rpa" if (_RPA_AVAILABLE and head_dim_ok and
-                            jax.default_backend() == "tpu") else "reference"
+        # other geometries use the in-repo decode kernel for decode-only
+        # batches and the XLA reference path for prefill
+        on_tpu = jax.default_backend() == "tpu"
+        if on_tpu and q.shape[-1] % 128 == 0 and _RPA_AVAILABLE:
+            backend = "rpa"
+        elif on_tpu:
+            backend = "hybrid_decode"
+        else:
+            backend = "reference"
+    if backend == "hybrid_decode":
+        from .pallas.decode_attention import paged_decode_attention
+        S = metadata.kv_lens.shape[0]
+        T = q.shape[0]
+        n = metadata.num_seqs[0]
+        decode_only = metadata.cu_q_lens[jnp.minimum(n, S)] == n
+
+        def decode_path(_):
+            m = min(S, T)
+            q_s = jnp.zeros((S,) + q.shape[1:], q.dtype).at[:m].set(q[:m])
+            out_s = paged_decode_attention(
+                q_s, kv_pages, metadata.kv_lens, metadata.page_indices,
+                sm_scale=sm_scale, sliding_window=sliding_window,
+                soft_cap=soft_cap, k_scale=k_scale, v_scale=v_scale)
+            return jnp.zeros_like(q).at[:m].set(out_s[:m].astype(q.dtype))
+
+        def prefill_path(_):
+            return _reference_attention(
+                q, kv_pages, metadata, sm_scale=sm_scale,
+                sliding_window=sliding_window, soft_cap=soft_cap,
+                k_scale=k_scale, v_scale=v_scale)
+
+        return jax.lax.cond(decode_only, decode_path, prefill_path, None)
     if backend == "rpa":
         return _rpa_kernel(
             q, kv_pages, metadata.kv_lens, metadata.page_indices,
