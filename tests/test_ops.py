@@ -297,3 +297,31 @@ def test_sliding_window_attention(rng):
     expect = np.einsum("hk,khd->hd", p, vn[lo:])
     np.testing.assert_allclose(np.asarray(out)[-1], expect, rtol=1e-4,
                                atol=1e-4)
+
+
+def test_decode_attention_kernel_interpret(rng):
+    """In-repo paged decode kernel vs dense reference (interpret mode)."""
+    import jax.numpy as jnp
+    from tensorrt_llm_tpu.ops.pallas.decode_attention import \
+        paged_decode_attention
+    S, qh, kvh, hd, ps, P = 3, 8, 2, 64, 16, 10
+    q = jnp.asarray(rng.normal(size=(S, qh, hd)), jnp.float32)
+    kv = jnp.asarray(rng.normal(size=(P, ps, 2 * kvh, hd)), jnp.float32)
+    kv_lens = jnp.asarray([37, 5, 0], jnp.int32)
+    pi = jnp.asarray([[1, 2, 3, 0], [5, 0, 0, 0], [0, 0, 0, 0]], jnp.int32)
+    out = paged_decode_attention(q, kv, kv_lens, pi, sm_scale=0.125,
+                                 interpret=True)
+    group = qh // kvh
+    for s in range(2):
+        L = int(kv_lens[s])
+        pages = np.asarray(pi[s])
+        kfull = np.concatenate([np.asarray(kv[p]) for p in pages])[:L]
+        ks, vs = kfull[:, 0::2, :], kfull[:, 1::2, :]
+        for h in range(kvh):
+            for g in range(group):
+                sc = (np.asarray(q[s, h * group + g]) @ ks[:, h, :].T) * 0.125
+                p_ = np.exp(sc - sc.max())
+                p_ /= p_.sum()
+                expect = p_ @ vs[:, h, :]
+                np.testing.assert_allclose(
+                    np.asarray(out[s, h * group + g]), expect, atol=1e-4)
