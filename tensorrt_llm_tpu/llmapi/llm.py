@@ -116,6 +116,11 @@ class LLM:
             quant_config=self.args.quant_config, mapping=self.mapping)
         model_cls = get_model_class(hf_config.model_type)
         self.model = model_cls(model_config)
+        backend_map = {"AUTO": "auto", "RPA": "rpa",
+                       "REFERENCE": "reference", "VANILLA": "reference",
+                       "HYBRID": "hybrid_decode"}
+        self.model.attn_backend = backend_map.get(
+            self.args.attn_backend.upper(), "auto")
         if self.mapping.world_size > 1:
             # Pallas kernels are not auto-partitioned by GSPMD; use the XLA
             # dequant path until the kernels are shard_map-wrapped.
