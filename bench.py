@@ -43,6 +43,13 @@ def main():
                           intermediate_size=256, num_hidden_layers=2,
                           num_attention_heads=4, num_key_value_heads=2,
                           max_position_embeddings=2048)
+    elif model_size == "1b-hd64":
+        # true TinyLlama-1.1B geometry (32 heads x 64) — exercises the
+        # in-repo decode kernel via the hybrid dispatch
+        cfg = LlamaConfig(vocab_size=32000, hidden_size=2048,
+                          intermediate_size=5632, num_hidden_layers=22,
+                          num_attention_heads=32, num_key_value_heads=4,
+                          max_position_embeddings=4096)
     elif model_size == "8b":
         # Llama-3-8B geometry (the BASELINE north-star config on v5e)
         cfg = LlamaConfig(vocab_size=128256, hidden_size=4096,

@@ -49,7 +49,7 @@ def _kernel(kv_lens_ref, page_tbl_ref,          # scalar prefetch
             dma((p + 1) % 2, p + 1).start()
 
         dma(slot, p).wait()
-        page = kbuf[slot]                      # [ps, 2*num_kv, hd]
+        page = kbuf[slot]                      # [ps, num_kv, 2*hd] (k|v)
         kv_pos = p * ps + jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
         valid = kv_pos < kv_len
         if sliding_window is not None:
@@ -62,8 +62,8 @@ def _kernel(kv_lens_ref, page_tbl_ref,          # scalar prefetch
         outs_l = []
         outs_acc = []
         for h in range(num_kv):
-            k = page[:, 2 * h, :]              # [ps, hd]
-            v = page[:, 2 * h + 1, :]
+            k = page[:, h, :hd]                # [ps, hd]
+            v = page[:, h, hd:]
             if k_scale is not None:
                 k = (k.astype(jnp.float32) * k_scale)
                 v = (v.astype(jnp.float32) * v_scale)
@@ -121,6 +121,12 @@ def paged_decode_attention(q: jax.Array,           # [S, qh, hd]
     num_kv = combined // 2
     group = qh // num_kv
     max_pages = page_indices.shape[1]
+    if (2 * hd) % 128 != 0:
+        raise ValueError(f"head_dim {hd} needs hd % 64 == 0 for the "
+                         f"decode kernel's 128-lane DMA alignment")
+    # view adjacent (k_h, v_h) pairs as one 128-aligned lane group so the
+    # page DMA stays tiling-aligned: [P, ps, kvh, 2*hd]
+    kv_pages = kv_pages.reshape(P, ps, num_kv, 2 * hd)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -133,7 +139,7 @@ def paged_decode_attention(q: jax.Array,           # [S, qh, hd]
         out_specs=pl.BlockSpec((1, qh, hd), lambda s, *_: (s, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, ps, combined, hd), kv_pages.dtype),
+            pltpu.VMEM((2, ps, num_kv, 2 * hd), kv_pages.dtype),
             pltpu.VMEM((1,), jnp.float32),           # placeholder
             pltpu.SemaphoreType.DMA((2,)),
         ],
