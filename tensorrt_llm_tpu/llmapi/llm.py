@@ -191,6 +191,18 @@ class LLM:
             mapping=self.mapping, mesh=self.mesh,
             max_draft_len=max_draft_len)
         del self._params
+        if args.enable_lora:
+            from ..lora.lora_manager import LoraConfig, LoraManager
+            if not hasattr(self.model, "lora_module_shapes"):
+                raise NotImplementedError(
+                    f"LoRA not supported for {type(self.model).__name__}")
+            self.lora_manager = LoraManager(
+                LoraConfig(**(args.lora_config or {})),
+                num_layers=self.model.num_layers)
+            self.engine.set_lora_manager(self.lora_manager)
+            self.engine.refresh_lora()
+        else:
+            self.lora_manager = None
         if args.enable_warmup and jax.default_backend() == "tpu":
             logger.info("warming up %d token buckets...",
                         len(self.engine.token_buckets))
@@ -324,10 +336,23 @@ class LLM:
             elif disaggregated_params.request_type == "generation_only":
                 rtype = LlmRequestType.REQUEST_TYPE_GENERATION_ONLY
                 kv_key = f"ctxkv-{disaggregated_params.ctx_request_id}"
+        lora_task_id = None
+        if lora_request is not None:
+            if self.lora_manager is None:
+                raise ValueError("enable_lora=False: build the LLM with "
+                                 "enable_lora=True for adapter requests")
+            lora_task_id = lora_request.lora_int_id
+            if self.lora_manager.slot_for(lora_task_id) < 0:
+                if lora_task_id not in self.lora_manager._host_cache:
+                    self.lora_manager.load_from_path(
+                        lora_task_id, lora_request.lora_path)
+                self.lora_manager.activate(lora_task_id)
+                self.engine.refresh_lora()
         req = LlmRequest(prompt_token_ids=token_ids,
                          sampling_params=sampling_params,
                          streaming=streaming, cache_salt=cache_salt,
-                         request_type=rtype)
+                         request_type=rtype,
+                         lora_task_id=lora_task_id)
         if rtype == LlmRequestType.REQUEST_TYPE_GENERATION_ONLY:
             first = disaggregated_params.first_gen_tokens[0]
             req.host_token_override = first

@@ -171,6 +171,8 @@ class LlmArgs(StrictBaseModel):
     speculative_config: Optional[SpeculativeConfig] = None
     attention_dp_config: Optional[AttentionDpConfig] = None
 
+    enable_lora: bool = False
+    lora_config: Optional[Dict[str, Any]] = None
     enable_chunked_prefill: bool = True
     disable_overlap_scheduler: bool = False
     # decode steps allowed in flight before host consumes results; hides

@@ -139,8 +139,9 @@ class LoraManager:
         return self._slot_of.get(task_id, -1)
 
     def device_stacks(self, module_shapes: Dict[str, tuple], dtype):
-        """Stacked adapter tensors per module:
-        {module: (A [n_slots+1, L, K, r], B [n_slots+1, L, r, N],
+        """Stacked adapter tensors per module, layer-major so they ride
+        the model's layer scan:
+        {module: (A [L, n_slots+1, K, r], B [L, n_slots+1, r, N],
                   scale [n_slots+1])} — slot n_slots is the zero adapter
         used for tokens without LoRA."""
         if self._device_stacks is not None:
@@ -151,8 +152,8 @@ class LoraManager:
         L = self.num_layers
         stacks = {}
         for mod, (K, N) in module_shapes.items():
-            A = np.zeros((n + 1, L, K, r), np.float32)
-            B = np.zeros((n + 1, L, r, N), np.float32)
+            A = np.zeros((L, n + 1, K, r), np.float32)
+            B = np.zeros((L, n + 1, r, N), np.float32)
             scale = np.zeros(n + 1, np.float32)
             for slot, tid in enumerate(self._slots):
                 if tid is None:
@@ -163,8 +164,8 @@ class LoraManager:
                     if w.a is None or w.b is None:
                         continue
                     rr = w.a.shape[1]
-                    A[slot, layer, :, :rr] = w.a
-                    B[slot, layer, :rr, :] = w.b
+                    A[layer, slot, :, :rr] = w.a
+                    B[layer, slot, :rr, :] = w.b
                 scale[slot] = next(iter(per_layer.values())).scale \
                     if per_layer else 0.0
             stacks[mod] = (jnp.asarray(A, dtype), jnp.asarray(B, dtype),
@@ -173,23 +174,23 @@ class LoraManager:
         return stacks
 
 
-def apply_lora(x, base_out, a_stack, b_stack, scales, slot_ids,
-               layer_idx):
-    """Per-token LoRA application inside the jitted forward:
+def apply_lora(x, base_out, a_layer, b_layer, scales, slot_ids):
+    """Per-token LoRA application inside the jitted forward (one layer):
 
-        out += scale[slot] * ((x @ A[slot, layer]) @ B[slot, layer])
+        out += scale[slot] * ((x @ A[slot]) @ B[slot])
 
-    slot_ids: i32[T] (-1 → zero slot). Batched einsum over gathered
-    per-token adapter weights — the grouped-GEMM analog. Cost is
-    acceptable at decode T; prefill with many distinct adapters should
-    sort tokens by slot (future work, mirrors loraOp grouping).
+    a_layer [n_slots+1, K, r], b_layer [n_slots+1, r, N] are this layer's
+    slices (the stacks ride the layer scan); slot_ids i32[T], -1 → zero
+    slot. Batched einsum over gathered per-token adapter weights — the
+    grouped-GEMM analog (ref: thop/loraOp.cpp). Prefill with many
+    distinct adapters should sort tokens by slot (future work).
     """
     import jax.numpy as jnp
-    n_zero = a_stack.shape[0] - 1
+    n_zero = a_layer.shape[0] - 1
     sid = jnp.where(slot_ids >= 0, slot_ids, n_zero)
-    a = a_stack[sid, layer_idx]          # [T, K, r]
-    b = b_stack[sid, layer_idx]          # [T, r, N]
+    a = a_layer[sid]                     # [T, K, r]
+    b = b_layer[sid]                     # [T, r, N]
     s = scales[sid]                      # [T]
     h = jnp.einsum("tk,tkr->tr", x, a)
     delta = jnp.einsum("tr,trn->tn", h, b)
-    return base_out + delta * s[:, None]
+    return base_out + (delta * s[:, None]).astype(base_out.dtype)

@@ -143,14 +143,41 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
     # ------------------------------------------------------------------ #
     # Forward (jitted hot path)
     # ------------------------------------------------------------------ #
+    def lora_module_shapes(self) -> Dict[str, tuple]:
+        H, I = self.hidden_size, self.intermediate_size
+        nq, nkv, hd = self.num_heads, self.num_kv_heads, self.head_dim
+        return {"q": (H, nq * hd), "k": (H, nkv * hd), "v": (H, nkv * hd),
+                "o": (nq * hd, H), "gate": (H, I), "up": (H, I),
+                "down": (I, H)}
+
     def forward(self, params: Dict[str, Any], token_ids: jax.Array,
                 kv_pages: jax.Array, metadata: AttentionMetadata,
-                input_embeds=None):
+                input_embeds=None, lora=None, lora_slots=None):
         h = self._embed(params, token_ids, input_embeds)
         spec = self.attn_spec
         eps = self.rms_eps
         from ..ops.rope import rope_cos_sin
         cos_sin = rope_cos_sin(spec.rope, metadata.positions)
+
+        use_lora = lora is not None
+        lora_scan_xs = None
+        if use_lora:
+            from ..lora.lora_manager import apply_lora
+            # scan slices carry the per-layer A/B; scales close over
+            lora_scan_xs = {m: (a, b) for m, (a, b, _) in lora.items()}
+            lora_scales = {m: s for m, (_, _, s) in lora.items()}
+
+            def make_lora_fn(lora_layer):
+                def f(mod, x, out):
+                    if mod not in lora_layer:
+                        return out
+                    a, b = lora_layer[mod]
+                    return apply_lora(x, out, a, b, lora_scales[mod],
+                                      lora_slots)
+                return f
+        else:
+            def make_lora_fn(_):
+                return None
 
         if self.use_qk_norm:
             def q_norm(layer, q):
@@ -167,26 +194,32 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
             # per-layer KV pages ride the scan xs/ys (sliced in, stacked
             # out) so XLA aliases them in place instead of copying the
             # full pool through the carry
-            layer, layer_kv = xs
+            layer, layer_kv, lora_layer = xs
+            lf = make_lora_fn(lora_layer)
             normed = rms_norm(h, layer["input_norm"], eps)
             attn_out, new_pages = attention_block(
                 layer, normed, layer_kv, metadata, spec,
                 self.m_q, self.m_o, attn_backend=self.attn_backend,
                 kv_scale=self.config.kv_scale, rope_cos_sin=cos_sin,
                 q_norm=q_norm, k_norm=k_norm,
-                mesh=shard_mesh, tp_axis=shard_axis)
+                mesh=shard_mesh, tp_axis=shard_axis, lora_fn=lf)
             h = h + attn_out
             normed = rms_norm(h, layer["post_norm"], eps)
             gate = self.m_mlp.apply(layer["gate"], normed)
             up = self.m_mlp.apply(layer["up"], normed)
-            mlp_out = self.m_mlp.apply(layer["down"],
-                                       jax.nn.silu(gate.astype(jnp.float32))
-                                       .astype(self.dtype) * up)
+            if lf is not None:
+                gate = lf("gate", normed, gate)
+                up = lf("up", normed, up)
+            act = jax.nn.silu(gate.astype(jnp.float32)) \
+                .astype(self.dtype) * up
+            mlp_out = self.m_mlp.apply(layer["down"], act)
+            if lf is not None:
+                mlp_out = lf("down", act, mlp_out)
             h = h + mlp_out
             return h, new_pages
 
         h, kv_pages = jax.lax.scan(
-            layer_body, h, (params["layers"], kv_pages))
+            layer_body, h, (params["layers"], kv_pages, lora_scan_xs))
         h = rms_norm(h, params["final_norm"], eps)
         last = self._gather_logits(h, metadata)
         logits = self.m_lm_head.apply(params["lm_head"], last)

@@ -106,7 +106,8 @@ def attention_block(params: Dict[str, Any],
                     k_norm: Optional[Callable] = None,
                     rope_cos_sin: Optional[Tuple[jax.Array, jax.Array]] = None,
                     mesh=None,
-                    tp_axis: Optional[str] = None
+                    tp_axis: Optional[str] = None,
+                    lora_fn: Optional[Callable] = None
                     ) -> Tuple[jax.Array, jax.Array]:
     """Attention with paged KV (reference: modules/attention.py:314
     forward → attention_backend.trtllm.py:1629 single-op path).
@@ -117,9 +118,16 @@ def attention_block(params: Dict[str, Any],
     correct TPU idiom (XLA still fuses the three reads of ``x``)."""
     T = x.shape[0]
     nq, nkv, hd = spec.num_heads, spec.num_kv_heads, spec.head_dim
-    q = qkv_method.apply(params["q"], x).reshape(T, nq, hd)
-    k = qkv_method.apply(params["k"], x).reshape(T, nkv, hd)
-    v = qkv_method.apply(params["v"], x).reshape(T, nkv, hd)
+    q = qkv_method.apply(params["q"], x)
+    k = qkv_method.apply(params["k"], x)
+    v = qkv_method.apply(params["v"], x)
+    if lora_fn is not None:
+        q = lora_fn("q", x, q)
+        k = lora_fn("k", x, k)
+        v = lora_fn("v", x, v)
+    q = q.reshape(T, nq, hd)
+    k = k.reshape(T, nkv, hd)
+    v = v.reshape(T, nkv, hd)
     if q_norm is not None:
         q = q_norm(params, q)
     if k_norm is not None:
@@ -140,7 +148,10 @@ def attention_block(params: Dict[str, Any],
         sliding_window=spec.sliding_window, soft_cap=spec.soft_cap,
         k_scale=ks, v_scale=ks, backend=attn_backend,
         mesh=mesh, tp_axis=tp_axis)
-    out = o_method.apply(params["o"], attn.reshape(T, nq * hd))
+    attn_flat = attn.reshape(T, nq * hd)
+    out = o_method.apply(params["o"], attn_flat)
+    if lora_fn is not None:
+        out = lora_fn("o", attn_flat, out)
     return out, kv_pages
 
 

@@ -46,6 +46,7 @@ class StepInputs:
     cu_q_lens: np.ndarray          # i32[S+1]
     num_seqs: np.ndarray           # i32[1]
     slot_mapping: np.ndarray       # i32[T]
+    lora_slots: np.ndarray         # i32[T] (-1 = no adapter)
     logits_indices: np.ndarray     # i32[S*G] (G = logits gathered per seq)
     out_slots: np.ndarray          # i32[S] slot to scatter sampled token to (-1 pad)
     num_tokens: int                # actual (unpadded) token count
@@ -88,6 +89,9 @@ class ModelEngine:
         self.kv_pages = self._make_kv_pages()
         self.prev_tokens = jnp.zeros((self.max_batch_size,), jnp.int32)
         self._step_fns: Dict[Tuple, Any] = {}
+        # multi-adapter LoRA (reference: PeftCacheManager + loraOp)
+        self.lora_manager = None
+        self.lora_params = None
 
     # ------------------------------------------------------------------ #
     # Sizing
@@ -148,7 +152,7 @@ class ModelEngine:
     # ------------------------------------------------------------------ #
     def _build_step(self, use_penalties: bool, use_mask: bool = False,
                     all_greedy: bool = False, num_logprobs: int = 0,
-                    use_embeds: bool = False):
+                    use_embeds: bool = False, use_lora: bool = False):
         model = self.model
         G = self.max_draft_len + 1  # logits gathered per sequence
         S = self.max_batch_size
@@ -156,7 +160,7 @@ class ModelEngine:
 
         def step(params, kv_pages, prev_tokens, token_counts,
                  ints_t, ints_s, page_indices, floats, logits_mask,
-                 input_embeds):
+                 input_embeds, lora_params):
             # Per-step host metadata arrives packed in four arrays (the
             # tunnel/PCIe round-trip per transfer is the decode-latency
             # floor, so transfers are minimized):
@@ -166,6 +170,7 @@ class ModelEngine:
             #   floats  f32[6, S]: temp, top_p, min_p, rep, pres, freq
             token_ids, prev_slot, positions, slot_mapping = \
                 (ints_t[0], ints_t[1], ints_t[2], ints_t[3])
+            lora_slots = ints_t[4]
             o = 0
             kv_lens = ints_s[o:o + S]; o += S
             cu_q_lens = ints_s[o:o + S + 1]; o += S + 1
@@ -192,8 +197,12 @@ class ModelEngine:
             gathered = prev_tokens[jnp.clip(prev_slot, 0)]
             tokens = jnp.where(from_prev, gathered, token_ids)
             embeds = input_embeds if use_embeds else None
+            extra = {}
+            if use_lora:
+                extra = dict(lora=lora_params, lora_slots=lora_slots)
             logits, kv_pages = model.forward(params, tokens, kv_pages,
-                                             metadata, input_embeds=embeds)
+                                             metadata, input_embeds=embeds,
+                                             **extra)
             if use_mask:
                 # guided-decoding bitmask (logitsBitmask.cu role)
                 mask = logits_mask
@@ -247,14 +256,27 @@ class ModelEngine:
 
     def _get_step_fn(self, use_penalties: bool, use_mask: bool = False,
                      all_greedy: bool = False, num_logprobs: int = 0,
-                     use_embeds: bool = False):
+                     use_embeds: bool = False, use_lora: bool = False):
         key = (use_penalties, use_mask, all_greedy, num_logprobs,
-               use_embeds)
+               use_embeds, use_lora)
         if key not in self._step_fns:
             self._step_fns[key] = self._build_step(
                 use_penalties, use_mask, all_greedy, num_logprobs,
-                use_embeds)
+                use_embeds, use_lora)
         return self._step_fns[key]
+
+    # ------------------------------------------------------------------ #
+    # LoRA (reference: peftCacheManager + loraOp)
+    # ------------------------------------------------------------------ #
+    def set_lora_manager(self, manager) -> None:
+        self.lora_manager = manager
+
+    def refresh_lora(self) -> None:
+        """Re-upload the stacked adapter tensors after (de)activation."""
+        import jax as _jax
+        stacks = self.lora_manager.device_stacks(
+            self.model.lora_module_shapes(), self.model.dtype)
+        self.lora_params = _jax.device_put(stacks)
 
     # ------------------------------------------------------------------ #
     # Input preparation (host, numpy)
@@ -271,6 +293,7 @@ class ModelEngine:
         prev_list: List[int] = []
         pos_list: List[int] = []
         slot_map: List[int] = []
+        lora_list: List[int] = []
         kv_lens = np.zeros(S, np.int32)
         page_indices = np.zeros((S, P), np.int32)
         cu_q = np.zeros(S + 1, np.int32)
@@ -280,6 +303,9 @@ class ModelEngine:
         for i, req in enumerate(reqs):
             blocks = req.kv_block_ids
             page_indices[i, :len(blocks)] = blocks
+            lslot = -1
+            if self.lora_manager is not None and req.lora_task_id is not None:
+                lslot = self.lora_manager.slot_for(req.lora_task_id)
             if req.is_context_init_state:
                 start = req.context_current_position
                 end = min(req.prompt_len, start + req.context_chunk_size)
@@ -289,6 +315,7 @@ class ModelEngine:
                 pos_list.extend(range(start, end))
                 for p in range(start, end):
                     slot_map.append(blocks[p // ps] * ps + p % ps)
+                lora_list.extend([lslot] * len(chunk))
                 kv_lens[i] = end
                 logits_idx[i * G:(i + 1) * G] = len(tok_list) - 1
             else:
@@ -311,6 +338,7 @@ class ModelEngine:
                     p = pos + 1 + j
                     pos_list.append(p)
                     slot_map.append(blocks[p // ps] * ps + p % ps)
+                lora_list.extend([lslot] * (1 + len(drafts)))
                 kv_lens[i] = pos + 1 + len(drafts)
                 # one logits row per fed token; pad by repeating the last
                 base = len(tok_list) - (1 + len(drafts))
@@ -327,6 +355,7 @@ class ModelEngine:
             kv_lens=kv_lens, page_indices=page_indices, cu_q_lens=cu_q,
             num_seqs=np.asarray([len(reqs)], np.int32),
             slot_mapping=np.asarray(slot_map, np.int32),
+            lora_slots=np.asarray(lora_list, np.int32),
             logits_indices=logits_idx, out_slots=out_slots,
             num_tokens=len(tok_list), num_reqs=len(reqs))
 
@@ -400,7 +429,7 @@ class ModelEngine:
                           jnp.asarray(ints_t), jnp.asarray(ints_s),
                           jnp.asarray(page_indices), jnp.asarray(floats),
                           jnp.zeros((1, 1), bool),
-                          jnp.zeros((1, 1), jnp.float32))
+                          jnp.zeros((1, 1), jnp.float32), 0)
             _, _, _, _, self.prev_tokens, _, self.kv_pages = out
             last = out[0]
             logger.info("warmed bucket T=%d", T)
@@ -521,7 +550,7 @@ class ModelEngine:
         S, G = self.max_batch_size, self.max_draft_len + 1
         self.iter_counter += 1
 
-        ints_t = np.zeros((4, T), np.int32)
+        ints_t = np.zeros((5, T), np.int32)
         ints_t[0, :inp.num_tokens] = inp.token_ids
         ints_t[1, :] = -1
         ints_t[1, :inp.num_tokens] = inp.prev_slot
@@ -529,6 +558,8 @@ class ModelEngine:
         # padding tokens write to an out-of-range slot → dropped by scatter
         ints_t[3, :] = num_slots
         ints_t[3, :inp.num_tokens] = inp.slot_mapping
+        ints_t[4, :] = -1
+        ints_t[4, :inp.num_tokens] = inp.lora_slots
 
         reqs = batch.context_requests + batch.generation_requests
         top_k = np.zeros(S, np.int32)
@@ -578,17 +609,21 @@ class ModelEngine:
                         np.asarray(r.prompt_embeds)[start:end]
                 pos += end - start
         use_embeds = embeds is not None
+        use_lora = (self.lora_manager is not None
+                    and self.lora_params is not None
+                    and any(r.lora_task_id is not None for r in reqs))
         step_fn = self._get_step_fn(use_penalties, use_mask, all_greedy,
-                                    num_logprobs, use_embeds)
+                                    num_logprobs, use_embeds, use_lora)
         mask_arr = jnp.asarray(logits_mask) if use_mask else \
             jnp.zeros((1, 1), bool)
         embeds_arr = jnp.asarray(embeds) if use_embeds else \
             jnp.zeros((1, 1), jnp.float32)
+        lora_arg = self.lora_params if use_lora else 0
         out = step_fn(self.params, self.kv_pages, self.prev_tokens,
                       counts if use_penalties else jnp.zeros((1, 1), jnp.int32),
                       jnp.asarray(ints_t), jnp.asarray(ints_s),
                       jnp.asarray(inp.page_indices), jnp.asarray(floats),
-                      mask_arr, embeds_arr)
+                      mask_arr, embeds_arr, lora_arg)
         (tokens, logprobs, tl_vals, tl_ids, self.prev_tokens, new_counts,
          self.kv_pages) = out
         if use_penalties:
