@@ -127,6 +127,11 @@ class LLM:
             for m in vars(self.model).values():
                 if hasattr(m, "use_pallas"):
                     m.use_pallas = False
+        if hf_config.model_type == "mamba":
+            # recurrent state is not block-addressable: no chunked prefill,
+            # no prefix reuse (reference: mamba_cache_manager constraints)
+            self.args.enable_chunked_prefill = False
+            self.args.kv_cache_config.enable_block_reuse = False
         if state_dict is None:
             params = self.model.init_params(jax.random.PRNGKey(0))
         else:

@@ -3,6 +3,7 @@ from .modeling_utils import (DecoderModelForCausalLM, MODEL_REGISTRY,
 from . import gpt2 as _gpt2  # noqa: F401  (registers)
 from . import llama as _llama  # noqa: F401
 from . import gemma as _gemma  # noqa: F401
+from . import mamba as _mamba  # noqa: F401
 from . import mixtral as _mixtral  # noqa: F401
 from . import phi as _phi  # noqa: F401
 from . import qwen as _qwen  # noqa: F401

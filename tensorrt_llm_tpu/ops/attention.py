@@ -69,6 +69,9 @@ class AttentionMetadata:
     slot_mapping: jax.Array
     positions: jax.Array
     logits_indices: jax.Array
+    # sequence slot per batch row (recurrent-state models index their
+    # SSM/conv caches by slot; -1 = padding row). Optional for attention.
+    seq_slots: Optional[jax.Array] = None
 
 
 def write_kv(kv_pages: jax.Array, k: jax.Array, v: jax.Array,

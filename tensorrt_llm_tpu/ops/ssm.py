@@ -1,0 +1,141 @@
+"""Selective-scan (Mamba S6) and causal depthwise conv over the
+flattened ragged batch.
+
+TPU-native analog of the reference SSM kernels (ref:
+cpp/tensorrt_llm/kernels/selectiveScan/, causalConv1d/). The recurrence
+runs as a segment-aware ``lax.associative_scan`` over the flattened token
+axis: segment boundaries cut the scan (a'=0) and continuing sequences
+inject their cached state into the first element, so mixed
+prefill/decode batches work exactly like attention's ragged layout.
+State caches are slot-indexed (no paging — fixed size per sequence),
+mirroring the reference's Mamba cache manager
+(_torch/pyexecutor/mamba_cache_manager.py).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _token_segments(cu_q_lens, num_seqs, positions, T, S):
+    """Per-token segment info: seq index, position-in-segment, start flag."""
+    tok = jnp.arange(T, dtype=jnp.int32)
+    seq_of = jnp.searchsorted(cu_q_lens[1:S + 1], tok,
+                              side="right").astype(jnp.int32)
+    seq_of = jnp.minimum(seq_of, S - 1)
+    seg_start = cu_q_lens[seq_of]
+    pos_in_seg = tok - seg_start
+    is_start = pos_in_seg == 0
+    valid = tok < cu_q_lens[jnp.minimum(num_seqs[0], S)]
+    return seq_of, pos_in_seg, is_start, valid
+
+
+def causal_conv1d(x: jax.Array,            # [T, I]
+                  conv_w: jax.Array,       # [I, k]
+                  conv_b: jax.Array,       # [I]
+                  conv_state: jax.Array,   # [slots, I, k-1] oldest..newest
+                  metadata) -> Tuple[jax.Array, jax.Array]:
+    """Depthwise causal conv with cross-step state (ref: causalConv1d)."""
+    T, I = x.shape
+    k = conv_w.shape[1]
+    S = metadata.kv_lens.shape[0]
+    seq_of, pos_in_seg, _, valid = _token_segments(
+        metadata.cu_q_lens, metadata.num_seqs, metadata.positions, T, S)
+    slots = jnp.clip(metadata.seq_slots, 0)
+    slot_of = slots[seq_of]                      # [T]
+    abs_pos = metadata.positions
+
+    out = jnp.zeros((T, I), jnp.float32)
+    for j in range(k):
+        w_j = conv_w[:, k - 1 - j].astype(jnp.float32)   # weight for x[t-j]
+        in_seg = pos_in_seg >= j
+        from_x = jnp.where((jnp.arange(T) - j) >= 0,
+                           jnp.arange(T) - j, 0)
+        x_j = x[from_x].astype(jnp.float32)
+        # beyond the segment: pull from the cached window (newest at k-2)
+        m = j - pos_in_seg - 1                           # steps into state
+        state_idx = jnp.clip(k - 2 - m, 0, k - 2)
+        s_j = conv_state[slot_of, :, state_idx].astype(jnp.float32)
+        have_state = (abs_pos - j) >= 0
+        contrib = jnp.where(in_seg[:, None], x_j,
+                            jnp.where(have_state[:, None], s_j, 0.0))
+        out = out + contrib * w_j[None, :]
+    out = out + conv_b.astype(jnp.float32)[None, :]
+
+    # new conv state per sequence: last k-1 inputs at each segment end
+    last_tok = jnp.clip(metadata.cu_q_lens[1:S + 1] - 1, 0)
+    new_state_cols = []
+    seg_len = metadata.cu_q_lens[1:S + 1] - metadata.cu_q_lens[:S]
+    for j in range(k - 2, -1, -1):   # j steps back from the last token
+        t_j = jnp.clip(last_tok - j, 0)
+        in_seg = seg_len > j
+        x_j = x[t_j].astype(jnp.float32)
+        m = j - (seg_len - 1) - 1
+        state_idx = jnp.clip(k - 2 - m, 0, k - 2)
+        old = conv_state[slots, :, state_idx].astype(jnp.float32)
+        have = (metadata.positions[last_tok] - j) >= 0
+        col = jnp.where(in_seg[:, None], x_j,
+                        jnp.where(have[:, None], old, 0.0))
+        new_state_cols.append(col)
+    # cols were built j = k-2 .. 0 (oldest sample first) → stacking in
+    # built order yields the oldest..newest layout the reader expects
+    new_per_seq = jnp.stack(new_state_cols, axis=-1)
+
+    active = jnp.arange(S) < metadata.num_seqs[0]
+    tgt = jnp.where(active & (metadata.seq_slots >= 0),
+                    metadata.seq_slots, conv_state.shape[0])
+    new_state = conv_state.at[tgt].set(
+        new_per_seq.astype(conv_state.dtype), mode="drop")
+    return out, new_state
+
+
+def selective_scan(x: jax.Array,          # [T, I] (post-conv activation)
+                   dt: jax.Array,         # [T, I]
+                   A: jax.Array,          # [I, N]
+                   B: jax.Array,          # [T, N]
+                   C: jax.Array,          # [T, N]
+                   D: jax.Array,          # [I]
+                   ssm_state: jax.Array,  # [slots, I, N]
+                   metadata) -> Tuple[jax.Array, jax.Array]:
+    """y_t = C_t · h_t + D x_t with h_t = exp(dt A) h_{t-1} + dt B_t x_t."""
+    T, I = x.shape
+    N = A.shape[1]
+    S = metadata.kv_lens.shape[0]
+    seq_of, pos_in_seg, is_start, valid = _token_segments(
+        metadata.cu_q_lens, metadata.num_seqs, metadata.positions, T, S)
+    slots = jnp.clip(metadata.seq_slots, 0)
+    slot_of = slots[seq_of]
+
+    xf = x.astype(jnp.float32)
+    dtf = dt.astype(jnp.float32)
+    dA = jnp.exp(dtf[:, :, None] * A[None, :, :].astype(jnp.float32))
+    dBx = (dtf * xf)[:, :, None] * B[:, None, :].astype(jnp.float32)
+
+    # continuing sequences: fold the cached state into the first element
+    continuing = is_start & (metadata.positions > 0)
+    h_init = ssm_state[slot_of].astype(jnp.float32)      # [T, I, N]
+    b0 = jnp.where(continuing[:, None, None], dA * h_init + dBx, dBx)
+    # cut the scan at every segment start
+    a0 = jnp.where(is_start[:, None, None], jnp.zeros_like(dA), dA)
+
+    def combine(l, r):
+        al, bl = l
+        ar, br = r
+        return al * ar, ar * bl + br
+
+    _, h = jax.lax.associative_scan(combine, (a0, b0), axis=0)
+
+    y = jnp.einsum("tin,tn->ti", h, C.astype(jnp.float32))
+    y = y + D.astype(jnp.float32)[None, :] * xf
+
+    # store each active sequence's final state by slot
+    last_tok = jnp.clip(metadata.cu_q_lens[1:S + 1] - 1, 0)
+    final_h = h[last_tok]                                 # [S, I, N]
+    active = jnp.arange(S) < metadata.num_seqs[0]
+    tgt = jnp.where(active & (metadata.seq_slots >= 0),
+                    metadata.seq_slots, ssm_state.shape[0])
+    new_state = ssm_state.at[tgt].set(final_h.astype(ssm_state.dtype),
+                                      mode="drop")
+    return y.astype(x.dtype), new_state

@@ -138,13 +138,17 @@ class ModelEngine:
         return jax.device_put(params, shardings)
 
     def _make_kv_pages(self):
-        shape = self.model.kv_pool_shape(self.num_kv_pages, self.page_size)
-        arr = jnp.zeros(shape, dtype=self.model.config.kv_cache_dtype)
+        # recurrent-state models size their caches by sequence slots
+        self.model._num_slots = self.max_batch_size
+        arr = self.model.make_kv_pages(self.num_kv_pages, self.page_size)
         if self.mesh is not None and self.mapping.world_size > 1:
-            from jax.sharding import NamedSharding
-            # kv_pspec covers the full stacked pool [L, pages, ps, 2kvh, hd]
-            arr = jax.device_put(
-                arr, NamedSharding(self.mesh, self.model.kv_pspec()))
+            from jax.sharding import NamedSharding, PartitionSpec
+            # kv_pspec covers the full cache pytree (array or dict)
+            shardings = jax.tree.map(
+                lambda s: NamedSharding(self.mesh, s),
+                self.model.kv_pspec(),
+                is_leaf=lambda x: isinstance(x, PartitionSpec))
+            arr = jax.device_put(arr, shardings)
         return arr
 
     # ------------------------------------------------------------------ #
@@ -184,7 +188,7 @@ class ModelEngine:
                 kv_lens=kv_lens, page_indices=page_indices,
                 cu_q_lens=cu_q_lens, num_seqs=num_seqs,
                 slot_mapping=slot_mapping, positions=positions,
-                logits_indices=logits_indices)
+                logits_indices=logits_indices, seq_slots=out_slots)
             sampling = SamplingTensors(
                 temperature=floats[0], top_k=top_k, top_p=floats[1],
                 min_p=floats[2], greedy=greedy,
