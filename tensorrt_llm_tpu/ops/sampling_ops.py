@@ -122,15 +122,37 @@ def mask_logits(logits: jax.Array, st: SamplingTensors) -> jax.Array:
 def sample(logits: jax.Array,                   # f32/bf16 [B, V]
            st: SamplingTensors,
            key: jax.Array,
-           token_counts: Optional[jax.Array] = None
+           token_counts: Optional[jax.Array] = None,
+           row_seeds: Optional[jax.Array] = None
            ) -> Tuple[jax.Array, jax.Array]:
     """Returns (tokens i32[B], logprobs f32[B]) — logprob is under the
-    processed distribution (LogprobsMode.PROCESSED)."""
+    processed distribution (LogprobsMode.PROCESSED). ``row_seeds``
+    (i32[B], 0 = unseeded) makes a row's noise stream reproducible per
+    request (SamplingParams.seed)."""
     logits = logits.astype(jnp.float32)
     if token_counts is not None:
         logits = apply_penalties(logits, token_counts, st)
     processed = mask_logits(logits, st)
-    gumbel = jax.random.gumbel(key, processed.shape, dtype=jnp.float32)
+    if row_seeds is not None:
+        # seeded rows: key = f(seed, request-local position) — the token
+        # stream reproduces regardless of batch composition; unseeded
+        # rows use the engine's per-iteration key
+        seed_const = jax.random.PRNGKey(0x5EED)
+        B = processed.shape[0]
+
+        def rk(seed, pos, i):
+            k_seeded = jax.random.fold_in(
+                jax.random.fold_in(seed_const, seed), pos)
+            k_plain = jax.random.fold_in(key, i)
+            return jnp.where(seed != 0, k_seeded, k_plain)
+        seeds, pos = row_seeds
+        row_keys = jax.vmap(rk)(seeds, pos,
+                                jnp.arange(B, dtype=jnp.int32))
+        gumbel = jax.vmap(
+            lambda k: jax.random.gumbel(k, (processed.shape[-1],),
+                                        dtype=jnp.float32))(row_keys)
+    else:
+        gumbel = jax.random.gumbel(key, processed.shape, dtype=jnp.float32)
     noisy = processed + gumbel
     sampled = jnp.argmax(noisy, axis=-1)
     greedy_tok = jnp.argmax(logits, axis=-1)

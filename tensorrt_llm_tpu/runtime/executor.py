@@ -101,6 +101,15 @@ class GenerationResult:
             logprobs=req.logprobs or None,
             finish_reason=req.finish_reason.name.lower())
         out.text = self._safe_decode(req.output_token_ids)
+        sp = req.sampling_params
+        if sp.stop and out.text:
+            for stop in sp.stop:
+                idx = out.text.find(stop)
+                if idx >= 0:
+                    end = idx + (len(stop)
+                                 if sp.include_stop_str_in_output else 0)
+                    out.text = out.text[:end]
+                    break
         self.outputs = [out]
         self._done.set()
         if self.streaming:
@@ -493,6 +502,9 @@ class PyExecutor:
                                                 float(logprobs[i, g]))
                 if self.guided_decoder is not None:
                     self.guided_decoder.observe_token(req, int(tokens[i, g]))
+                if not done and req.sampling_params.stop and \
+                        self.tokenizer is not None:
+                    done = self._check_stop_strings(req)
                 if done:
                     # tokens past a stop are discarded
                     over = accepted - g
@@ -565,6 +577,28 @@ class PyExecutor:
             for row in rows:
                 row.cancel()
                 self._finish_request(row)
+
+    def _check_stop_strings(self, req: LlmRequest) -> bool:
+        """Text-level stop sequences (SamplingParams.stop). Decodes a
+        bounded tail — the reference does this in the postprocess workers."""
+        sp = req.sampling_params
+        if req.num_output_tokens < sp.min_tokens:
+            return False
+        max_stop = max(len(s) for s in sp.stop)
+        tail_tokens = req.output_token_ids[-(max_stop + 8):]
+        try:
+            text = self.tokenizer.decode(tail_tokens,
+                                         skip_special_tokens=True)
+        except Exception:
+            return False
+        for stop in sp.stop:
+            idx = text.find(stop)
+            if idx >= 0:
+                req.stop_text = text[:idx] if not \
+                    sp.include_stop_str_in_output else text[:idx + len(stop)]
+                req.finish_by_reason(FinishReason.STOP_WORDS)
+                return True
+        return False
 
     def _finish_request(self, req: LlmRequest):
         if self.guided_decoder is not None:

@@ -183,7 +183,8 @@ class ModelEngine:
             top_k = ints_s[o:o + S]; o += S
             greedy = ints_s[o:o + S].astype(bool); o += S
             num_seqs = ints_s[o:o + 1]; o += 1
-            counter = ints_s[o]
+            counter = ints_s[o]; o += 1
+            row_seeds = ints_s[o:o + S]
             metadata = AttentionMetadata(
                 kv_lens=kv_lens, page_indices=page_indices,
                 cu_q_lens=cu_q_lens, num_seqs=num_seqs,
@@ -231,8 +232,10 @@ class ModelEngine:
                         lambda a: jnp.repeat(a, G, axis=0), sampling)
                     counts = None if counts is None else \
                         jnp.repeat(counts, G, axis=0)
+                seeds_arg = (row_seeds, kv_lens) if G == 1 else None
                 new_tokens, logprobs = sample(logits, sampling, key,
-                                              token_counts=counts)
+                                              token_counts=counts,
+                                              row_seeds=seeds_arg)
             if G > 1:
                 # slot scatter keys off the first sampled token per seq
                 first = new_tokens.reshape(-1, G)[:, 0]
@@ -425,7 +428,7 @@ class ModelEngine:
                 kv_lens, cu, np.zeros(S * G, np.int32),
                 np.full(S, -1, np.int32), np.zeros(S, np.int32),
                 np.ones(S, np.int32), np.asarray([n_seqs], np.int32),
-                np.asarray([0], np.int32)])
+                np.asarray([0], np.int32), np.zeros(S, np.int32)])
             page_indices = np.zeros((S, self.pages_per_seq), np.int32)
             floats = np.ones((6, S), np.float32)
             out = step_fn(self.params, self.kv_pages, self.prev_tokens,
@@ -582,10 +585,14 @@ class ModelEngine:
             floats[3, i] = sp.repetition_penalty
             floats[4, i] = sp.presence_penalty
             floats[5, i] = sp.frequency_penalty
+        seeds = np.zeros(S, np.int32)
+        for i, r in enumerate(reqs):
+            if r.sampling_params.seed:
+                seeds[i] = r.sampling_params.seed & 0x7FFFFFFF or 1
         ints_s = np.concatenate([
             inp.kv_lens, inp.cu_q_lens, inp.logits_indices, inp.out_slots,
             top_k, greedy, inp.num_seqs,
-            np.asarray([self.iter_counter], np.int32)])
+            np.asarray([self.iter_counter], np.int32), seeds])
 
         counts = getattr(self, "token_counts", None)
         if use_penalties and counts is None:

@@ -131,3 +131,15 @@ def test_abort_request(tiny):
     llm.abort_request(fut.request_id)
     out = fut.result(timeout=30)
     assert out.finished
+
+
+def test_per_request_seed_reproducible(tiny):
+    llm, _ = tiny
+    sp = lambda: SamplingParams(max_tokens=10, temperature=1.5, top_k=0,
+                                seed=1234)
+    a = llm.generate([7, 3, 99], sp())
+    b = llm.generate([7, 3, 99], sp())
+    assert a.outputs[0].token_ids == b.outputs[0].token_ids
+    c = llm.generate([7, 3, 99], SamplingParams(
+        max_tokens=10, temperature=1.5, top_k=0, seed=777))
+    assert c.outputs[0].token_ids != a.outputs[0].token_ids

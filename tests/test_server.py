@@ -108,3 +108,17 @@ async def test_metrics_and_info(client):
 async def test_bad_request(client):
     r = await client.post("/v1/completions", json={"model": "x"})
     assert r.status == 400
+
+
+async def test_stop_strings(client, llm):
+    """Text stop sequences terminate generation and trim the output."""
+    # find what the model emits greedily, then stop on a substring of it
+    base = llm.generate([5, 9, 23], __import__(
+        "tensorrt_llm_tpu").SamplingParams(max_tokens=6, top_k=1))
+    full_text = llm.tokenizer.decode(base.outputs[0].token_ids)
+    stop = full_text.split()[2]  # third emitted word
+    from tensorrt_llm_tpu import SamplingParams
+    out = llm.generate([5, 9, 23], SamplingParams(
+        max_tokens=6, top_k=1, stop=[stop]))
+    assert stop not in out.outputs[0].text
+    assert out.outputs[0].finish_reason in ("stop_words", "length")
