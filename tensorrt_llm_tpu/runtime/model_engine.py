@@ -74,6 +74,12 @@ class ModelEngine:
         self.pages_per_seq = -(-self.max_seq_len // self.page_size)
         self.token_buckets = args.bucketing_config.resolve_token_buckets(
             args.max_num_tokens)
+        # a decode-only full batch is the hottest shape: give it an exact
+        # bucket so it never pads to the next power
+        decode_bucket = min(self.max_batch_size * (max_draft_len + 1),
+                            args.max_num_tokens)
+        self.token_buckets = sorted(set(self.token_buckets) |
+                                    {decode_bucket})
         self.seed_key = jax.random.PRNGKey(0)
         self.iter_counter = 0
 
