@@ -303,6 +303,7 @@ class PyExecutor:
                 mask = None
                 if self.guided_decoder is not None:
                     mask = self.guided_decoder.build_mask(batch)
+                mask = self._apply_bad_words(batch, mask)
                 tokens, logprobs, top_lp = self.engine.forward_step(
                     batch, use_penalties=use_pen, logits_mask=mask)
                 try:  # start the D2H copy as soon as the step finishes
@@ -577,6 +578,21 @@ class PyExecutor:
             for row in rows:
                 row.cancel()
                 self._finish_request(row)
+
+    def _apply_bad_words(self, batch: ScheduledRequests, mask):
+        """Single-token ban lists (SamplingParams.bad_token_ids) fold into
+        the logits bitmask (reference: banBadWords kernels)."""
+        reqs = batch.context_requests + batch.generation_requests
+        if not any(r.sampling_params.bad_token_ids for r in reqs):
+            return mask
+        V = self.engine.model.vocab_size
+        if mask is None:
+            mask = np.ones((self.engine.max_batch_size, V), bool)
+        for i, r in enumerate(reqs):
+            for tid in (r.sampling_params.bad_token_ids or ()):
+                if 0 <= tid < V:
+                    mask[i, tid] = False
+        return mask
 
     def _check_stop_strings(self, req: LlmRequest) -> bool:
         """Text-level stop sequences (SamplingParams.stop). Decodes a

@@ -143,3 +143,12 @@ def test_per_request_seed_reproducible(tiny):
     c = llm.generate([7, 3, 99], SamplingParams(
         max_tokens=10, temperature=1.5, top_k=0, seed=777))
     assert c.outputs[0].token_ids != a.outputs[0].token_ids
+
+
+def test_bad_token_ids(tiny):
+    llm, _ = tiny
+    base = llm.generate([5, 9, 23], SamplingParams(max_tokens=6, top_k=1))
+    banned = base.outputs[0].token_ids[0]
+    out = llm.generate([5, 9, 23], SamplingParams(
+        max_tokens=6, top_k=1, bad_token_ids=[banned]))
+    assert banned not in out.outputs[0].token_ids
