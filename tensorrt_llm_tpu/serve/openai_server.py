@@ -49,6 +49,7 @@ class OpenAIServer:
         r.add_post("/v1/chat/completions", self.chat_completions)
         r.add_post("/release_memory", self.release_memory)
         r.add_post("/resume_memory", self.resume_memory)
+        r.add_post("/update_weights", self.update_weights)
         r.add_get("/server_info", self.server_info)
 
     # ------------------------------------------------------------------ #
@@ -116,6 +117,26 @@ class OpenAIServer:
     async def resume_memory(self, request) -> web.Response:
         self.llm.resume_memory()
         return web.json_response({"status": "awake"})
+
+    async def update_weights(self, request) -> web.Response:
+        """RLHF weight hot-swap from a safetensors checkpoint dir
+        (reference: /update_weights, rlhf_utils)."""
+        try:
+            body = await request.json()
+            path = body["checkpoint_dir"]
+            from pathlib import Path
+            from safetensors import numpy as st_numpy
+            sd = {}
+            for f in sorted(Path(path).glob("*.safetensors")):
+                sd.update(st_numpy.load_file(str(f)))
+            if not sd:
+                return self._error(f"no safetensors under {path}", 400)
+            loop = asyncio.get_running_loop()
+            await loop.run_in_executor(None, self.llm.update_weights, sd)
+            return web.json_response({"status": "updated",
+                                      "num_tensors": len(sd)})
+        except Exception as e:
+            return self._error(str(e), 400)
 
     async def server_info(self, request) -> web.Response:
         eng = self.llm.engine
