@@ -26,7 +26,7 @@ def main():
                                           file=sys.stderr)
     quant = os.environ.get("BENCH_QUANT", "none")
     tiny = os.environ.get("BENCH_TINY", "0") == "1"
-    batch = int(os.environ.get("BENCH_BATCH", "8" if tiny else "128"))
+    batch = int(os.environ.get("BENCH_BATCH", "8" if tiny else "256"))
     isl = int(os.environ.get("BENCH_ISL", "32" if tiny else "128"))
     osl = int(os.environ.get("BENCH_OSL", "16" if tiny else "128"))
 
