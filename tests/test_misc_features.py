@@ -152,3 +152,49 @@ def test_bad_token_ids(tiny):
     out = llm.generate([5, 9, 23], SamplingParams(
         max_tokens=6, top_k=1, bad_token_ids=[banned]))
     assert banned not in out.outputs[0].token_ids
+
+
+def test_shutdown_with_pending_requests():
+    """Shutdown must not hang; queued requests resolve or
+    error out rather than deadlock."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+    from tensorrt_llm_tpu import LLM, KvCacheConfig
+    torch.manual_seed(0)
+    cfg = LlamaConfig(vocab_size=64, hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=1, num_attention_heads=2,
+                      num_key_value_heads=2, max_position_embeddings=128)
+    llm = LLM(model=LlamaForCausalLM(cfg).eval(), skip_tokenizer_init=True,
+              dtype="float32", max_batch_size=2, max_input_len=16,
+              max_seq_len=64, max_num_tokens=64,
+              kv_cache_config=KvCacheConfig(tokens_per_block=16,
+                                            max_tokens=256))
+    futs = [llm.generate_async([1, 2, 3], SamplingParams(max_tokens=20,
+                                                         top_k=1))
+            for _ in range(6)]
+    import time
+    time.sleep(0.3)
+    llm.shutdown()   # must return promptly
+
+
+def test_executor_error_propagates():
+    """A poisoned step must error the affected futures, not hang."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+    from tensorrt_llm_tpu import LLM, KvCacheConfig
+    torch.manual_seed(0)
+    cfg = LlamaConfig(vocab_size=64, hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=1, num_attention_heads=2,
+                      num_key_value_heads=2, max_position_embeddings=128)
+    llm = LLM(model=LlamaForCausalLM(cfg).eval(), skip_tokenizer_init=True,
+              dtype="float32", max_batch_size=2, max_input_len=16,
+              max_seq_len=64, max_num_tokens=64,
+              kv_cache_config=KvCacheConfig(tokens_per_block=16,
+                                            max_tokens=256))
+    def boom(*a, **k):
+        raise RuntimeError("injected failure")
+    llm.engine.forward_step = boom
+    fut = llm.generate_async([1, 2, 3], SamplingParams(max_tokens=4))
+    with pytest.raises(RuntimeError, match="injected failure"):
+        fut.result(timeout=30)
+    llm.shutdown()
