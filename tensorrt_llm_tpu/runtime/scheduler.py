@@ -95,26 +95,28 @@ class CapacityScheduler:
         kv = self.kv_cache_manager
         free = kv.get_num_free_blocks()
         fitting: List[LlmRequest] = []
+        fitting_ids = set()
         # pass 1: already-running requests (generation or mid-context) are
         # guaranteed to fit by the admission-time reservation.
         reserved = 0
         for req in active:
             if req.is_finished:
                 continue
-            started = req.request_id in kv._seq_blocks
-            if started:
+            if req.request_id in kv._seq_blocks:
                 if len(fitting) < self.max_num_requests:
                     fitting.append(req)
+                    fitting_ids.add(req.request_id)
                     reserved += kv.get_remaining_blocks_to_completion(req)
         # pass 2: admit new context requests whose full completion fits.
         for req in active:
-            if req.is_finished or req in fitting:
+            if req.is_finished or req.request_id in fitting_ids:
                 continue
             if len(fitting) >= self.max_num_requests:
                 break
             need = kv.get_remaining_blocks_to_completion(req)
             if reserved + need <= free:
                 fitting.append(req)
+                fitting_ids.add(req.request_id)
                 reserved += need
         return fitting, []
 
