@@ -113,3 +113,23 @@ def test_e2e_guided_regex():
     assert toks[0] == 7
     assert all(t in (0, 7) for t in toks)
     llm.shutdown()
+
+
+def test_json_value_regex_accepts_scalars():
+    from tensorrt_llm_tpu.guided.grammar_matcher import json_value_regex
+    dfa = compile_regex(json_value_regex(depth=1))
+    for s in ['1', '-3.5', 'true', 'null', '"hi"', '[1, 2]', '{"a": 1}']:
+        assert match_full(dfa, s), s
+    for s in ['truely', '01', '{a: 1}']:
+        assert not match_full(dfa, s), s
+
+
+def test_matcher_dead_end_allows_eos():
+    table, chars = simple_table()
+    m = MatcherFactory(table).create(GuidedDecodingParams(regex="ab"))
+    assert m.accept_token(chars.index("a"))
+    assert m.accept_token(chars.index("b"))
+    mask = m.fill_next_token_bitmask()
+    # pattern exhausted: only EOS admissible
+    assert mask[table.eos_token_id]
+    assert mask.sum() == 1

@@ -16,9 +16,10 @@ def test_broadcast_roundtrip():
     batch = ScheduledRequests(context_requests=[req])
     sb = SerializableBatch.from_schedule(5, batch, [req])
 
+    import random
     leader = RequestBroadcaster(rank=0)
     follower = RequestBroadcaster(rank=1)
-    port = 29731
+    port = random.randint(30000, 50000)
     t = threading.Thread(target=leader.serve, args=(port, 1))
     t.start()
     follower.connect("127.0.0.1", port)
@@ -32,5 +33,26 @@ def test_broadcast_roundtrip():
     assert news[0].prompt_token_ids == [1, 2, 3]
     assert news[0].sampling_params.max_tokens == 7
     assert news[0].cache_salt == "s"
+    leader.close()
+    follower.close()
+
+
+def test_broadcast_multiple_iterations():
+    import random
+    leader = RequestBroadcaster(rank=0)
+    follower = RequestBroadcaster(rank=1)
+    port = random.randint(30000, 50000)
+    t = threading.Thread(target=leader.serve, args=(port, 1))
+    t.start()
+    follower.connect("127.0.0.1", port)
+    t.join()
+    for it in range(5):
+        sb = SerializableBatch(iter_id=it, new_requests=[],
+                               context_chunks={}, scheduled_ctx_ids=[],
+                               scheduled_gen_ids=[it], draft_tokens={})
+        leader.broadcast(sb)
+    for it in range(5):
+        got = follower.recv()
+        assert got.iter_id == it and got.scheduled_gen_ids == [it]
     leader.close()
     follower.close()
