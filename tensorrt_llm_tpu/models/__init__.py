@@ -2,6 +2,7 @@ from .modeling_utils import (DecoderModelForCausalLM, MODEL_REGISTRY,
                              ModelConfig, get_model_class, register_model)
 from . import gpt2 as _gpt2  # noqa: F401  (registers)
 from . import llama as _llama  # noqa: F401
+from . import deepseek as _deepseek  # noqa: F401
 from . import gemma as _gemma  # noqa: F401
 from . import mamba as _mamba  # noqa: F401
 from . import mixtral as _mixtral  # noqa: F401

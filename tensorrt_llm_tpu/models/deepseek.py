@@ -1,0 +1,323 @@
+"""DeepSeek-V3 decoder: MLA (multi-head latent attention) + MoE with
+shared experts and sigmoid routing.
+
+Behavioral reference: tensorrt_llm/_torch/models/modeling_deepseekv3.py +
+modules/attention.py:1169 (MLA) and the latent-KV kernels (ref:
+kernels/flashMLA/, mlaPreprocessOp.cpp). TPU-native round-1 shape:
+
+  * The KV cache stores ONLY the latent per token —
+    [kv_lora_rank + qk_rope_head_dim] — the whole point of MLA (93%
+    smaller than full KV at DeepSeek-V3 geometry). Pools are paged like
+    regular KV: [L, pages, page_size, latent_dim].
+  * Attention decompresses latents through kv_b_proj at compute time
+    (the non-absorbed path; weight absorption for decode is the round-2
+    optimization, reference absorbed-weight path attention.py:1169).
+  * Layers split into two scans: the first_k_dense_replace dense-MLP
+    layers, then the MoE layers (structure-homogeneous scans keep the
+    compiled graph O(1) in depth).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..ops.attention import AttentionMetadata
+from ..ops.moe import moe_mlp_ragged
+from ..ops.norm import rms_norm
+from ..ops.rope import RopeConfig, apply_rope, rope_cos_sin
+from .modeling_utils import (DecoderModelForCausalLM, ModelConfig,
+                             quantize_linear, register_model)
+
+
+@register_model("deepseek_v3")
+class DeepseekV3ForCausalLM(DecoderModelForCausalLM):
+    architectures = ("DeepseekV3ForCausalLM",)
+
+    def __init__(self, model_config: ModelConfig):
+        super().__init__(model_config)
+        hf = self.hf
+        self.hidden_size = hf.hidden_size
+        self.num_heads = hf.num_attention_heads
+        self.q_lora_rank = getattr(hf, "q_lora_rank", None)
+        self.kv_lora_rank = hf.kv_lora_rank
+        self.qk_rope = hf.qk_rope_head_dim
+        self.qk_nope = hf.qk_nope_head_dim
+        self.v_dim = hf.v_head_dim
+        self.latent_dim = self.kv_lora_rank + self.qk_rope
+        self.rms_eps = getattr(hf, "rms_norm_eps", 1e-6)
+        self.sm_scale = 1.0 / math.sqrt(self.qk_nope + self.qk_rope)
+        self.rope_cfg = RopeConfig(
+            head_dim=self.qk_rope, rope_theta=getattr(hf, "rope_theta", 1e4),
+            max_position_embeddings=hf.max_position_embeddings)
+        # MoE geometry
+        self.first_dense = getattr(hf, "first_k_dense_replace", 0)
+        self.n_experts = getattr(hf, "n_routed_experts", 0)
+        self.top_k = getattr(hf, "num_experts_per_tok", 0)
+        self.n_shared = getattr(hf, "n_shared_experts", 0)
+        self.moe_inter = getattr(hf, "moe_intermediate_size", 0)
+        self.routed_scale = getattr(hf, "routed_scaling_factor", 1.0)
+        self.norm_topk = getattr(hf, "norm_topk_prob", True)
+        self.m_lin = self._method("attn")
+        self.m_mlp = self._method("mlp")
+        self.m_lm_head = self._method("lm_head")
+
+    # engine sizing: one "combined head" of latent_dim
+    @property
+    def num_kv_heads(self) -> int:
+        return 1
+
+    @property
+    def head_dim(self) -> int:
+        return -(-self.latent_dim // 2)
+
+    def kv_pool_shape(self, num_pages: int, page_size: int):
+        return (self.num_layers, num_pages, page_size, self.latent_dim)
+
+    def make_kv_pages(self, num_pages: int, page_size: int):
+        return jnp.zeros(self.kv_pool_shape(num_pages, page_size),
+                         self.dtype)
+
+    def kv_pspec(self) -> P:
+        return P()
+
+    # ------------------------------------------------------------------ #
+    def init_params(self, rng) -> Dict[str, Any]:
+        import torch
+        from transformers import DeepseekV3ForCausalLM as HFModel
+        torch.manual_seed(0)
+        m = HFModel(self.hf).eval()
+        sd = {k: v.detach().float().numpy() for k, v in m.state_dict().items()}
+        return self.load_hf_state_dict(sd)
+
+    def load_hf_state_dict(self, sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        L = self.num_layers
+        dtype = self.dtype
+
+        def t(name):
+            return np.ascontiguousarray(np.transpose(np.asarray(sd[name])))
+
+        def attn_layer(i):
+            p = f"model.layers.{i}.self_attn"
+            out = {
+                "kv_a": quantize_linear(self.m_lin,
+                                        t(f"{p}.kv_a_proj_with_mqa.weight"),
+                                        dtype=dtype),
+                "kv_a_norm": jnp.asarray(sd[f"{p}.kv_a_layernorm.weight"],
+                                         dtype=dtype),
+                "kv_b": quantize_linear(self.m_lin, t(f"{p}.kv_b_proj.weight"),
+                                        dtype=dtype),
+                "o": quantize_linear(self.m_lin, t(f"{p}.o_proj.weight"),
+                                     dtype=dtype),
+                "input_norm": jnp.asarray(
+                    sd[f"model.layers.{i}.input_layernorm.weight"],
+                    dtype=dtype),
+                "post_norm": jnp.asarray(
+                    sd[f"model.layers.{i}.post_attention_layernorm.weight"],
+                    dtype=dtype),
+            }
+            if self.q_lora_rank:
+                out["q_a"] = quantize_linear(self.m_lin,
+                                             t(f"{p}.q_a_proj.weight"),
+                                             dtype=dtype)
+                out["q_a_norm"] = jnp.asarray(
+                    sd[f"{p}.q_a_layernorm.weight"], dtype=dtype)
+                out["q_b"] = quantize_linear(self.m_lin,
+                                             t(f"{p}.q_b_proj.weight"),
+                                             dtype=dtype)
+            else:
+                out["q"] = quantize_linear(self.m_lin,
+                                           t(f"{p}.q_proj.weight"),
+                                           dtype=dtype)
+            return out
+
+        def dense_layer(i):
+            out = attn_layer(i)
+            p = f"model.layers.{i}.mlp"
+            out["gate"] = quantize_linear(self.m_mlp,
+                                          t(f"{p}.gate_proj.weight"),
+                                          dtype=dtype)
+            out["up"] = quantize_linear(self.m_mlp, t(f"{p}.up_proj.weight"),
+                                        dtype=dtype)
+            out["down"] = quantize_linear(self.m_mlp,
+                                          t(f"{p}.down_proj.weight"),
+                                          dtype=dtype)
+            return out
+
+        def moe_layer(i):
+            out = attn_layer(i)
+            p = f"model.layers.{i}.mlp"
+            E = self.n_experts
+            out["router"] = jnp.asarray(t(f"{p}.gate.weight"), dtype=dtype)
+            bias_name = f"{p}.gate.e_score_correction_bias"
+            out["router_bias"] = jnp.asarray(
+                sd.get(bias_name, np.zeros(E, np.float32)), jnp.float32)
+            for mod, hf_name in (("w_gate", "gate_proj"), ("w_up", "up_proj"),
+                                 ("w_down", "down_proj")):
+                out[mod] = jnp.stack([
+                    jnp.asarray(t(f"{p}.experts.{e}.{hf_name}.weight"),
+                                dtype=dtype) for e in range(E)])
+            for mod, hf_name in (("s_gate", "gate_proj"), ("s_up", "up_proj"),
+                                 ("s_down", "down_proj")):
+                out[mod] = quantize_linear(
+                    self.m_mlp, t(f"{p}.shared_experts.{hf_name}.weight"),
+                    dtype=dtype)
+            return out
+
+        k = self.first_dense
+        dense = [dense_layer(i) for i in range(k)]
+        moe = [moe_layer(i) for i in range(k, L)]
+        stack = lambda ls: jax.tree.map(lambda *xs: jnp.stack(xs), *ls) \
+            if ls else None
+        wte = np.asarray(sd["model.embed_tokens.weight"])
+        lm_w = np.asarray(sd.get("lm_head.weight", wte))
+        return {
+            "embed": {"weight": jnp.asarray(wte, dtype=dtype)},
+            "dense_layers": stack(dense),
+            "moe_layers": stack(moe),
+            "final_norm": jnp.asarray(sd["model.norm.weight"], dtype=dtype),
+            "lm_head": quantize_linear(
+                self.m_lm_head, np.ascontiguousarray(lm_w.T), dtype=dtype),
+        }
+
+    # ------------------------------------------------------------------ #
+    # MLA attention over the paged latent cache
+    # ------------------------------------------------------------------ #
+    def _mla_attention(self, layer, x, pool, metadata, cos_sin):
+        T = x.shape[0]
+        nh = self.num_heads
+        lora, rope_d = self.kv_lora_rank, self.qk_rope
+        nope, vd = self.qk_nope, self.v_dim
+        cos, sin = cos_sin
+
+        if self.q_lora_rank:
+            q = self.m_lin.apply(
+                layer["q_b"],
+                rms_norm(self.m_lin.apply(layer["q_a"], x),
+                         layer["q_a_norm"], self.rms_eps))
+        else:
+            q = self.m_lin.apply(layer["q"], x)
+        q = q.reshape(T, nh, nope + rope_d)
+        q_nope, q_pe = q[..., :nope], q[..., nope:]
+        q_pe = apply_rope(q_pe, cos, sin, is_neox=False)
+
+        kv_a = self.m_lin.apply(layer["kv_a"], x)       # [T, lora+rope]
+        c_kv = rms_norm(kv_a[:, :lora], layer["kv_a_norm"], self.rms_eps)
+        k_pe = apply_rope(kv_a[:, lora:].reshape(T, 1, rope_d), cos, sin,
+                          is_neox=False)[:, 0]
+        latents = jnp.concatenate([c_kv, k_pe], axis=-1)
+
+        # scatter into the paged latent pool
+        pages_n, ps, latent = pool.shape
+        flat = pool.reshape(pages_n * ps, latent)
+        pool = flat.at[metadata.slot_mapping].set(
+            latents.astype(pool.dtype), mode="drop").reshape(pool.shape)
+
+        # gather per sequence and decompress
+        S, Pp = metadata.page_indices.shape
+        max_kv = Pp * ps
+        lat = pool[metadata.page_indices.reshape(-1)].reshape(
+            S, max_kv, latent)
+        c_all = lat[..., :lora]
+        kpe_all = lat[..., lora:]
+        knv = self.m_lin.apply(layer["kv_b"],
+                               c_all.reshape(S * max_kv, lora))
+        knv = knv.reshape(S, max_kv, nh, nope + vd)
+        k_nope_all = knv[..., :nope]
+        v_all = knv[..., nope:]
+
+        # token → sequence mapping (same scheme as the reference backend)
+        tok = jnp.arange(T, dtype=jnp.int32)
+        seq_of = jnp.minimum(
+            jnp.searchsorted(metadata.cu_q_lens[1:S + 1], tok,
+                             side="right").astype(jnp.int32), S - 1)
+        q_start = metadata.cu_q_lens[seq_of]
+        q_lens = metadata.cu_q_lens[1:S + 1] - metadata.cu_q_lens[:S]
+        tok_pos = metadata.kv_lens[seq_of] - q_lens[seq_of] + (tok - q_start)
+
+        kn = k_nope_all[seq_of]          # [T, max_kv, nh, nope]
+        vv = v_all[seq_of]
+        kp = kpe_all[seq_of]             # [T, max_kv, rope]
+        s_nope = jnp.einsum("thd,tkhd->thk", q_nope.astype(jnp.float32),
+                            kn.astype(jnp.float32))
+        s_pe = jnp.einsum("thd,tkd->thk", q_pe.astype(jnp.float32),
+                          kp.astype(jnp.float32))
+        scores = (s_nope + s_pe) * self.sm_scale
+        kv_pos = jnp.arange(max_kv, dtype=jnp.int32)
+        valid = (kv_pos[None, :] <= tok_pos[:, None]) & \
+            (kv_pos[None, :] < metadata.kv_lens[seq_of][:, None])
+        scores = jnp.where(valid[:, None, :], scores,
+                           jnp.finfo(jnp.float32).min)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("thk,tkhd->thd", probs, vv.astype(jnp.float32))
+        out = self.m_lin.apply(layer["o"],
+                               out.reshape(T, nh * vd).astype(self.dtype))
+        return out, pool
+
+    def _moe_block(self, layer, x):
+        logits = jnp.dot(x, layer["router"],
+                         preferred_element_type=jnp.float32)
+        scores = jax.nn.sigmoid(logits)
+        choice = scores + layer["router_bias"][None, :]
+        _, idx = jax.lax.top_k(choice, self.top_k)
+        w = jnp.take_along_axis(scores, idx, axis=-1)
+        if self.norm_topk:
+            w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-20)
+        w = w * self.routed_scale
+        routed = moe_mlp_ragged(x, layer["w_gate"], layer["w_up"],
+                                layer["w_down"], w, idx.astype(jnp.int32))
+        gate = self.m_mlp.apply(layer["s_gate"], x)
+        up = self.m_mlp.apply(layer["s_up"], x)
+        shared = self.m_mlp.apply(
+            layer["s_down"],
+            jax.nn.silu(gate.astype(jnp.float32)).astype(self.dtype) * up)
+        return routed + shared
+
+    # ------------------------------------------------------------------ #
+    def forward(self, params, token_ids, kv_pages, metadata,
+                input_embeds=None, lora=None, lora_slots=None):
+        h = self._embed(params, token_ids, input_embeds)
+        eps = self.rms_eps
+        cos_sin = rope_cos_sin(self.rope_cfg, metadata.positions)
+        k = self.first_dense
+
+        def dense_body(h, xs):
+            layer, pool = xs
+            normed = rms_norm(h, layer["input_norm"], eps)
+            attn, pool = self._mla_attention(layer, normed, pool, metadata,
+                                             cos_sin)
+            h = h + attn
+            normed = rms_norm(h, layer["post_norm"], eps)
+            gate = self.m_mlp.apply(layer["gate"], normed)
+            up = self.m_mlp.apply(layer["up"], normed)
+            h = h + self.m_mlp.apply(
+                layer["down"],
+                jax.nn.silu(gate.astype(jnp.float32)).astype(self.dtype) * up)
+            return h, pool
+
+        def moe_body(h, xs):
+            layer, pool = xs
+            normed = rms_norm(h, layer["input_norm"], eps)
+            attn, pool = self._mla_attention(layer, normed, pool, metadata,
+                                             cos_sin)
+            h = h + attn
+            normed = rms_norm(h, layer["post_norm"], eps)
+            h = h + self._moe_block(layer, normed)
+            return h, pool
+
+        dense_pool, moe_pool = kv_pages[:k], kv_pages[k:]
+        if params["dense_layers"] is not None:
+            h, dense_pool = jax.lax.scan(
+                dense_body, h, (params["dense_layers"], dense_pool))
+        if params["moe_layers"] is not None:
+            h, moe_pool = jax.lax.scan(
+                moe_body, h, (params["moe_layers"], moe_pool))
+        kv_pages = jnp.concatenate([dense_pool, moe_pool], axis=0)
+        h = rms_norm(h, params["final_norm"], eps)
+        last = self._gather_logits(h, metadata)
+        logits = self.m_lm_head.apply(params["lm_head"], last)
+        return logits.astype(jnp.float32), kv_pages
