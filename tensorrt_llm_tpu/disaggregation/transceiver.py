@@ -13,13 +13,23 @@ the generation engine scatters them in (one jitted scatter). Transports:
 """
 from __future__ import annotations
 
-import pickle
 import socket
 import struct
 import threading
 from typing import Dict, Optional
 
+import msgpack
 import numpy as np
+
+
+def _np_dtype(name: str) -> np.dtype:
+    """Resolve a dtype name, including ml_dtypes extensions (bfloat16,
+    float8_*) that numpy can't look up by name."""
+    try:
+        return np.dtype(name)
+    except TypeError:
+        import ml_dtypes
+        return np.dtype(getattr(ml_dtypes, name))
 
 
 class KvTransport:
@@ -55,14 +65,22 @@ class InProcessKvTransport(KvTransport):
 
 class TcpKvTransport(KvTransport):
     """Minimal push transport: generation side listens, context side
-    connects and streams (key, meta, ndarray bytes)."""
+    connects and streams a msgpack header (key, meta, dtype, shape)
+    followed by the raw ndarray bytes. No pickle crosses the wire — same
+    trust-boundary rule as executor_orchestration/broadcast.py. The
+    listener binds to ``listen_host`` (default loopback); set it to the
+    DCN-facing private interface for cross-host transfer."""
 
-    def __init__(self, listen_port: Optional[int] = None):
+    _MAX_HEADER = 64 << 20      # sanity bound on header size
+    _MAX_PAYLOAD = 64 << 30     # sanity bound on KV blob size
+
+    def __init__(self, listen_port: Optional[int] = None,
+                 listen_host: str = "127.0.0.1"):
         self._store: Dict[str, tuple] = {}
         self._cv = threading.Condition()
         self._server = None
         if listen_port is not None:
-            self._server = socket.create_server(("0.0.0.0", listen_port))
+            self._server = socket.create_server((listen_host, listen_port))
             t = threading.Thread(target=self._serve, daemon=True)
             t.start()
 
@@ -74,10 +92,20 @@ class TcpKvTransport(KvTransport):
 
     def _recv_one(self, conn):
         try:
-            raw = self._read_exact(conn, 8)
-            (n,) = struct.unpack("<Q", raw)
-            payload = self._read_exact(conn, n)
-            key, meta, kv = pickle.loads(payload)
+            (hn,) = struct.unpack("<Q", self._read_exact(conn, 8))
+            if hn > self._MAX_HEADER:
+                raise ValueError(f"header too large: {hn}")
+            header = msgpack.unpackb(self._read_exact(conn, hn), raw=False)
+            key = header["key"]
+            meta = header["meta"]
+            dtype = _np_dtype(header["dtype"])
+            shape = tuple(header["shape"])
+            nbytes = int(dtype.itemsize * np.prod(shape)) if shape else \
+                dtype.itemsize
+            if nbytes > self._MAX_PAYLOAD:
+                raise ValueError(f"payload too large: {nbytes}")
+            kv = np.frombuffer(self._read_exact(conn, nbytes),
+                               dtype=dtype).reshape(shape)
             with self._cv:
                 self._store[key] = (kv, meta)
                 self._cv.notify_all()
@@ -96,10 +124,14 @@ class TcpKvTransport(KvTransport):
 
     def send_to(self, host: str, port: int, key: str, kv: np.ndarray,
                 meta: dict) -> None:
-        payload = pickle.dumps((key, meta, kv), protocol=4)
+        kv = np.ascontiguousarray(kv)
+        header = msgpack.packb(
+            {"key": key, "meta": meta, "dtype": kv.dtype.name,
+             "shape": list(kv.shape)}, use_bin_type=True)
         with socket.create_connection((host, port)) as s:
-            s.sendall(struct.pack("<Q", len(payload)))
-            s.sendall(payload)
+            s.sendall(struct.pack("<Q", len(header)))
+            s.sendall(header)
+            s.sendall(kv.tobytes())
 
     def put(self, key, kv, meta):  # local put (tests)
         with self._cv:

@@ -196,6 +196,19 @@ class LLM:
             mapping=self.mapping, mesh=self.mesh,
             max_draft_len=max_draft_len)
         del self._params
+        # a single sequence can never exceed the KV pool: clamp the
+        # engine-wide max_seq_len to pool capacity so no request is
+        # admitted that could pause/recompute forever without ever
+        # completing (reference sizes max_seq_len from KV memory the same
+        # way: py_executor_creator.py:577 KvCacheCreator estimation)
+        pool_tokens = (self.engine.num_kv_pages *
+                       args.kv_cache_config.tokens_per_block)
+        if pool_tokens < args.max_seq_len:
+            logger.warning(
+                "KV pool (%d tokens) is smaller than max_seq_len (%d); "
+                "clamping max_seq_len to the pool capacity",
+                pool_tokens, args.max_seq_len)
+            args.max_seq_len = pool_tokens
         if args.enable_lora:
             from ..lora.lora_manager import LoraConfig, LoraManager
             if not hasattr(self.model, "lora_module_shapes"):
@@ -304,7 +317,13 @@ class LLM:
                        lora_request=None,
                        cache_salt: Optional[str] = None,
                        disaggregated_params=None) -> RequestOutput:
-        sampling_params = sampling_params or SamplingParams()
+        # never mutate the caller's object: LLM.generate shares one
+        # SamplingParams across every prompt in a batch, so the per-request
+        # clamps below must land on a private copy (the reference
+        # normalizes per-request params the same way)
+        import copy as _copy
+        sampling_params = _copy.copy(sampling_params) if sampling_params \
+            else SamplingParams()
         if isinstance(prompt, str):
             if self.tokenizer is None:
                 raise ValueError("string prompt requires a tokenizer")
@@ -366,10 +385,18 @@ class LLM:
         extra = []
         if sampling_params.n > 1 and not sampling_params.use_beam_search:
             import copy
-            for _ in range(sampling_params.n - 1):
+            for j in range(1, sampling_params.n):
+                sib_params = copy.copy(sampling_params)
+                if sib_params.seed:
+                    # seeded noise is a pure function of (seed, position):
+                    # identical sibling seeds would produce n identical
+                    # streams — fold the sample index into each sibling's
+                    # seed so they diverge deterministically
+                    sib_params.seed = (sampling_params.seed * 0x9E3779B1
+                                       + j) & 0x7FFFFFFF or 1
                 sibling = LlmRequest(
                     prompt_token_ids=list(token_ids),
-                    sampling_params=copy.copy(sampling_params),
+                    sampling_params=sib_params,
                     streaming=False, cache_salt=cache_salt)
                 extra.append(self.executor.submit(sibling))
         return RequestOutput(res, prompt_text, extra_results=extra)

@@ -289,6 +289,9 @@ class PyExecutor:
                 self._hang_detector.arm()
                 t0 = time.monotonic()
                 batch = self.scheduler.schedule(self._schedulable())
+                paused = getattr(batch, "paused_requests", None)
+                if paused:
+                    self._pause_requests(paused, batch)
                 if not batch.is_empty:
                     if self.drafter is not None:
                         self._prepare_drafts(batch)
@@ -388,10 +391,38 @@ class PyExecutor:
             out.append(r)
         return out
 
+    def _pause_requests(self, paused: List[LlmRequest],
+                        batch: ScheduledRequests) -> None:
+        """MAX_UTILIZATION eviction: release the paused requests' KV (into
+        the reuse tree, so resume re-onboards the prefix) and reset them to
+        CONTEXT_INIT for recompute-on-resume (reference:
+        capacityScheduler.cpp MaxUtilizationScheduler + PauseRequests).
+        Inflight steps may still reference these requests, so the pipeline
+        drains first — pausing is rare (memory pressure), the sync is
+        acceptable."""
+        while self._inflight:
+            self._process_inflight()
+        for req in paused:
+            if req.is_finished:
+                continue
+            logger.info("pausing request %d under memory pressure "
+                        "(%d tokens recompute on resume)",
+                        req.request_id, req.num_total_tokens)
+            self.kv.free_resources(req, store_for_reuse=True)
+            if req.seq_slot is not None:
+                self._free_slots.append(req.seq_slot)
+                req.seq_slot = None
+            req.pause_for_recompute()
+            if req in batch.generation_requests:
+                batch.generation_requests.remove(req)
+            if req in batch.context_requests:
+                batch.context_requests.remove(req)
+
     def _prepare_resources(self, batch: ScheduledRequests):
         """KV allocation + slot assignment
         (reference: resource_manager.prepare_resources:986)."""
         deferred = []
+        new_slots = []
         for req in batch.context_requests:
             if req.seq_slot is None:
                 if not self._free_slots:
@@ -400,7 +431,16 @@ class PyExecutor:
                     deferred.append(req)
                     continue
                 req.seq_slot = self._free_slots.pop()
-                reused = self.kv.add_sequence(req)
+                try:
+                    reused = self.kv.add_sequence(req)
+                except NoFreeBlocksError:
+                    # pool exhausted (MAX_UTILIZATION over-admits by
+                    # one-step need): defer to the next iteration
+                    self._free_slots.append(req.seq_slot)
+                    req.seq_slot = None
+                    deferred.append(req)
+                    continue
+                new_slots.append(req.seq_slot)
                 if reused:
                     req.context_current_position = reused
                     req.perf.kv_cache_hit_tokens = reused
@@ -408,22 +448,35 @@ class PyExecutor:
                     req.perf.first_scheduled_time = time.monotonic()
         for req in deferred:
             batch.context_requests.remove(req)
+        if new_slots:
+            # recycled slots must not leak the previous occupant's token
+            # history into the penalty counts
+            self.engine.reset_slot_counts(new_slots)
+        starved = []
         for req in batch.generation_requests:
-            self.kv.add_token(req)
-            if req.draft_tokens:
-                self.kv.add_draft_tokens(req, len(req.draft_tokens))
+            try:
+                self.kv.add_token(req)
+                if req.draft_tokens:
+                    self.kv.add_draft_tokens(req, len(req.draft_tokens))
+            except NoFreeBlocksError:
+                # no room for even one token: skip this iteration; the
+                # capacity scheduler pauses the tail next time around
+                starved.append(req)
+        for req in starved:
+            req.draft_tokens = []
+            batch.generation_requests.remove(req)
 
     def _advance_device_state(self, batch: ScheduledRequests
                               ) -> List[_BatchEntry]:
         entries = []
         for req in batch.context_requests:
             start = req.context_current_position
-            end = min(req.prompt_len, start + req.context_chunk_size)
-            last_chunk = end >= req.prompt_len
+            end = min(req.context_len, start + req.context_chunk_size)
+            last_chunk = end >= req.context_len
             req.context_current_position = end
             if last_chunk:
                 req.state = LlmRequestState.GENERATION_IN_PROGRESS
-                req.num_device_tokens = req.prompt_len
+                req.num_device_tokens = req.context_len
             entries.append(_BatchEntry(req, samples_output=last_chunk))
         for req in batch.generation_requests:
             drafts = list(req.draft_tokens)

@@ -180,7 +180,7 @@ class KVCacheManager:
 
     def get_needed_blocks_one_step(self, request: LlmRequest) -> int:
         if request.is_context_init_state:
-            end = min(request.prompt_len,
+            end = min(request.context_len,
                       request.context_current_position + request.context_chunk_size)
             have = len(self._seq_blocks.get(request.request_id, ()))
             return max(0, self.blocks_for_tokens(end) - have)
@@ -212,7 +212,7 @@ class KVCacheManager:
         reuse = self.enable_block_reuse if enable_reuse is None else enable_reuse
         if reuse:
             node = self._root
-            matchable = len(request.prompt_token_ids) - 1
+            matchable = request.context_len - 1
             pos = 0
             while matchable - pos >= self.tokens_per_block:
                 key = self._make_key(request, pos)
@@ -227,7 +227,7 @@ class KVCacheManager:
                 node = child
             reused_tokens = pos
 
-        total_needed = self.blocks_for_tokens(request.prompt_len)
+        total_needed = self.blocks_for_tokens(request.context_len)
         new_needed = total_needed - len(chain)
         if new_needed > self.free_block_count:
             for b in chain:
@@ -346,7 +346,7 @@ class KVCacheManager:
     # ------------------------------------------------------------------ #
     def _make_key(self, request: LlmRequest, start: int) -> BlockKey:
         return BlockKey(
-            tokens=tuple(request.prompt_token_ids[start:start + self.tokens_per_block]),
+            tokens=tuple(request.context_token_ids[start:start + self.tokens_per_block]),
             lora_task_id=request.lora_task_id,
             cache_salt=request.cache_salt)
 

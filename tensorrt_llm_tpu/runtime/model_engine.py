@@ -221,7 +221,12 @@ class ModelEngine:
                     mask = jnp.repeat(mask, G, axis=0)
                 logits = jnp.where(mask, logits,
                                    jnp.finfo(jnp.float32).min)
-            counts = token_counts if use_penalties else None
+            # token_counts is SLOT-indexed [num_slots, V]; logits rows are
+            # batch-ordered — gather each row's count history by its slot
+            # (rows with out_slots == -1 are padding/mid-chunk: row 0's
+            # counts are read but the sample is discarded)
+            counts = token_counts[jnp.clip(out_slots, 0)] \
+                if use_penalties else None
             if all_greedy and not use_penalties:
                 # fast path: no [S, V] sort, no gumbel — argmax + logprob
                 lf = logits.astype(jnp.float32)
@@ -278,6 +283,15 @@ class ModelEngine:
                 use_embeds, use_lora)
         return self._step_fns[key]
 
+    def reset_slot_counts(self, slots: List[int]) -> None:
+        """Zero the penalty token-count rows for newly admitted slots so a
+        recycled slot can't leak the previous request's token history."""
+        counts = getattr(self, "token_counts", None)
+        if counts is None or not slots:
+            return
+        idx = jnp.asarray(slots, jnp.int32)
+        self.token_counts = counts.at[idx].set(0)
+
     # ------------------------------------------------------------------ #
     # LoRA (reference: peftCacheManager + loraOp)
     # ------------------------------------------------------------------ #
@@ -319,10 +333,12 @@ class ModelEngine:
             lslot = -1
             if self.lora_manager is not None and req.lora_task_id is not None:
                 lslot = self.lora_manager.slot_for(req.lora_task_id)
+            last_chunk_row = True
             if req.is_context_init_state:
                 start = req.context_current_position
-                end = min(req.prompt_len, start + req.context_chunk_size)
-                chunk = req.prompt_token_ids[start:end]
+                end = min(req.context_len, start + req.context_chunk_size)
+                last_chunk_row = end >= req.context_len
+                chunk = req.context_token_ids[start:end]
                 tok_list.extend(chunk)
                 prev_list.extend([-1] * len(chunk))
                 pos_list.extend(range(start, end))
@@ -358,7 +374,13 @@ class ModelEngine:
                 for g in range(G):
                     logits_idx[i * G + g] = base + min(g, len(drafts))
             cu_q[i + 1] = len(tok_list)
-            out_slots[i] = req.seq_slot
+            # mid-chunk context rows produce no real sample: route their
+            # scatter out of bounds so junk tokens can't pollute
+            # prev_tokens / token_counts for the slot
+            if req.is_context_init_state and not last_chunk_row:
+                out_slots[i] = -1
+            else:
+                out_slots[i] = req.seq_slot
         cu_q[len(reqs) + 1:] = len(tok_list)
 
         return StepInputs(
@@ -620,7 +642,7 @@ class ModelEngine:
             pos = 0
             for r in batch.context_requests:
                 start = r.context_current_position
-                end = min(r.prompt_len, start + r.context_chunk_size)
+                end = min(r.context_len, start + r.context_chunk_size)
                 if r.prompt_embeds is not None:
                     embeds[pos:pos + (end - start)] = \
                         np.asarray(r.prompt_embeds)[start:end]

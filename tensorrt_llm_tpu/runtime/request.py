@@ -112,6 +112,10 @@ class LlmRequest:
         # chunked-prefill progress
         self.context_current_position: int = 0
         self.context_chunk_size: int = len(self.prompt_token_ids)
+        # set when the request was paused under memory pressure and must
+        # recompute its full sequence (prompt + generated so far) as a
+        # context phase on resume (reference: pauseRequests.h:47)
+        self._recompute_tokens: Optional[List[int]] = None
 
         # kv bookkeeping (owned by KVCacheManager)
         self.kv_block_ids: List[int] = []
@@ -158,6 +162,19 @@ class LlmRequest:
     def all_token_ids(self) -> List[int]:
         return self.prompt_token_ids + self.output_token_ids
 
+    @property
+    def context_token_ids(self) -> List[int]:
+        """Tokens the context (prefill) phase must compute KV for: the
+        prompt, or — after a MAX_UTILIZATION pause — the prompt plus all
+        tokens generated before the pause."""
+        if self._recompute_tokens is not None:
+            return self._recompute_tokens
+        return self.prompt_token_ids
+
+    @property
+    def context_len(self) -> int:
+        return len(self.context_token_ids)
+
     # ------------------------------------------------------------------ #
     # Context-phase (chunked prefill)
     # ------------------------------------------------------------------ #
@@ -177,16 +194,33 @@ class LlmRequest:
     @property
     def is_last_context_chunk(self) -> bool:
         return (self.context_current_position + self.context_chunk_size
-                >= self.prompt_len)
+                >= self.context_len)
 
     @property
     def context_remaining_length(self) -> int:
-        return self.prompt_len - self.context_current_position
+        return self.context_len - self.context_current_position
 
     def move_to_next_context_chunk(self) -> None:
         self.context_current_position = min(
-            self.prompt_len,
+            self.context_len,
             self.context_current_position + self.context_chunk_size)
+
+    def pause_for_recompute(self) -> None:
+        """MAX_UTILIZATION pause: the executor has released this request's
+        KV; reset to CONTEXT_INIT so the whole sequence (prompt + generated
+        so far) recomputes when capacity frees up (reference:
+        capacityScheduler.cpp MaxUtilizationScheduler + pauseRequests.h:47;
+        freed blocks stay in the reuse tree, so resume usually re-onboards
+        the prefix instead of recomputing it)."""
+        self._recompute_tokens = self.prompt_token_ids + self.output_token_ids
+        self.state = LlmRequestState.CONTEXT_INIT
+        self.context_current_position = 0
+        self.context_chunk_size = len(self._recompute_tokens)
+        self.num_device_tokens = 0
+        self.host_token_override = None
+        self.draft_tokens = []
+        self.kv_block_ids = []
+        self.num_cached_tokens = 0
 
     # ------------------------------------------------------------------ #
     # Token acceptance / stop criteria
