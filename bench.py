@@ -71,10 +71,12 @@ def main():
           "int4": QuantConfig(quant_algo=QuantAlgo.W4A16_AWQ)}[quant]
 
     max_seq = isl + osl + 8
+    multi_step = int(os.environ.get("BENCH_MULTISTEP", "16"))
     llm = LLM(model=cfg, skip_tokenizer_init=True,
               max_batch_size=batch, max_input_len=isl + 8,
               max_seq_len=max_seq, max_num_tokens=max(2048, isl * 4),
               quant_config=qc, load_format="dummy",
+              decode_multi_step=multi_step,
               kv_cache_config=KvCacheConfig(tokens_per_block=32))
 
     rng = np.random.default_rng(0)

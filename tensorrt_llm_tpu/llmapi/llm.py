@@ -26,6 +26,7 @@ from ..runtime.model_engine import ModelEngine
 from ..runtime.request import LlmRequest
 from ..runtime.scheduler import (CapacityScheduler, MicroBatchScheduler,
                                  RequestScheduler)
+from ..quantization.mode import KvCacheQuantAlgo, QuantAlgo
 from ..sampling_params import SamplingParams
 from .llm_args import LlmArgs
 
@@ -132,6 +133,8 @@ class LLM:
             # no prefix reuse (reference: mamba_cache_manager constraints)
             self.args.enable_chunked_prefill = False
             self.args.kv_cache_config.enable_block_reuse = False
+        if getattr(self, "_checkpoint_kv_scales", None) is not None:
+            self.model.checkpoint_kv_scales = self._checkpoint_kv_scales
         if state_dict is None:
             params = self.model.init_params(jax.random.PRNGKey(0))
         else:
@@ -174,6 +177,38 @@ class LLM:
             raise FileNotFoundError(f"no safetensors under {path}")
         for f in files:
             sd.update(st_numpy.load_file(str(f)))
+        # prequantized checkpoints (AWQ / GPTQ / ModelOpt): adopt the
+        # checkpoint's own quant recipe and unpack its integer weights
+        # (reference flow: quantize_by_modelopt.py hf_quant_config.json +
+        # linear.py:2287 AWQ ingest)
+        from ..quantization.checkpoint import (convert_state_dict,
+                                               detect_prequantized,
+                                               extract_kv_scales)
+        pq = detect_prequantized(path)
+        if pq is not None and pq.quant_algo is not None:
+            qc = self.args.quant_config
+            if qc.quant_algo != QuantAlgo.NO_QUANT and \
+                    qc.quant_algo != pq.quant_algo:
+                logger.warning(
+                    "quant_config %s overridden by checkpoint's own %s",
+                    qc.quant_algo, pq.quant_algo)
+            qc.quant_algo = pq.quant_algo
+            qc.group_size = pq.group_size
+            qc.exclude_modules = sorted(
+                set(qc.exclude_modules) | set(pq.exclude_modules))
+            if pq.kv_cache_quant_algo is not None and \
+                    qc.kv_cache_quant_algo == KvCacheQuantAlgo.NO_QUANT:
+                qc.kv_cache_quant_algo = pq.kv_cache_quant_algo
+            if qc.kv_cache_quant_algo != KvCacheQuantAlgo.NO_QUANT:
+                scales = extract_kv_scales(sd, qc.kv_cache_quant_algo)
+                if scales is not None:
+                    self._checkpoint_kv_scales = scales
+            sd = convert_state_dict(sd, pq)
+            logger.info("ingested prequantized checkpoint: %s group=%d "
+                        "(%d quantized tensors)", pq.quant_algo.value,
+                        pq.group_size,
+                        sum(1 for v in sd.values()
+                            if not isinstance(v, np.ndarray)))
         return hf_config, sd
 
     def _build_executor(self):
@@ -209,6 +244,19 @@ class LLM:
                 "clamping max_seq_len to the pool capacity",
                 pool_tokens, args.max_seq_len)
             args.max_seq_len = pool_tokens
+        if (self.model.config.uses_kv_quant
+                and getattr(self, "_checkpoint_kv_scales", None) is None):
+            # no checkpoint-provided KV scales: calibrate from one prefill
+            # pass (random tokens; callers with a tokenizer get real text)
+            rng = np.random.default_rng(0)
+            calib = rng.integers(1, max(2, self.model.vocab_size - 1),
+                                 size=512)
+            try:
+                self.engine.calibrate_kv_scales(calib)
+            except TypeError:
+                logger.warning("model %s has no collect_kv_stats path; "
+                               "using the default KV scale",
+                               type(self.model).__name__)
         if args.enable_lora:
             from ..lora.lora_manager import LoraConfig, LoraManager
             if not hasattr(self.model, "lora_module_shapes"):
@@ -288,7 +336,8 @@ class LLM:
             drafter=drafter,
             guided_decoder=guided_decoder,
             kv_transceiver=self.kv_transceiver,
-            pipeline_depth=args.max_inflight_steps)
+            pipeline_depth=args.max_inflight_steps,
+            decode_multi_step=args.decode_multi_step)
 
     # ------------------------------------------------------------------ #
     # Generation (reference: llm.py:329-533)

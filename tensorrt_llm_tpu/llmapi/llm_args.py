@@ -179,6 +179,13 @@ class LlmArgs(StrictBaseModel):
     # the D2H fetch round-trip (the overlap scheduler generalized to
     # depth N; stop-token overshoot is bounded by this depth)
     max_inflight_steps: int = 4
+    # decode iterations rolled into ONE jitted device program (lax.scan):
+    # the host dispatches/fetches once per K tokens instead of per token.
+    # Pure-decode batches only; per-token features (guided decoding,
+    # drafts, logprobs, beams) fall back to single steps automatically.
+    # Stop-string requests may briefly overshoot the stop by up to K-1
+    # tokens (discarded before the response).
+    decode_multi_step: int = 8
     # pre-compile all token buckets at engine build (model_engine.warmup
     # analog); skipped automatically off-TPU
     enable_warmup: bool = True

@@ -98,8 +98,10 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
         L = self.num_layers
         dtype = self.dtype
 
+        from .modeling_utils import hf_transpose
+
         def t(name):  # torch stores [out, in] → we want [in, out]
-            return np.ascontiguousarray(np.transpose(sd[name]))
+            return hf_transpose(sd[name])
 
         def stack_quant(method, fmt):
             per_layer = []
@@ -126,6 +128,14 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
             "up": stack_quant(self.m_mlp, "model.layers.{}.mlp.up_proj.weight"),
             "down": stack_quant(self.m_mlp, "model.layers.{}.mlp.down_proj.weight"),
         }
+        # per-layer KV quant scales: checkpoint-provided (ModelOpt
+        # kv_cache_scaling_factor) > calibrated > config default
+        ckpt_scales = getattr(self, "checkpoint_kv_scales", None)
+        if ckpt_scales is not None and len(ckpt_scales) == L:
+            layers["kv_scale"] = jnp.asarray(ckpt_scales, jnp.float32)
+        else:
+            layers["kv_scale"] = jnp.full((L,), self.config.kv_scale,
+                                          jnp.float32)
         params = {
             "embed": {"weight": jnp.asarray(sd["model.embed_tokens.weight"],
                                             dtype=dtype)},
@@ -133,11 +143,11 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
             "final_norm": jnp.asarray(sd["model.norm.weight"], dtype=dtype),
         }
         if self.tie_embeddings:
-            lm_w = np.transpose(sd["model.embed_tokens.weight"])
+            lm_w = hf_transpose(sd["model.embed_tokens.weight"])
         else:
-            lm_w = np.transpose(sd["lm_head.weight"])
+            lm_w = hf_transpose(sd["lm_head.weight"])
         params["lm_head"] = quantize_linear(
-            self.m_lm_head, np.ascontiguousarray(lm_w), dtype=dtype)
+            self.m_lm_head, lm_w, dtype=dtype)
         return params
 
     # ------------------------------------------------------------------ #
@@ -152,7 +162,8 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
 
     def forward(self, params: Dict[str, Any], token_ids: jax.Array,
                 kv_pages: jax.Array, metadata: AttentionMetadata,
-                input_embeds=None, lora=None, lora_slots=None):
+                input_embeds=None, lora=None, lora_slots=None,
+                collect_kv_stats: bool = False):
         h = self._embed(params, token_ids, input_embeds)
         spec = self.attn_spec
         eps = self.rms_eps
@@ -197,12 +208,19 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
             layer, layer_kv, lora_layer = xs
             lf = make_lora_fn(lora_layer)
             normed = rms_norm(h, layer["input_norm"], eps)
-            attn_out, new_pages = attention_block(
+            attn = attention_block(
                 layer, normed, layer_kv, metadata, spec,
                 self.m_q, self.m_o, attn_backend=self.attn_backend,
-                kv_scale=self.config.kv_scale, rope_cos_sin=cos_sin,
+                kv_scale=layer.get("kv_scale", self.config.kv_scale),
+                rope_cos_sin=cos_sin,
                 q_norm=q_norm, k_norm=k_norm,
-                mesh=shard_mesh, tp_axis=shard_axis, lora_fn=lf)
+                mesh=shard_mesh, tp_axis=shard_axis, lora_fn=lf,
+                collect_kv_stats=collect_kv_stats)
+            if collect_kv_stats:
+                attn_out, new_pages, kv_stat = attn
+            else:
+                attn_out, new_pages = attn
+                kv_stat = None
             h = h + attn_out
             normed = rms_norm(h, layer["post_norm"], eps)
             gate = self.m_mlp.apply(layer["gate"], normed)
@@ -216,13 +234,20 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
             if lf is not None:
                 mlp_out = lf("down", act, mlp_out)
             h = h + mlp_out
-            return h, new_pages
+            ys = (new_pages, kv_stat) if collect_kv_stats else new_pages
+            return h, ys
 
-        h, kv_pages = jax.lax.scan(
+        h, ys = jax.lax.scan(
             layer_body, h, (params["layers"], kv_pages, lora_scan_xs))
+        if collect_kv_stats:
+            kv_pages, kv_stats = ys
+        else:
+            kv_pages = ys
         h = rms_norm(h, params["final_norm"], eps)
         last = self._gather_logits(h, metadata)
         logits = self.m_lm_head.apply(params["lm_head"], last)
+        if collect_kv_stats:
+            return logits.astype(jnp.float32), kv_pages, kv_stats
         return logits.astype(jnp.float32), kv_pages
 
     # ------------------------------------------------------------------ #
@@ -264,6 +289,7 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
             "layers": {
                 "input_norm": P(pp, None),
                 "post_norm": P(pp, None),
+                "kv_scale": P(pp),
                 "q": linear_spec(layers["q"], col=True),
                 "k": linear_spec(layers["k"], col=True),
                 "v": linear_spec(layers["v"], col=True),

@@ -107,7 +107,8 @@ def attention_block(params: Dict[str, Any],
                     rope_cos_sin: Optional[Tuple[jax.Array, jax.Array]] = None,
                     mesh=None,
                     tp_axis: Optional[str] = None,
-                    lora_fn: Optional[Callable] = None
+                    lora_fn: Optional[Callable] = None,
+                    collect_kv_stats: bool = False
                     ) -> Tuple[jax.Array, jax.Array]:
     """Attention with paged KV (reference: modules/attention.py:314
     forward → attention_backend.trtllm.py:1629 single-op path).
@@ -152,6 +153,13 @@ def attention_block(params: Dict[str, Any],
     out = o_method.apply(params["o"], attn_flat)
     if lora_fn is not None:
         out = lora_fn("o", attn_flat, out)
+    if collect_kv_stats:
+        # KV-scale calibration: absmax of the fresh (pre-quant) K/V
+        # projections (reference role: calibrated kv_scale_orig_quant,
+        # attentionOp.cpp:919 — replaces the hardcoded per-tensor guess)
+        stat = jnp.maximum(jnp.max(jnp.abs(k.astype(jnp.float32))),
+                           jnp.max(jnp.abs(v.astype(jnp.float32))))
+        return out, kv_pages, stat
     return out, kv_pages
 
 
@@ -251,6 +259,15 @@ class DecoderModelForCausalLM:
         return hidden[metadata.logits_indices]
 
 
+def hf_transpose(w):
+    """torch checkpoints store [out, in] -> engine wants [in, out].
+    PrequantizedWeight (AWQ/GPTQ ingest) is already [in, out] and passes
+    through untouched."""
+    if not isinstance(w, np.ndarray) and hasattr(w, "weight_scale"):
+        return w
+    return np.ascontiguousarray(np.transpose(w))
+
+
 def quantize_linear(method: LinearMethod, w: np.ndarray,
                     bias: Optional[np.ndarray] = None,
                     dtype=jnp.bfloat16) -> Dict[str, jax.Array]:
@@ -259,7 +276,25 @@ def quantize_linear(method: LinearMethod, w: np.ndarray,
     Quantization runs on the host CPU backend so only the *quantized*
     bytes cross to the accelerator (an f32 staging upload would be 8x the
     int4 footprint — the role of the reference's host-side weight
-    preprocessors, cutlass_preprocessors.cpp)."""
+    preprocessors, cutlass_preprocessors.cpp).
+
+    A :class:`~..quantization.checkpoint.PrequantizedWeight` (AWQ/GPTQ/
+    ModelOpt ingest) passes through untouched: the checkpoint's own
+    integer weights, scales and zero points become the runtime params so
+    the published quantization math is reproduced exactly."""
+    from ..quantization.checkpoint import PrequantizedWeight
+    if isinstance(w, PrequantizedWeight):
+        params = {"weight": np.ascontiguousarray(w.weight),
+                  "weight_scale": np.ascontiguousarray(w.weight_scale)}
+        if w.weight_zero is not None:
+            params["weight_zero"] = np.ascontiguousarray(w.weight_zero)
+        elif w.bits == 4:
+            # symmetric int4: repack for the fused Pallas dequant-matmul
+            from ..ops.pallas.quant_matmul import pack_int4
+            params["weight"] = np.asarray(pack_int4(jnp.asarray(w.weight)))
+        if bias is not None:
+            params["bias"] = np.asarray(bias, jnp.dtype(dtype))
+        return params
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         params = method.quantize_weights(jnp.asarray(w), dtype=dtype)

@@ -142,9 +142,12 @@ class _BatchEntry:
 @dataclasses.dataclass
 class _InflightBatch:
     entries: List[_BatchEntry]
-    tokens: Any                 # device array future [S]
+    tokens: Any                 # device array future [S] or [K, S] (multi)
     logprobs: Any
     top_logprobs: Any = None    # optional (vals [S,K], ids [S,K])
+    kind: str = "single"        # "single" | "multi"
+    emitted: Any = None         # multi: device i32[S] valid-token counts
+    planned: Optional[List[int]] = None  # multi: per-row token budget
 
 
 @dataclasses.dataclass
@@ -170,7 +173,8 @@ class PyExecutor:
                  drafter=None,
                  guided_decoder=None,
                  kv_transceiver=None,
-                 pipeline_depth: int = 4):
+                 pipeline_depth: int = 4,
+                 decode_multi_step: int = 1):
         self.engine = engine
         self.kv = kv_cache_manager
         self.scheduler = scheduler
@@ -188,6 +192,9 @@ class PyExecutor:
             enable_overlap = False
         self.enable_overlap = enable_overlap
         self.stream_interval = stream_interval
+        # decode window: K decode iterations per dispatched device program
+        # (lax.scan in the engine); 1 = classic one-token steps
+        self.multi_step = max(1, decode_multi_step)
         # steps allowed in flight before the host consumes results; >1
         # amortizes the device→host fetch round-trip (critical over a
         # TPU tunnel; the reference's overlap loop is depth 2)
@@ -292,32 +299,53 @@ class PyExecutor:
                 paused = getattr(batch, "paused_requests", None)
                 if paused:
                     self._pause_requests(paused, batch)
+                use_pen = any(r.sampling_params.needs_penalties
+                              for r in batch.all_requests)
+                multi = not batch.is_empty and \
+                    self._multi_step_ok(batch)
                 if not batch.is_empty:
-                    if self.drafter is not None:
+                    if self.drafter is not None and not multi:
                         self._prepare_drafts(batch)
-                    self._prepare_resources(batch)
+                    if multi:
+                        self._prepare_resources_multi(batch)
+                    else:
+                        self._prepare_resources(batch)
                 if batch.is_empty:
                     # nothing runnable; drain pending results
                     self._process_inflight()
                     continue
                 t1 = time.monotonic()
-                use_pen = any(r.sampling_params.needs_penalties
-                              for r in batch.all_requests)
-                mask = None
-                if self.guided_decoder is not None:
-                    mask = self.guided_decoder.build_mask(batch)
-                mask = self._apply_bad_words(batch, mask)
-                tokens, logprobs, top_lp = self.engine.forward_step(
-                    batch, use_penalties=use_pen, logits_mask=mask)
-                try:  # start the D2H copy as soon as the step finishes
-                    tokens.copy_to_host_async()
-                    logprobs.copy_to_host_async()
-                except Exception:
-                    pass
-                t2 = time.monotonic()
-                entries = self._advance_device_state(batch)
-                self._inflight.append(
-                    _InflightBatch(entries, tokens, logprobs, top_lp))
+                if multi:
+                    tokens, logprobs, emitted = \
+                        self.engine.forward_multi_step(
+                            batch, self.multi_step, use_penalties=use_pen)
+                    try:
+                        tokens.copy_to_host_async()
+                        logprobs.copy_to_host_async()
+                        emitted.copy_to_host_async()
+                    except Exception:
+                        pass
+                    t2 = time.monotonic()
+                    entries, planned = self._advance_multi(batch)
+                    self._inflight.append(_InflightBatch(
+                        entries, tokens, logprobs, kind="multi",
+                        emitted=emitted, planned=planned))
+                else:
+                    mask = None
+                    if self.guided_decoder is not None:
+                        mask = self.guided_decoder.build_mask(batch)
+                    mask = self._apply_bad_words(batch, mask)
+                    tokens, logprobs, top_lp = self.engine.forward_step(
+                        batch, use_penalties=use_pen, logits_mask=mask)
+                    try:  # start the D2H copy as soon as the step finishes
+                        tokens.copy_to_host_async()
+                        logprobs.copy_to_host_async()
+                    except Exception:
+                        pass
+                    t2 = time.monotonic()
+                    entries = self._advance_device_state(batch)
+                    self._inflight.append(
+                        _InflightBatch(entries, tokens, logprobs, top_lp))
                 while len(self._inflight) >= self.pipeline_depth:
                     self._process_inflight()
                 t3 = time.monotonic()
@@ -466,6 +494,116 @@ class PyExecutor:
             req.draft_tokens = []
             batch.generation_requests.remove(req)
 
+    # ------------------------------------------------------------------ #
+    # Multi-step decode window (K tokens per dispatch)
+    # ------------------------------------------------------------------ #
+    def _multi_step_ok(self, batch: ScheduledRequests) -> bool:
+        """A batch may take the K-step device-resident loop when it is
+        pure decode and every per-token host intervention is absent:
+        no guided decoding, drafts, bad-word masks, top-k logprobs, LoRA
+        or beam rows. Stop *strings* are allowed — the host checks them
+        every K tokens and discards the overshoot."""
+        if self.multi_step <= 1 or batch.context_requests:
+            return False
+        if self.drafter is not None or self.guided_decoder is not None:
+            return False
+        if self.engine.max_draft_len:
+            return False
+        for r in batch.generation_requests:
+            sp = r.sampling_params
+            if (sp.use_beam_search or sp.logprobs or sp.bad_token_ids
+                    or r.lora_task_id is not None or r.draft_tokens
+                    or len(sp.stop_id_list()) > self.engine.NSTOP):
+                return False
+        return True
+
+    def _prepare_resources_multi(self, batch: ScheduledRequests) -> None:
+        """Pre-allocate KV pages for each request's decode window and set
+        its per-window token budget."""
+        K = self.multi_step
+        starved = []
+        for req in batch.generation_requests:
+            sp = req.sampling_params
+            ndt = req.num_device_tokens
+            outs = ndt - req.prompt_len
+            budget = max(1, min(K, sp.max_tokens - outs,
+                                self.engine.max_seq_len - ndt))
+            try:
+                self.kv.add_tokens(req, budget)
+                req.multi_step_budget = budget
+            except NoFreeBlocksError:
+                # the capacity scheduler admitted this request on its
+                # ONE-token need; a K-token window may not fit under
+                # pressure — degrade to a single step rather than starve
+                # (starving everything would spin without ever pausing)
+                try:
+                    self.kv.add_token(req)
+                    req.multi_step_budget = 1
+                except NoFreeBlocksError:
+                    starved.append(req)
+        for req in starved:
+            batch.generation_requests.remove(req)
+
+    def _advance_multi(self, batch: ScheduledRequests):
+        entries = []
+        planned = []
+        for req in batch.generation_requests:
+            req.num_device_tokens += req.multi_step_budget
+            req.host_token_override = None
+            entries.append(_BatchEntry(req, samples_output=True))
+            planned.append(req.multi_step_budget)
+        return entries, planned
+
+    def _process_multi(self, batch: _InflightBatch) -> None:
+        import jax
+        tokens, logprobs, emitted = jax.device_get(
+            (batch.tokens, batch.logprobs, batch.emitted))
+        finished: List[LlmRequest] = []
+        for i, entry in enumerate(batch.entries):
+            req = entry.request
+            if req.is_finished:
+                continue
+            e = int(emitted[i])
+            plan = batch.planned[i]
+            accepted = 0
+            done = False
+            check_stop_strings = bool(req.sampling_params.stop) and \
+                self.tokenizer is not None
+            for j in range(e):
+                done = req.add_output_token(int(tokens[j, i]),
+                                            float(logprobs[j, i]))
+                accepted += 1
+                if not done and check_stop_strings:
+                    done = self._check_stop_strings(req)
+                if done:
+                    break
+            if accepted < plan:
+                # the device stopped early (or a stop string landed
+                # mid-window): roll host bookkeeping back to the accepted
+                # prefix so the KV accounting matches
+                req.num_device_tokens -= plan - accepted
+                if not done:
+                    # defensive: device/host stop disagreement — resume
+                    # from the corrected position (prev_tokens[slot] holds
+                    # the last accepted token, so generation continues
+                    # consistently)
+                    logger.warning(
+                        "request %d: device emitted %d of %d planned "
+                        "tokens without a host-visible stop",
+                        req.request_id, e, plan)
+            res = self._results.get(req.request_id)
+            if res is not None and not done and req.streaming and \
+                    req.num_output_tokens - req.num_tokens_streamed >= \
+                    self.stream_interval:
+                new = req.output_token_ids[req.num_tokens_streamed:]
+                req.num_tokens_streamed = req.num_output_tokens
+                res._on_tokens(new)
+            if done:
+                finished.append(req)
+        for req in finished:
+            self._finish_request(req)
+        self._reap_finished()
+
     def _advance_device_state(self, batch: ScheduledRequests
                               ) -> List[_BatchEntry]:
         entries = []
@@ -510,6 +648,9 @@ class PyExecutor:
         if not self._inflight:
             return
         batch = self._inflight.popleft()
+        if batch.kind == "multi":
+            self._process_multi(batch)
+            return
         import jax
         tokens, logprobs = jax.device_get(
             (batch.tokens, batch.logprobs))    # sync point, one fetch

@@ -248,6 +248,12 @@ class KVCacheManager:
     def add_token(self, request: LlmRequest) -> None:
         self._grow(request, self._device_progress(request) + 1)
 
+    def add_tokens(self, request: LlmRequest, num_tokens: int) -> None:
+        """Pre-allocate pages for a multi-step decode window (the device
+        writes KV for up to ``num_tokens`` positions before the host sees
+        the results)."""
+        self._grow(request, self._device_progress(request) + num_tokens)
+
     def add_draft_tokens(self, request: LlmRequest, num_draft: int) -> None:
         self._grow(request, self._device_progress(request) + 1 + num_draft)
 

@@ -272,6 +272,198 @@ class ModelEngine:
         donate = (1, 2, 3)  # kv_pages, prev_tokens, token_counts
         return jax.jit(step, donate_argnums=donate)
 
+    # ------------------------------------------------------------------ #
+    # Device-resident multi-step decode (the round-2 roofline lever):
+    # roll K decode iterations inside ONE jitted scan so each dispatched
+    # program emits K tokens per sequence. Per-row stop handling (EOS /
+    # stop ids / min_tokens / length budget) runs in-graph; the host
+    # fetches once per K tokens. This is the TPU analog of CUDA-graph
+    # replay + the overlap loop (reference: cuda_graph_runner.py:84,
+    # py_executor.py:2870) taken one step further: the loop itself lives
+    # on device, so dispatch/fetch latency amortizes 1/K.
+    # ------------------------------------------------------------------ #
+    NSTOP = 8  # stop-token ids checked in-graph per row
+
+    def _build_multi_step(self, K: int, Sb: int, use_penalties: bool,
+                          all_greedy: bool):
+        model = self.model
+        ps, P = self.page_size, self.pages_per_seq
+        num_slots_oob = self.num_kv_pages * self.page_size
+        base_key = jax.random.PRNGKey(0)
+        NSTOP = self.NSTOP
+
+        def multi_step(params, kv_pages, prev_tokens, token_counts,
+                       ints, stop_ids, page_indices, floats, counter):
+            # ints i32[10, Sb]: token_ids, prev_slot, start_pos, out_slots,
+            #   top_k, greedy, max_new, stop_gate, row_seeds, (spare)
+            (token_ids, prev_slot, start_pos, out_slots, top_k, greedy_i,
+             max_new, stop_gate, row_seeds, _) = ints
+            sampling = SamplingTensors(
+                temperature=floats[0], top_k=top_k, top_p=floats[1],
+                min_p=floats[2], greedy=greedy_i.astype(bool),
+                repetition_penalty=floats[3],
+                presence_penalty=floats[4], frequency_penalty=floats[5])
+            nslots = prev_tokens.shape[0]
+            valid = out_slots >= 0
+            iota = jnp.arange(Sb, dtype=jnp.int32)
+            cu_q = jnp.arange(Sb + 1, dtype=jnp.int32)
+            num_seqs = jnp.full((1,), Sb, jnp.int32)
+            key0 = jax.random.fold_in(base_key, counter)
+
+            from_prev = prev_slot >= 0
+            first = jnp.where(from_prev,
+                              prev_tokens[jnp.clip(prev_slot, 0)], token_ids)
+            active0 = valid & (max_new > 0)
+
+            def live(carry):
+                (kv_pages, prev_tokens, token_counts, cur, pos, active,
+                 emitted, key) = carry
+                kv_len = jnp.where(valid, pos + 1, 1)
+                page_row = page_indices[iota, jnp.clip(pos // ps, 0, P - 1)]
+                slot_map = jnp.where(active, page_row * ps + pos % ps,
+                                     num_slots_oob)
+                metadata = AttentionMetadata(
+                    kv_lens=kv_len, page_indices=page_indices,
+                    cu_q_lens=cu_q, num_seqs=num_seqs,
+                    slot_mapping=slot_map, positions=pos,
+                    logits_indices=iota, seq_slots=out_slots)
+                logits, kv_pages = model.forward(params, cur, kv_pages,
+                                                 metadata)
+                key = jax.random.fold_in(key, 1)
+                if use_penalties:
+                    counts_rows = token_counts[jnp.clip(out_slots, 0)]
+                else:
+                    counts_rows = None
+                if all_greedy and not use_penalties:
+                    lf = logits.astype(jnp.float32)
+                    tok = jnp.argmax(lf, axis=-1).astype(jnp.int32)
+                    logz = jax.nn.logsumexp(lf, axis=-1)
+                    chosen = jnp.take_along_axis(
+                        lf, tok[:, None], axis=-1)[:, 0]
+                    lp = chosen - logz
+                else:
+                    tok, lp = sample(logits, sampling, key,
+                                     token_counts=counts_rows,
+                                     row_seeds=(row_seeds, kv_len))
+                emit = active
+                new_emitted = emitted + emit.astype(jnp.int32)
+                # stop ids (end_id folded into the list host-side);
+                # pads are -1 and can never match a sampled token
+                hit_stop = jnp.any(tok[:, None] == stop_ids, axis=1)
+                stopped = hit_stop & (new_emitted >= stop_gate)
+                len_done = new_emitted >= max_new
+                nxt_active = active & ~stopped & ~len_done
+                slot_idx = jnp.where(emit, out_slots, nslots)
+                prev_tokens = prev_tokens.at[slot_idx].set(tok, mode="drop")
+                if use_penalties:
+                    token_counts = token_counts.at[slot_idx, tok].add(
+                        1, mode="drop")
+                pos = pos + emit.astype(jnp.int32)
+                return ((kv_pages, prev_tokens, token_counts, tok, pos,
+                         nxt_active, new_emitted, key), (tok, lp))
+
+            def dead(carry):
+                return carry, (jnp.zeros((Sb,), jnp.int32),
+                               jnp.zeros((Sb,), jnp.float32))
+
+            def body(carry, _):
+                # skip the model call once every row has finished
+                return jax.lax.cond(jnp.any(carry[5]), live, dead, carry)
+
+            carry0 = (kv_pages, prev_tokens, token_counts, first, start_pos,
+                      active0, jnp.zeros((Sb,), jnp.int32), key0)
+            carry, (toks, lps) = jax.lax.scan(body, carry0, None, length=K)
+            (kv_pages, prev_tokens, token_counts, _, _, _, emitted,
+             _) = carry
+            return (toks, lps, emitted, prev_tokens, token_counts, kv_pages)
+
+        return jax.jit(multi_step, donate_argnums=(1, 2, 3))
+
+    def _get_multi_step_fn(self, K: int, Sb: int, use_penalties: bool,
+                           all_greedy: bool):
+        key = ("multi", K, Sb, use_penalties, all_greedy)
+        if key not in self._step_fns:
+            self._step_fns[key] = self._build_multi_step(
+                K, Sb, use_penalties, all_greedy)
+        return self._step_fns[key]
+
+    def _pick_row_bucket(self, n: int) -> int:
+        for b in self.row_buckets:
+            if n <= b:
+                return b
+        raise ValueError(f"{n} rows exceeds max_batch_size")
+
+    @functools.cached_property
+    def row_buckets(self) -> List[int]:
+        S = self.max_batch_size
+        return sorted({b for b in self.token_buckets if b < S} | {S})
+
+    def forward_multi_step(self, batch: ScheduledRequests, K: int,
+                           use_penalties: bool = False):
+        """Launch one K-step decode window for a generation-only batch.
+        Each request must carry ``multi_step_budget`` (set by the
+        executor after KV pre-allocation). Returns device futures
+        (tokens [K, Sb], logprobs [K, Sb], emitted [Sb])."""
+        reqs = batch.generation_requests
+        n = len(reqs)
+        Sb = self._pick_row_bucket(n)
+        P = self.pages_per_seq
+        NSTOP = self.NSTOP
+        self.iter_counter += 1
+
+        ints = np.zeros((10, Sb), np.int32)
+        ints[1] = -1   # prev_slot
+        ints[3] = -1   # out_slots (pad rows scatter out of bounds)
+        stop_ids = np.full((Sb, NSTOP), -1, np.int32)
+        floats = np.zeros((6, Sb), np.float32)
+        floats[0] = 1.0
+        floats[1] = 1.0
+        floats[3] = 1.0
+        page_indices = np.zeros((Sb, P), np.int32)
+        all_greedy = True
+        for i, r in enumerate(reqs):
+            sp = r.sampling_params
+            ndt = r.num_device_tokens
+            if r.host_token_override is not None:
+                ints[0, i] = r.host_token_override
+            else:
+                ints[1, i] = r.seq_slot
+            ints[2, i] = ndt
+            ints[3, i] = r.seq_slot
+            ints[4, i] = sp.top_k
+            ints[5, i] = int(sp.greedy)
+            outs = ndt - r.prompt_len
+            ints[6, i] = r.multi_step_budget
+            ints[7, i] = max(0, sp.min_tokens - outs)
+            if sp.seed:
+                ints[8, i] = sp.seed & 0x7FFFFFFF or 1
+            ids = list(sp.stop_id_list())[:NSTOP]
+            stop_ids[i, :len(ids)] = ids
+            blocks = r.kv_block_ids
+            page_indices[i, :len(blocks)] = blocks
+            all_greedy &= sp.greedy
+            floats[0, i] = max(sp.temperature, 1e-5)
+            floats[1, i] = sp.top_p
+            floats[2, i] = sp.min_p
+            floats[3, i] = sp.repetition_penalty
+            floats[4, i] = sp.presence_penalty
+            floats[5, i] = sp.frequency_penalty
+        counts = getattr(self, "token_counts", None)
+        if use_penalties and counts is None:
+            counts = jnp.zeros((self.max_batch_size, self.model.vocab_size),
+                               jnp.int32)
+        fn = self._get_multi_step_fn(K, Sb, use_penalties, all_greedy)
+        out = fn(self.params, self.kv_pages, self.prev_tokens,
+                 counts if use_penalties else jnp.zeros((1, 1), jnp.int32),
+                 jnp.asarray(ints), jnp.asarray(stop_ids),
+                 jnp.asarray(page_indices), jnp.asarray(floats),
+                 self.iter_counter)
+        (tokens, logprobs, emitted, self.prev_tokens, new_counts,
+         self.kv_pages) = out
+        if use_penalties:
+            self.token_counts = new_counts
+        return tokens, logprobs, emitted
+
     def _get_step_fn(self, use_penalties: bool, use_mask: bool = False,
                      all_greedy: bool = False, num_logprobs: int = 0,
                      use_embeds: bool = False, use_lora: bool = False):
@@ -282,6 +474,47 @@ class ModelEngine:
                 use_penalties, use_mask, all_greedy, num_logprobs,
                 use_embeds, use_lora)
         return self._step_fns[key]
+
+    def calibrate_kv_scales(self, token_ids: np.ndarray) -> Optional[np.ndarray]:
+        """Set per-layer KV quant scales from one prefill pass over
+        calibration tokens (absmax of the fresh K/V projections; the
+        reference plumbs ModelOpt-calibrated kv_scale_orig_quant,
+        attentionOp.cpp:919 — this replaces the hardcoded default when a
+        checkpoint ships no scales). Runs at engine build before any
+        request owns KV pages, so the scratch writes are harmless."""
+        layers = self.params.get("layers") \
+            if isinstance(self.params, dict) else None
+        if layers is None or "kv_scale" not in layers:
+            return None
+        if not self.model.config.uses_kv_quant:
+            return None
+        ps = self.page_size
+        T = int(min(len(token_ids), self.args.max_num_tokens,
+                    (self.num_kv_pages - 1) * ps, self.max_seq_len))
+        tokens = np.asarray(token_ids[:T], np.int32)
+        n_pages = -(-T // ps)
+        metadata = AttentionMetadata(
+            kv_lens=jnp.asarray([T], jnp.int32),
+            page_indices=jnp.arange(n_pages, dtype=jnp.int32)[None, :],
+            cu_q_lens=jnp.asarray([0, T], jnp.int32),
+            num_seqs=jnp.asarray([1], jnp.int32),
+            slot_mapping=jnp.arange(T, dtype=jnp.int32),
+            positions=jnp.arange(T, dtype=jnp.int32),
+            logits_indices=jnp.asarray([T - 1], jnp.int32),
+            seq_slots=jnp.asarray([0], jnp.int32))
+        fwd = jax.jit(functools.partial(self.model.forward,
+                                        collect_kv_stats=True))
+        _, self.kv_pages, stats = fwd(self.params, jnp.asarray(tokens),
+                                      self.kv_pages, metadata)
+        qmax = 127.0 if self.model.config.kv_cache_dtype == jnp.int8 \
+            else 448.0
+        scales = np.maximum(np.asarray(stats, np.float32) / qmax, 1e-6)
+        old = layers["kv_scale"]
+        layers["kv_scale"] = jax.device_put(
+            jnp.asarray(scales, jnp.float32), old.sharding)
+        logger.info("calibrated KV scales over %d tokens: "
+                    "min=%.4g max=%.4g", T, scales.min(), scales.max())
+        return scales
 
     def reset_slot_counts(self, slots: List[int]) -> None:
         """Zero the penalty token-count rows for newly admitted slots so a
@@ -470,6 +703,24 @@ class ModelEngine:
             logger.info("warmed bucket T=%d", T)
         if last is not None:
             jax.block_until_ready(last)
+        # warm the multi-step decode windows (greedy variant) for every
+        # row bucket; all rows are marked inactive so the scan takes the
+        # skip branch and no device state is disturbed
+        K = getattr(self.args, "decode_multi_step", 1)
+        if K > 1:
+            for Sb in self.row_buckets:
+                fn = self._get_multi_step_fn(K, Sb, False, True)
+                ints = np.zeros((10, Sb), np.int32)
+                ints[1] = -1
+                ints[3] = -1  # invalid rows -> inactive
+                out = fn(self.params, self.kv_pages, self.prev_tokens,
+                         jnp.zeros((1, 1), jnp.int32), jnp.asarray(ints),
+                         jnp.full((Sb, self.NSTOP), -1, jnp.int32),
+                         jnp.zeros((Sb, self.pages_per_seq), jnp.int32),
+                         jnp.ones((6, Sb), jnp.float32), 0)
+                (_, _, _, self.prev_tokens, _, self.kv_pages) = out
+                logger.info("warmed multi-step window K=%d rows=%d", K, Sb)
+            jax.block_until_ready(self.kv_pages)
         # reset device-side token state touched by the fake steps
         self.prev_tokens = jnp.zeros((self.max_batch_size,), jnp.int32)
 

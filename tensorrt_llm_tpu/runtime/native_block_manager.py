@@ -160,6 +160,9 @@ class NativeKVCacheManager:
     def add_token(self, request: LlmRequest) -> None:
         self._grow(request, self._device_progress(request) + 1)
 
+    def add_tokens(self, request: LlmRequest, num_tokens: int) -> None:
+        self._grow(request, self._device_progress(request) + num_tokens)
+
     def add_draft_tokens(self, request: LlmRequest, num_draft: int) -> None:
         self._grow(request, self._device_progress(request) + 1 + num_draft)
 

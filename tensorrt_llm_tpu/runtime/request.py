@@ -132,6 +132,9 @@ class LlmRequest:
         # when the host already knows the next input token (first gen step
         # after prefill in non-overlap mode), bypass the device-side gather
         self.host_token_override: Optional[int] = None
+        # tokens this request may emit in the current multi-step decode
+        # window (set by the executor after KV pre-allocation)
+        self.multi_step_budget: int = 1
 
         self.perf = PerfMetrics(arrival_time=arrival_time or time.monotonic())
         self.priority: float = 0.5
