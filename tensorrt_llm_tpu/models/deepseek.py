@@ -268,8 +268,16 @@ class DeepseekV3ForCausalLM(DecoderModelForCausalLM):
         if self.norm_topk:
             w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-20)
         w = w * self.routed_scale
-        routed = moe_mlp_ragged(x, layer["w_gate"], layer["w_up"],
-                                layer["w_down"], w, idx.astype(jnp.int32))
+        if self.mesh is not None and any(
+                self.mesh.shape.get(a, 1) > 1 for a in ("cp", "tp")):
+            from ..ops.moe import moe_mlp_ep
+            routed = moe_mlp_ep(x, layer["w_gate"], layer["w_up"],
+                                layer["w_down"], w, idx.astype(jnp.int32),
+                                self.mesh, ep_axes=("cp", "tp"))
+        else:
+            routed = moe_mlp_ragged(x, layer["w_gate"], layer["w_up"],
+                                    layer["w_down"], w,
+                                    idx.astype(jnp.int32))
         gate = self.m_mlp.apply(layer["s_gate"], x)
         up = self.m_mlp.apply(layer["s_up"], x)
         shared = self.m_mlp.apply(

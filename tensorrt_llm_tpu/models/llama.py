@@ -284,20 +284,22 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
             return spec
 
         layers = params["layers"]
+        layer_specs = {
+            "input_norm": P(pp, None),
+            "post_norm": P(pp, None),
+            "q": linear_spec(layers["q"], col=True),
+            "k": linear_spec(layers["k"], col=True),
+            "v": linear_spec(layers["v"], col=True),
+            "o": linear_spec(layers["o"], col=False),
+            "gate": linear_spec(layers["gate"], col=True),
+            "up": linear_spec(layers["up"], col=True),
+            "down": linear_spec(layers["down"], col=False),
+        }
+        if "kv_scale" in layers:
+            layer_specs["kv_scale"] = P(pp)
         return {
             "embed": {"weight": P(None, None)},
-            "layers": {
-                "input_norm": P(pp, None),
-                "post_norm": P(pp, None),
-                "kv_scale": P(pp),
-                "q": linear_spec(layers["q"], col=True),
-                "k": linear_spec(layers["k"], col=True),
-                "v": linear_spec(layers["v"], col=True),
-                "o": linear_spec(layers["o"], col=False),
-                "gate": linear_spec(layers["gate"], col=True),
-                "up": linear_spec(layers["up"], col=True),
-                "down": linear_spec(layers["down"], col=False),
-            },
+            "layers": layer_specs,
             "final_norm": P(None),
             "lm_head": linear_spec(params["lm_head"], col=True),
         }

@@ -145,7 +145,7 @@ class MixtralForCausalLM(LlamaForCausalLM):
             h = h + moe_mlp(normed, layer["w_gate"], layer["w_up"],
                             layer["w_down"], layer["router"],
                             top_k=self.top_k, backend=self.moe_backend,
-                            mapping=mapping)
+                            mapping=mapping, mesh=self.mesh)
             return h, new_pages
 
         h, kv_pages = jax.lax.scan(
@@ -169,10 +169,12 @@ class MixtralForCausalLM(LlamaForCausalLM):
         layers = base["layers"]
         for k in ("gate", "up", "down"):
             layers.pop(k)
-        # experts sharded over the expert axis on tp (EP=TP factorization);
-        # dense path partitions cleanly on "tei" intermediates
+        # experts sharded over the (cp, tp) block — the reference's
+        # moe_ep factorization of the attention axes (mapping.py:81);
+        # the shard_map EP path (ops/moe.py moe_mlp_ep) runs local
+        # grouped GEMMs per expert shard with a psum combine
         layers["router"] = P(None, None, None)
-        layers["w_gate"] = P(None, "tp", None, None)
-        layers["w_up"] = P(None, "tp", None, None)
-        layers["w_down"] = P(None, "tp", None, None)
+        layers["w_gate"] = P(None, ("cp", "tp"), None, None)
+        layers["w_up"] = P(None, ("cp", "tp"), None, None)
+        layers["w_down"] = P(None, ("cp", "tp"), None, None)
         return base

@@ -111,3 +111,75 @@ def test_mapping_mesh_axes():
     mesh = m.build_mesh()
     assert mesh.shape == {"dp": 2, "pp": 2, "cp": 1, "tp": 2}
     assert m.pp_layers(5) == [range(0, 2), range(2, 5)]
+
+
+@needs_8
+def test_moe_ep_shard_map_matches_ragged():
+    """EP shard_map path (local grouped GEMMs + psum combine) must match
+    the single-device ragged path bit-closely."""
+    from tensorrt_llm_tpu.mapping import Mapping
+    from tensorrt_llm_tpu.ops.moe import (moe_mlp_ep, moe_mlp_ragged,
+                                          topk_routing)
+
+    T, H, I, E, k = 12, 32, 48, 8, 2
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((T, H)), jnp.float32)
+    w_gate = jnp.asarray(rng.standard_normal((E, H, I)) * 0.1, jnp.float32)
+    w_up = jnp.asarray(rng.standard_normal((E, H, I)) * 0.1, jnp.float32)
+    w_down = jnp.asarray(rng.standard_normal((E, I, H)) * 0.1, jnp.float32)
+    router = jnp.asarray(rng.standard_normal((H, E)), jnp.float32)
+    probs, idx = topk_routing(x @ router, k)
+
+    ref = moe_mlp_ragged(x, w_gate, w_up, w_down, probs, idx)
+
+    mesh = Mapping.from_sizes(tp=4, dp=2).build_mesh()
+    with mesh:
+        out = jax.jit(lambda *a: moe_mlp_ep(
+            *a, mesh=mesh, ep_axes=("cp", "tp")))(
+                x, w_gate, w_up, w_down, probs, idx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+@needs_8
+def test_mixtral_ep_forward_matches_single_device():
+    """Mixtral with experts sharded over (cp, tp) — EP shard_map path —
+    matches the unsharded forward."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tensorrt_llm_tpu.mapping import Mapping
+    from tensorrt_llm_tpu.models import ModelConfig, get_model_class
+    from transformers import MixtralConfig
+    import __graft_entry__ as ge
+
+    hf = MixtralConfig(vocab_size=128, hidden_size=64,
+                       intermediate_size=96, num_hidden_layers=2,
+                       num_attention_heads=8, num_key_value_heads=4,
+                       num_local_experts=8, num_experts_per_tok=2,
+                       max_position_embeddings=256)
+    mapping = Mapping.from_sizes(tp=4, dp=2)
+    mc = ModelConfig(hf_config=hf, dtype=jnp.float32, mapping=mapping)
+    model = get_model_class(hf.model_type)(mc)
+    params = model.init_params(jax.random.PRNGKey(0))
+    T = 8
+    tokens = jnp.asarray(np.arange(T) % 120, jnp.int32)
+    md = ge._example_metadata(T, max_seqs=2, pages_per_seq=8)
+    ref_logits, _ = model.forward(params, tokens,
+                                  model.make_kv_pages(16, 16), md)
+
+    mesh = mapping.build_mesh()
+    model.mesh = mesh           # activates shard_map attention + EP moe
+    pspecs = model.param_pspecs(params)
+    shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
+                             is_leaf=lambda x: isinstance(x, P))
+    sparams = jax.device_put(params, shardings)
+    skv = jax.device_put(model.make_kv_pages(16, 16),
+                         NamedSharding(mesh, model.kv_pspec()))
+
+    @jax.jit
+    def fwd(p, t, k, m):
+        return model.forward(p, t, k, m)
+
+    with mesh:
+        logits, _ = fwd(sparams, tokens, skv, md)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               rtol=5e-3, atol=5e-3)
