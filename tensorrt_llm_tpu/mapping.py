@@ -52,10 +52,13 @@ class Mapping:
     rank: int = 0
 
     def __post_init__(self):
-        object.__setattr__(self, "moe_tp_size",
-                           self.tp_size if self.moe_tp_size == -1 else self.moe_tp_size)
         object.__setattr__(self, "moe_ep_size",
                            1 if self.moe_ep_size == -1 else self.moe_ep_size)
+        if self.moe_tp_size == -1:
+            # the MoE submesh refactors the full (cp, tp) block
+            object.__setattr__(
+                self, "moe_tp_size",
+                self.tp_size * self.cp_size // self.moe_ep_size)
         expected = self.tp_size * self.pp_size * self.cp_size * self.dp_size
         if self.world_size != expected:
             raise ValueError(

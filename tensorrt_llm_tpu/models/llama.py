@@ -200,6 +200,14 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
             q_norm = k_norm = None
 
         shard_mesh, shard_axis = self.attn_shard_args()
+        tok_spec = self.token_pspec()
+
+        def constrain(t):
+            if tok_spec is not None:
+                return jax.lax.with_sharding_constraint(t, tok_spec)
+            return t
+
+        h = constrain(h)
 
         def layer_body(h, xs):
             # per-layer KV pages ride the scan xs/ys (sliced in, stacked
@@ -233,7 +241,7 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
             mlp_out = self.m_mlp.apply(layer["down"], act)
             if lf is not None:
                 mlp_out = lf("down", act, mlp_out)
-            h = h + mlp_out
+            h = constrain(h + mlp_out)
             ys = (new_pages, kv_stat) if collect_kv_stats else new_pages
             return h, ys
 
@@ -305,11 +313,17 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
         }
 
     def kv_pspec(self) -> P:
-        """Shard KV pools: layer dim over pp, kv heads over tp."""
+        """Shard KV pools: layer dim over pp, kv heads over (cp, tp) —
+        the head axes attention runs shard_map over (Ulysses CP shards
+        KV heads exactly like TP does; reference: attention.py:1276)."""
         m = self.config.mapping
         pp = "pp" if m.pp_size > 1 else None
-        tp = "tp" if (m.tp_size > 1 and
-                      (2 * self.num_kv_heads) % m.tp_size == 0) else None
-        if pp is None and tp is None:
+        _, head_axes = self.attn_shard_args() if self.mesh is not None \
+            else (None, None)
+        if head_axes is None:
+            head_axes = "tp" if (m.tp_size > 1 and
+                                 (2 * self.num_kv_heads) % m.tp_size == 0) \
+                else None
+        if pp is None and head_axes is None:
             return P()
-        return P(pp, None, None, tp, None)
+        return P(pp, None, None, head_axes, None)

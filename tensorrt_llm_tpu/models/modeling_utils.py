@@ -183,14 +183,42 @@ class DecoderModelForCausalLM:
         self.mesh = None
 
     def attn_shard_args(self):
-        """(mesh, tp_axis) for head-sharded attention under shard_map, or
-        (None, None) when attention runs unsharded/replicated."""
+        """(mesh, axes) for head-sharded attention under shard_map, or
+        (None, None) when attention runs unsharded/replicated.
+
+        With cp>1 (Ulysses context parallel, reference: CpType.ULYSSES
+        mapping.py:25) heads shard over the combined ("cp", "tp") axes;
+        the activation token axis is cp-sharded outside attention, so
+        the boundary reshard is the Ulysses all-to-all."""
         m = self.config.mapping
-        if (self.mesh is not None and m.tp_size > 1
-                and self.num_heads % m.tp_size == 0
-                and (2 * self.num_kv_heads) % m.tp_size == 0):
-            return self.mesh, "tp"
+        if self.mesh is None:
+            return None, None
+        axes = []
+        if m.cp_size > 1:
+            axes.append("cp")
+        if m.tp_size > 1:
+            axes.append("tp")
+        while axes:
+            n = 1
+            for a in axes:
+                n *= m.cp_size if a == "cp" else m.tp_size
+            if self.num_heads % n == 0 and (2 * self.num_kv_heads) % n == 0:
+                return self.mesh, axes[0] if len(axes) == 1 else tuple(axes)
+            # too few (kv) heads for the combined shard: drop cp first
+            axes.pop(0)
         return None, None
+
+    def token_pspec(self):
+        """PartitionSpec for the activation token axis: sharded over
+        "cp" under context parallelism (Ulysses sequence split),
+        replicated otherwise. Models apply this as a
+        with_sharding_constraint on hidden states so QKV/MLP FLOPs
+        split across the cp group too."""
+        from jax.sharding import PartitionSpec as P
+        m = self.config.mapping
+        if self.mesh is not None and m.cp_size > 1:
+            return P("cp", None)
+        return None
 
     # ---- geometry used by the engine to size KV pools ------------------
     @property

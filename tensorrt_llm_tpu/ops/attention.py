@@ -122,26 +122,38 @@ def ragged_paged_attention(
     the head dimension: attention is embarrassingly parallel across kv
     heads, and GSPMD cannot partition a pallas_call on its own (the role
     of the reference's per-rank attention with NCCL around it — here each
-    device runs the kernel on its local head shard, no collectives)."""
-    if mesh is not None and tp_axis is not None and \
-            mesh.shape.get(tp_axis, 1) > 1:
-        from jax.sharding import PartitionSpec as P
-        try:
-            from jax import shard_map
-        except ImportError:  # older jax
-            from jax.experimental.shard_map import shard_map
+    device runs the kernel on its local head shard, no collectives).
 
-        def local_attn(q_l, kv_l):
-            return ragged_paged_attention(
-                q_l, kv_l, metadata, sm_scale=sm_scale,
-                sliding_window=sliding_window, soft_cap=soft_cap,
-                k_scale=k_scale, v_scale=v_scale, backend=backend)
+    ``tp_axis`` may be one mesh axis name or a tuple of axes. The tuple
+    form is Ulysses context parallelism (reference: CpType.ULYSSES,
+    _torch/modules/attention.py:1276, distributed/ops.py:1019): outside
+    this op activations are token-sharded over "cp"; entering with heads
+    sharded over ("cp", "tp") makes GSPMD insert the Ulysses
+    all-to-all (token-shard -> head-shard) at the boundary, and the
+    inverse one on the way out."""
+    if mesh is not None and tp_axis is not None:
+        axes = (tp_axis,) if isinstance(tp_axis, str) else tuple(tp_axis)
+        size = 1
+        for a in axes:
+            size *= mesh.shape.get(a, 1)
+        if size > 1:
+            from jax.sharding import PartitionSpec as P
+            try:
+                from jax import shard_map
+            except ImportError:  # older jax
+                from jax.experimental.shard_map import shard_map
 
-        return shard_map(
-            local_attn, mesh=mesh,
-            in_specs=(P(None, tp_axis, None),
-                      P(None, None, tp_axis, None)),
-            out_specs=P(None, tp_axis, None))(q, kv_pages)
+            def local_attn(q_l, kv_l):
+                return ragged_paged_attention(
+                    q_l, kv_l, metadata, sm_scale=sm_scale,
+                    sliding_window=sliding_window, soft_cap=soft_cap,
+                    k_scale=k_scale, v_scale=v_scale, backend=backend)
+
+            return shard_map(
+                local_attn, mesh=mesh,
+                in_specs=(P(None, axes, None),
+                          P(None, None, axes, None)),
+                out_specs=P(None, axes, None))(q, kv_pages)
 
     if backend == "auto":
         # the library RPA kernel requires lane-aligned head_dim (128);

@@ -299,38 +299,60 @@ class PyExecutor:
                 paused = getattr(batch, "paused_requests", None)
                 if paused:
                     self._pause_requests(paused, batch)
-                use_pen = any(r.sampling_params.needs_penalties
-                              for r in batch.all_requests)
                 multi = not batch.is_empty and \
                     self._multi_step_ok(batch)
-                if not batch.is_empty:
+                # mixed ctx+gen batch whose gen rows qualify for the
+                # K-step window: split into two dispatches — a prefill
+                # step and a decode window — so continuous re-admission
+                # of new prompts doesn't demote every decode row to
+                # one-token steps (the reference fuses ctx+gen into one
+                # kernel launch; on TPU two queued XLA programs
+                # back-to-back serve the same purpose without giving up
+                # the device-resident decode loop)
+                gen_window = None
+                if (not multi and self.multi_step > 1
+                        and batch.context_requests
+                        and batch.generation_requests
+                        and self._multi_rows_ok(batch.generation_requests)):
+                    gen_window = ScheduledRequests(
+                        generation_requests=batch.generation_requests)
+                    batch = ScheduledRequests(
+                        context_requests=batch.context_requests)
+                if not batch.is_empty or gen_window is not None:
                     if self.drafter is not None and not multi:
                         self._prepare_drafts(batch)
                     if multi:
                         self._prepare_resources_multi(batch)
                     else:
                         self._prepare_resources(batch)
-                if batch.is_empty:
+                    if gen_window is not None:
+                        self._prepare_resources_multi(gen_window)
+                if batch.is_empty and gen_window is None:
                     # nothing runnable; drain pending results
                     self._process_inflight()
                     continue
                 t1 = time.monotonic()
-                if multi:
+                if multi or (gen_window is not None
+                             and gen_window.generation_requests):
+                    wb = batch if multi else gen_window
+                    use_pen = any(r.sampling_params.needs_penalties
+                                  for r in wb.all_requests)
                     tokens, logprobs, emitted = \
                         self.engine.forward_multi_step(
-                            batch, self.multi_step, use_penalties=use_pen)
+                            wb, self.multi_step, use_penalties=use_pen)
                     try:
                         tokens.copy_to_host_async()
                         logprobs.copy_to_host_async()
                         emitted.copy_to_host_async()
                     except Exception:
                         pass
-                    t2 = time.monotonic()
-                    entries, planned = self._advance_multi(batch)
+                    entries, planned = self._advance_multi(wb)
                     self._inflight.append(_InflightBatch(
                         entries, tokens, logprobs, kind="multi",
                         emitted=emitted, planned=planned))
-                else:
+                if not multi and not batch.is_empty:
+                    use_pen = any(r.sampling_params.needs_penalties
+                                  for r in batch.all_requests)
                     mask = None
                     if self.guided_decoder is not None:
                         mask = self.guided_decoder.build_mask(batch)
@@ -342,20 +364,26 @@ class PyExecutor:
                         logprobs.copy_to_host_async()
                     except Exception:
                         pass
-                    t2 = time.monotonic()
                     entries = self._advance_device_state(batch)
                     self._inflight.append(
                         _InflightBatch(entries, tokens, logprobs, top_lp))
+                t2 = time.monotonic()
                 while len(self._inflight) >= self.pipeline_depth:
                     self._process_inflight()
                 t3 = time.monotonic()
                 if self._trace_iters:
+                    ngen = len(batch.generation_requests) + \
+                        (len(gen_window.generation_requests)
+                         if gen_window is not None else 0)
+                    kind = "multi" if multi else \
+                        ("split" if gen_window is not None else "single")
                     print(f"# iter {self.iter_counter}: sched={1e3*(t1-t0):.1f} "
                           f"fwd={1e3*(t2-t1):.1f} proc={1e3*(t3-t2):.1f} "
                           f"ctx={len(batch.context_requests)} "
-                          f"gen={len(batch.generation_requests)}",
+                          f"gen={ngen} {kind}",
                           flush=True)
-                self._record_stats(batch, time.monotonic() - t0)
+                self._record_stats(batch, time.monotonic() - t0,
+                                   extra=gen_window)
             # drain at shutdown
             while self._inflight:
                 self._process_inflight()
@@ -505,11 +533,14 @@ class PyExecutor:
         every K tokens and discards the overshoot."""
         if self.multi_step <= 1 or batch.context_requests:
             return False
+        return self._multi_rows_ok(batch.generation_requests)
+
+    def _multi_rows_ok(self, gen_requests) -> bool:
         if self.drafter is not None or self.guided_decoder is not None:
             return False
         if self.engine.max_draft_len:
             return False
-        for r in batch.generation_requests:
+        for r in gen_requests:
             sp = r.sampling_params
             if (sp.use_beam_search or sp.logprobs or sp.bad_token_ids
                     or r.lora_task_id is not None or r.draft_tokens
@@ -830,8 +861,11 @@ class PyExecutor:
         if res is not None:
             res._on_finish()
 
-    def _record_stats(self, batch: ScheduledRequests, latency: float):
+    def _record_stats(self, batch: ScheduledRequests, latency: float,
+                      extra: Optional[ScheduledRequests] = None):
         self.iter_counter += 1
+        ngen = len(batch.generation_requests) + \
+            (len(extra.generation_requests) if extra is not None else 0)
         st = IterationStats(
             iter_counter=self.iter_counter,
             num_active_requests=len(self._active),
@@ -839,7 +873,7 @@ class PyExecutor:
             num_ctx_tokens=sum(
                 min(r.context_chunk_size, r.prompt_len)
                 for r in batch.context_requests),
-            num_gen_tokens=len(batch.generation_requests),
+            num_gen_tokens=ngen,
             kv_cache_free_blocks=self.kv.get_num_free_blocks(),
             iter_latency_ms=latency * 1e3)
         self.stats_history.append(st)

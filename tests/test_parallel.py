@@ -114,6 +114,50 @@ def test_mapping_mesh_axes():
 
 
 @needs_8
+def test_ulysses_cp_forward_matches_single_device():
+    """cp=2 x tp=2 Ulysses: token-sharded activations, heads shard_map'd
+    over ("cp","tp") — logits must match the unsharded forward.
+    (reference: CpType.ULYSSES, _torch/modules/attention.py:1276)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tensorrt_llm_tpu.mapping import Mapping
+    from tensorrt_llm_tpu.models import ModelConfig, get_model_class
+    from transformers import LlamaConfig
+    import __graft_entry__ as ge
+
+    hf = LlamaConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                     num_hidden_layers=2, num_attention_heads=8,
+                     num_key_value_heads=4, max_position_embeddings=256)
+    mapping = Mapping.from_sizes(tp=2, cp=2, dp=2)
+    mc = ModelConfig(hf_config=hf, dtype=jnp.float32, mapping=mapping)
+    model = get_model_class(hf.model_type)(mc)
+    params = model.init_params(jax.random.PRNGKey(0))
+    T = 8
+    tokens = jnp.asarray(np.arange(T) % 120, jnp.int32)
+    md = ge._example_metadata(T, max_seqs=2, pages_per_seq=8)
+    ref_logits, _ = model.forward(params, tokens,
+                                  model.make_kv_pages(16, 16), md)
+
+    mesh = mapping.build_mesh()
+    model.mesh = mesh
+    assert model.attn_shard_args()[1] == ("cp", "tp")
+    pspecs = model.param_pspecs(params)
+    shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
+                             is_leaf=lambda x: isinstance(x, P))
+    sparams = jax.device_put(params, shardings)
+    skv = jax.device_put(model.make_kv_pages(16, 16),
+                         NamedSharding(mesh, model.kv_pspec()))
+
+    @jax.jit
+    def fwd(p, t, k, m):
+        return model.forward(p, t, k, m)
+
+    with mesh:
+        logits, _ = fwd(sparams, tokens, skv, md)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               rtol=5e-3, atol=5e-3)
+
+
+@needs_8
 def test_moe_ep_shard_map_matches_ragged():
     """EP shard_map path (local grouped GEMMs + psum combine) must match
     the single-device ragged path bit-closely."""
