@@ -186,6 +186,11 @@ class LlmArgs(StrictBaseModel):
     # Stop-string requests may briefly overshoot the stop by up to K-1
     # tokens (discarded before the response).
     decode_multi_step: int = 8
+    # micro-batches per iteration for TRUE pipeline parallelism (GPipe
+    # schedule inside one jitted program, ppermute stage handoff;
+    # reference: _executor_loop_pp py_executor.py:1811). Only active
+    # when pipeline_parallel_size > 1; 1 = weight-sharded scan only.
+    pp_microbatches: int = 1
     # pre-compile all token buckets at engine build (model_engine.warmup
     # analog); skipped automatically off-TPU
     enable_warmup: bool = True

@@ -259,6 +259,71 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
         return logits.astype(jnp.float32), kv_pages
 
     # ------------------------------------------------------------------ #
+    # Pipelined forward (true PP: micro-batches + ppermute handoff;
+    # reference: _torch/pyexecutor/py_executor.py:1811 _executor_loop_pp)
+    # ------------------------------------------------------------------ #
+    def forward_pp(self, params: Dict[str, Any], token_ids: jax.Array,
+                   kv_pages: jax.Array, metadata: AttentionMetadata,
+                   num_microbatches: int = 2):
+        """GPipe-scheduled forward over the "pp" mesh axis.
+
+        The token axis splits into M contiguous micro-batches; each pp
+        stage runs its local layer block (its shard of the stacked
+        layer arrays) and hands the hidden state to the next stage with
+        ``ppermute`` — stages genuinely overlap on different
+        micro-batches inside one jitted program. Embedding, final norm
+        and lm_head stay outside the pipelined region (replicated).
+        """
+        from ..parallel.pipeline import pipeline_forward, split_metadata
+
+        M = num_microbatches
+        T = token_ids.shape[0]
+        assert T % M == 0, f"token bucket {T} not divisible by M={M}"
+        spec = self.attn_spec
+        eps = self.rms_eps
+        mapping = self.config.mapping
+
+        h = self._embed(params, token_ids)
+        h_mb = h.reshape(M, T // M, -1)
+        md_mb = split_metadata(metadata, M, T)
+
+        def stage_fn(layers_l, h, kv_l, md):
+            from ..ops.rope import rope_cos_sin
+            cos_sin = rope_cos_sin(spec.rope, md.positions)
+
+            def layer_body(h, xs):
+                layer, layer_kv = xs
+                normed = rms_norm(h, layer["input_norm"], eps)
+                attn_out, new_pages = attention_block(
+                    layer, normed, layer_kv, md, spec,
+                    self.m_q, self.m_o, attn_backend=self.attn_backend,
+                    kv_scale=layer.get("kv_scale", self.config.kv_scale),
+                    rope_cos_sin=cos_sin)
+                h = h + attn_out
+                normed = rms_norm(h, layer["post_norm"], eps)
+                gate = self.m_mlp.apply(layer["gate"], normed)
+                up = self.m_mlp.apply(layer["up"], normed)
+                act = jax.nn.silu(gate.astype(jnp.float32)) \
+                    .astype(self.dtype) * up
+                h = h + self.m_mlp.apply(layer["down"], act)
+                return h, new_pages
+
+            h, kv_l = jax.lax.scan(layer_body, h, (layers_l, kv_l))
+            return h, kv_l
+
+        pspecs = self.param_pspecs(params)
+        h_out, kv_pages = pipeline_forward(
+            stage_fn, h_mb, params["layers"], kv_pages, md_mb,
+            mesh=self.mesh, pp_size=mapping.pp_size,
+            layer_pspec=pspecs["layers"], kv_pspec=self.kv_pspec(),
+            oob_slot=kv_pages.shape[1] * kv_pages.shape[2])
+        h = h_out.reshape(T, -1)
+        h = rms_norm(h, params["final_norm"], eps)
+        last = self._gather_logits(h, metadata)
+        logits = self.m_lm_head.apply(params["lm_head"], last)
+        return logits.astype(jnp.float32), kv_pages
+
+    # ------------------------------------------------------------------ #
     # Sharding (GSPMD PartitionSpecs; reference TP semantics linear.py:86)
     # ------------------------------------------------------------------ #
     def param_pspecs(self, params) -> Any:

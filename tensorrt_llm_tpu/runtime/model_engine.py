@@ -160,6 +160,14 @@ class ModelEngine:
     # ------------------------------------------------------------------ #
     # Step compilation
     # ------------------------------------------------------------------ #
+    def _pp_microbatches(self) -> int:
+        """Micro-batch count for the true-PP pipelined step; 1 disables."""
+        M = int(getattr(self.args, "pp_microbatches", 1) or 1)
+        if (M <= 1 or self.mapping.pp_size <= 1 or self.mesh is None
+                or not hasattr(self.model, "forward_pp")):
+            return 1
+        return M
+
     def _build_step(self, use_penalties: bool, use_mask: bool = False,
                     all_greedy: bool = False, num_logprobs: int = 0,
                     use_embeds: bool = False, use_lora: bool = False):
@@ -211,9 +219,17 @@ class ModelEngine:
             extra = {}
             if use_lora:
                 extra = dict(lora=lora_params, lora_slots=lora_slots)
-            logits, kv_pages = model.forward(params, tokens, kv_pages,
-                                             metadata, input_embeds=embeds,
-                                             **extra)
+            M = self._pp_microbatches()
+            if M > 1 and not use_embeds and not use_lora and G == 1:
+                # true pipeline parallelism: micro-batched stages with
+                # ppermute handoff (reference: py_executor.py:1811)
+                logits, kv_pages = model.forward_pp(
+                    params, tokens, kv_pages, metadata,
+                    num_microbatches=M)
+            else:
+                logits, kv_pages = model.forward(
+                    params, tokens, kv_pages, metadata,
+                    input_embeds=embeds, **extra)
             if use_mask:
                 # guided-decoding bitmask (logitsBitmask.cu role)
                 mask = logits_mask

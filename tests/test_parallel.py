@@ -105,6 +105,56 @@ def test_tp_shard_map_attention_matches():
 
 
 @needs_8
+def test_true_pp_pipelined_forward_matches():
+    """GPipe-scheduled forward (micro-batches + ppermute) over pp=2 x
+    tp=2 x dp=2 must match the plain single-device forward.
+    (reference: _executor_loop_pp py_executor.py:1811)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tensorrt_llm_tpu.mapping import Mapping
+    from tensorrt_llm_tpu.models import ModelConfig, get_model_class
+    from transformers import LlamaConfig
+    import __graft_entry__ as ge
+
+    hf = LlamaConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                     num_hidden_layers=4, num_attention_heads=8,
+                     num_key_value_heads=4, max_position_embeddings=256)
+    mapping = Mapping.from_sizes(tp=2, pp=2, dp=2)
+    mc = ModelConfig(hf_config=hf, dtype=jnp.float32, mapping=mapping)
+    model = get_model_class(hf.model_type)(mc)
+    params = model.init_params(jax.random.PRNGKey(0))
+    T = 8
+    tokens = jnp.asarray(np.arange(T) % 120, jnp.int32)
+    md = ge._example_metadata(T, max_seqs=2, pages_per_seq=8)
+    ref_logits, ref_kv = model.forward(params, tokens,
+                                       model.make_kv_pages(16, 16), md)
+
+    mesh = mapping.build_mesh()
+    model.mesh = mesh
+    pspecs = model.param_pspecs(params)
+    shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
+                             is_leaf=lambda x: isinstance(x, P))
+    sparams = jax.device_put(params, shardings)
+    skv = jax.device_put(model.make_kv_pages(16, 16),
+                         NamedSharding(mesh, model.kv_pspec()))
+
+    @jax.jit
+    def fwd(p, t, k, m):
+        return model.forward_pp(p, t, k, m, num_microbatches=2)
+
+    with mesh:
+        logits, kv = fwd(sparams, tokens, skv, md)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               rtol=5e-3, atol=5e-3)
+    # KV pool must match too (each stage wrote its local layers)
+    np.testing.assert_allclose(np.asarray(kv), np.asarray(ref_kv),
+                               rtol=5e-3, atol=5e-3)
+    # the compiled program must contain the stage handoff collective
+    with mesh:
+        txt = fwd.lower(sparams, tokens, skv, md).compile().as_text()
+    assert "collective-permute" in txt
+
+
+@needs_8
 def test_mapping_mesh_axes():
     from tensorrt_llm_tpu.mapping import Mapping
     m = Mapping.from_sizes(tp=2, dp=2, pp=2)
