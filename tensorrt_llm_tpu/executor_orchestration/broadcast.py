@@ -27,9 +27,20 @@ from ..runtime.scheduler import ScheduledRequests
 from ..sampling_params import SamplingParams
 
 
+_SP_FIELDS = ("max_tokens", "min_tokens", "top_k", "top_p", "min_p",
+              "temperature", "end_id", "seed", "ignore_eos",
+              "repetition_penalty", "presence_penalty",
+              "frequency_penalty", "stop_token_ids")
+
+
 @dataclasses.dataclass
 class SerializableBatch:
-    """Deterministic description of one scheduled iteration."""
+    """Deterministic description of one scheduled iteration.
+
+    ``finished_ids``: requests the leader completed for reasons a
+    follower cannot derive from the token stream alone (cancellation);
+    eos/length finishes are data-deterministic and replayed locally.
+    ``shutdown`` ends the follower loop."""
     iter_id: int
     # new requests entering this iteration: full definition
     new_requests: List[dict]
@@ -38,6 +49,9 @@ class SerializableBatch:
     scheduled_ctx_ids: List[int]
     scheduled_gen_ids: List[int]
     draft_tokens: Dict[int, List[int]]
+    paused_ids: List[int] = dataclasses.field(default_factory=list)
+    finished_ids: List[int] = dataclasses.field(default_factory=list)
+    shutdown: bool = False
 
     def pack(self) -> bytes:
         return msgpack.packb(dataclasses.asdict(self), use_bin_type=True)
@@ -49,16 +63,18 @@ class SerializableBatch:
 
     @classmethod
     def from_schedule(cls, iter_id: int, batch: ScheduledRequests,
-                      new_requests: List[LlmRequest]) -> "SerializableBatch":
+                      new_requests: List[LlmRequest],
+                      paused_ids: Optional[List[int]] = None,
+                      finished_ids: Optional[List[int]] = None
+                      ) -> "SerializableBatch":
         def req_dict(r: LlmRequest) -> dict:
             sp = r.sampling_params
-            return {"request_id": r.request_id,
-                    "prompt_token_ids": list(r.prompt_token_ids),
-                    "max_tokens": sp.max_tokens,
-                    "top_k": sp.top_k, "top_p": sp.top_p,
-                    "temperature": sp.temperature,
-                    "end_id": sp.end_id,
-                    "cache_salt": r.cache_salt}
+            d = {f: getattr(sp, f) for f in _SP_FIELDS}
+            d["stop_token_ids"] = list(d["stop_token_ids"] or [])
+            d["request_id"] = r.request_id
+            d["prompt_token_ids"] = list(r.prompt_token_ids)
+            d["cache_salt"] = r.cache_salt
+            return d
         return cls(
             iter_id=iter_id,
             new_requests=[req_dict(r) for r in new_requests],
@@ -70,15 +86,14 @@ class SerializableBatch:
                                for r in batch.generation_requests],
             draft_tokens={r.request_id: list(r.draft_tokens)
                           for r in batch.generation_requests
-                          if r.draft_tokens})
+                          if r.draft_tokens},
+            paused_ids=list(paused_ids or []),
+            finished_ids=list(finished_ids or []))
 
     def materialize_new_requests(self) -> List[LlmRequest]:
         out = []
         for d in self.new_requests:
-            sp = SamplingParams(max_tokens=d["max_tokens"],
-                                top_k=d["top_k"], top_p=d["top_p"],
-                                temperature=d["temperature"],
-                                end_id=d["end_id"])
+            sp = SamplingParams(**{f: d[f] for f in _SP_FIELDS})
             out.append(LlmRequest(prompt_token_ids=d["prompt_token_ids"],
                                   sampling_params=sp,
                                   request_id=d["request_id"],
@@ -120,6 +135,22 @@ class RequestBroadcaster:
 
     def recv(self) -> SerializableBatch:
         raw = self._read_exact(8)
+        (n,) = struct.unpack("<Q", raw)
+        return SerializableBatch.unpack(self._read_exact(n))
+
+    def recv_timeout(self, timeout: float) -> Optional[SerializableBatch]:
+        """Non-blocking-ish recv: None if no frame starts within
+        ``timeout`` (once a header byte arrives, blocks for the rest)."""
+        self._sock.settimeout(timeout)
+        try:
+            first = self._sock.recv(1)
+        except socket.timeout:
+            return None
+        finally:
+            self._sock.settimeout(None)
+        if not first:
+            raise ConnectionError("leader closed")
+        raw = first + self._read_exact(7)
         (n,) = struct.unpack("<Q", raw)
         return SerializableBatch.unpack(self._read_exact(n))
 

@@ -326,6 +326,17 @@ class LLM:
                                                   KvCacheTransceiver)
         self.kv_transceiver = KvCacheTransceiver(
             self.engine, self.kv_cache_manager, InProcessKvTransport())
+        role, bcaster = "single", None
+        oc = args.orchestrator_config
+        if oc:
+            from ..executor_orchestration.broadcast import \
+                RequestBroadcaster
+            role = oc["role"]
+            bcaster = RequestBroadcaster(rank=0 if role == "leader" else 1)
+            if role == "leader":
+                bcaster.serve(oc["port"], oc.get("num_followers", 1))
+            else:
+                bcaster.connect(oc.get("host", "127.0.0.1"), oc["port"])
         self.executor = PyExecutor(
             self.engine, self.kv_cache_manager,
             RequestScheduler(capacity, micro),
@@ -337,7 +348,8 @@ class LLM:
             guided_decoder=guided_decoder,
             kv_transceiver=self.kv_transceiver,
             pipeline_depth=args.max_inflight_steps,
-            decode_multi_step=args.decode_multi_step)
+            decode_multi_step=args.decode_multi_step,
+            role=role, broadcaster=bcaster)
 
     # ------------------------------------------------------------------ #
     # Generation (reference: llm.py:329-533)

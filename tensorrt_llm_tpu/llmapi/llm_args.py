@@ -205,6 +205,11 @@ class LlmArgs(StrictBaseModel):
     num_postprocess_workers: int = 0
     batch_wait_timeout_ms: float = 0.0
 
+    # multi-host orchestration (reference: MGMN leader/follower intake,
+    # executor_request_queue.py:42): {"role": "leader"|"follower",
+    # "port": int, "num_followers": int (leader), "host": str (follower)}
+    orchestrator_config: Optional[Dict[str, Any]] = None
+
     # free-form escape hatch for model ctor kwargs
     model_kwargs: Dict[str, Any] = Field(default_factory=dict)
 

@@ -174,7 +174,9 @@ class PyExecutor:
                  guided_decoder=None,
                  kv_transceiver=None,
                  pipeline_depth: int = 4,
-                 decode_multi_step: int = 1):
+                 decode_multi_step: int = 1,
+                 role: str = "single",
+                 broadcaster=None):
         self.engine = engine
         self.kv = kv_cache_manager
         self.scheduler = scheduler
@@ -199,6 +201,20 @@ class PyExecutor:
         # amortizes the device→host fetch round-trip (critical over a
         # TPU tunnel; the reference's overlap loop is depth 2)
         self.pipeline_depth = max(1, pipeline_depth) if enable_overlap else 1
+
+        # multi-host orchestration (reference: executor_request_queue.py:42
+        # rank-0 dequeue + broadcast): "single" | "leader" | "follower".
+        # The leader runs the scheduler and broadcasts each iteration's
+        # SerializableBatch; followers replay it through the SAME code
+        # path (identical jit calls, deterministic KV/slot allocation).
+        self.role = role
+        self.broadcaster = broadcaster
+        self._new_since_broadcast: List[LlmRequest] = []
+        self._finished_since_broadcast: List[int] = []
+        self._by_id: Dict[int, LlmRequest] = {}
+        # follower: request_id -> generated token ids (parity checking /
+        # local observability; the leader serves the actual clients)
+        self.completed_tokens: Dict[int, List[int]] = {}
 
         self._request_queue: "queue.Queue" = queue.Queue()
         self._results: Dict[int, GenerationResult] = {}
@@ -284,21 +300,30 @@ class PyExecutor:
     def _executor_loop(self):
         try:
             while not self._shutdown.is_set():
-                if not self._active and not self._inflight:
-                    self._work_event.wait(timeout=0.05)
-                    self._work_event.clear()
-                self._fetch_new_requests()
-                self._admit_disagg_generation()
-                self._reap_finished()
-                if not self._active and not self._inflight:
-                    self._hang_detector.disarm()
-                    continue
-                self._hang_detector.arm()
-                t0 = time.monotonic()
-                batch = self.scheduler.schedule(self._schedulable())
-                paused = getattr(batch, "paused_requests", None)
-                if paused:
-                    self._pause_requests(paused, batch)
+                if self.role == "follower":
+                    batch = self._recv_schedule()
+                    if batch is None:
+                        break
+                    self._hang_detector.arm()
+                    t0 = time.monotonic()
+                else:
+                    if not self._active and not self._inflight:
+                        self._work_event.wait(timeout=0.05)
+                        self._work_event.clear()
+                    self._fetch_new_requests()
+                    self._admit_disagg_generation()
+                    self._reap_finished()
+                    if not self._active and not self._inflight:
+                        self._hang_detector.disarm()
+                        continue
+                    self._hang_detector.arm()
+                    t0 = time.monotonic()
+                    batch = self.scheduler.schedule(self._schedulable())
+                    paused = getattr(batch, "paused_requests", None)
+                    if self.role == "leader":
+                        self._broadcast_schedule(batch, paused)
+                    if paused:
+                        self._pause_requests(paused, batch)
                 multi = not batch.is_empty and \
                     self._multi_step_ok(batch)
                 # mixed ctx+gen batch whose gen rows qualify for the
@@ -319,7 +344,8 @@ class PyExecutor:
                     batch = ScheduledRequests(
                         context_requests=batch.context_requests)
                 if not batch.is_empty or gen_window is not None:
-                    if self.drafter is not None and not multi:
+                    if self.drafter is not None and not multi \
+                            and self.role != "follower":
                         self._prepare_drafts(batch)
                     if multi:
                         self._prepare_resources_multi(batch)
@@ -387,6 +413,13 @@ class PyExecutor:
             # drain at shutdown
             while self._inflight:
                 self._process_inflight()
+            if self.role == "leader" and self.broadcaster is not None:
+                from ..executor_orchestration.broadcast import \
+                    SerializableBatch
+                self.broadcaster.broadcast(SerializableBatch(
+                    iter_id=-1, new_requests=[], context_chunks={},
+                    scheduled_ctx_ids=[], scheduled_gen_ids=[],
+                    draft_tokens={}, shutdown=True))
         except Exception as e:  # pragma: no cover
             logger.error("executor loop died: %s", e)
             import traceback
@@ -405,6 +438,66 @@ class PyExecutor:
             except queue.Empty:
                 break
             self._active.append(req)
+            if self.role == "leader":
+                self._new_since_broadcast.append(req)
+                self._by_id[req.request_id] = req
+
+    # ------------------------------------------------------------------ #
+    # Multi-host orchestration (reference: executor_request_queue.py:42,
+    # SerializableSchedulerOutput scheduler/scheduler.py:160)
+    # ------------------------------------------------------------------ #
+    def _broadcast_schedule(self, batch: ScheduledRequests, paused) -> None:
+        from ..executor_orchestration.broadcast import SerializableBatch
+        sb = SerializableBatch.from_schedule(
+            self.iter_counter, batch, self._new_since_broadcast,
+            paused_ids=[r.request_id for r in (paused or [])],
+            finished_ids=self._finished_since_broadcast)
+        self._new_since_broadcast = []
+        self._finished_since_broadcast = []
+        self.broadcaster.broadcast(sb)
+
+    def _recv_schedule(self) -> Optional[ScheduledRequests]:
+        """Follower: block for the leader's schedule, draining local
+        inflight results while waiting. Returns None on shutdown."""
+        while True:
+            sb = self.broadcaster.recv_timeout(0.05)
+            if sb is not None:
+                break
+            if self._inflight:
+                self._process_inflight()
+            if self._shutdown.is_set():
+                return None
+        if sb.shutdown:
+            return None
+        for req in sb.materialize_new_requests():
+            self._active.append(req)
+            self._by_id[req.request_id] = req
+            with self._lock:
+                self._results[req.request_id] = GenerationResult(req)
+        # leader-authoritative finishes (cancellation); eos/length
+        # finishes replay locally from the identical token stream
+        for rid in sb.finished_ids:
+            req = self._by_id.get(rid)
+            if req is not None and not req.is_finished:
+                req.cancel()
+        self._reap_finished()
+        batch = ScheduledRequests()
+        for rid in sb.paused_ids:
+            req = self._by_id.get(rid)
+            if req is not None:
+                batch.paused_requests.append(req)
+        if batch.paused_requests:
+            self._pause_requests(batch.paused_requests, batch)
+            batch.paused_requests = []
+        for rid in sb.scheduled_ctx_ids:
+            req = self._by_id[rid]
+            req.context_chunk_size = sb.context_chunks[rid]
+            batch.context_requests.append(req)
+        for rid in sb.scheduled_gen_ids:
+            req = self._by_id[rid]
+            req.draft_tokens = list(sb.draft_tokens.get(rid, []))
+            batch.generation_requests.append(req)
+        return batch
 
     def _admit_disagg_generation(self):
         """Generation-only admission: allocate pages (no prefix reuse —
@@ -842,6 +935,19 @@ class PyExecutor:
         return False
 
     def _finish_request(self, req: LlmRequest):
+        if self.role == "leader":
+            # followers replay eos/length finishes from the identical
+            # token stream; only host-side finishes need broadcasting
+            from .request import FinishReason
+            if req.finish_reason in (FinishReason.CANCELLED,
+                                     FinishReason.TIMED_OUT,
+                                     FinishReason.STOP_WORDS):
+                self._finished_since_broadcast.append(req.request_id)
+            self._by_id.pop(req.request_id, None)
+        if self.role == "follower":
+            self.completed_tokens[req.request_id] = \
+                list(req.output_token_ids)
+            self._by_id.pop(req.request_id, None)
         if self.guided_decoder is not None:
             self.guided_decoder.drop(req.request_id)
         from .request import LlmRequestType
