@@ -211,6 +211,45 @@ class LLM:
                             if not isinstance(v, np.ndarray)))
         return hf_config, sd
 
+    def _build_two_model_drafter(self, sc, max_draft_len: int):
+        """Build the draft engine for DRAFT_TARGET speculation
+        (reference: _torch/speculative/model_drafter.py:1). The draft
+        model may be a torch module, a PretrainedConfig (dummy weights)
+        or a checkpoint directory path."""
+        import jax
+        import jax.numpy as jnp
+        from ..speculative.model_drafter import TwoModelDrafter
+        dm = sc.draft_model
+        if dm is None:
+            raise ValueError("DRAFT_TARGET needs speculative_config."
+                             "draft_model")
+        if isinstance(dm, (str, Path)):
+            from transformers import AutoConfig
+            path = Path(dm)
+            hf_config = AutoConfig.from_pretrained(path)
+            sd = {}
+            from safetensors import numpy as st_numpy
+            for f in sorted(path.glob("*.safetensors")):
+                sd.update(st_numpy.load_file(str(f)))
+            if not sd:
+                sd = None
+        elif hasattr(dm, "state_dict"):
+            hf_config = dm.config
+            sd = {k: v.detach().cpu().float().numpy()
+                  for k, v in dm.state_dict().items()}
+        else:  # a bare PretrainedConfig: dummy weights
+            hf_config, sd = dm, None
+        dtype = {"auto": jnp.bfloat16, "bfloat16": jnp.bfloat16,
+                 "float32": jnp.float32}[self.args.dtype]
+        mc = ModelConfig(hf_config=hf_config, dtype=dtype)
+        model = get_model_class(hf_config.model_type)(mc)
+        params = model.load_hf_state_dict(sd) if sd is not None \
+            else model.init_params(jax.random.PRNGKey(1))
+        return TwoModelDrafter(
+            model, params, max_draft_len=max_draft_len,
+            max_slots=min(64, self.args.max_batch_size),
+            max_seq_len=self.args.max_seq_len)
+
     def _build_executor(self):
         args = self.args
         drafter = None
@@ -223,6 +262,8 @@ class LLM:
                 drafter = NGramDrafter(
                     max_draft_len=max_draft_len,
                     max_matching_ngram_size=sc.ngram_max_matching_ngram_size)
+            elif sc.mode == "DRAFT_TARGET":
+                drafter = self._build_two_model_drafter(sc, max_draft_len)
             else:
                 raise NotImplementedError(
                     f"speculative mode {sc.mode} not yet supported")

@@ -117,7 +117,8 @@ class SpeculativeConfig(StrictBaseModel):
     """Umbrella for spec-decode modes (reference: llm_args.py decoding configs)."""
     mode: Literal["NONE", "DRAFT_TARGET", "NGRAM", "EAGLE3", "MTP"] = "NONE"
     max_draft_len: int = 0
-    draft_model: Optional[str] = None
+    # checkpoint dir path, torch module, or PretrainedConfig (dummy)
+    draft_model: Optional[Any] = None
     # ngram
     ngram_max_matching_ngram_size: int = 4
     ngram_prompt_lookup_num_tokens: int = 4

@@ -163,6 +163,90 @@ def sample(logits: jax.Array,                   # f32/bf16 [B, V]
     return tokens, logprobs
 
 
+def _row_keys(key, row_seeds, B):
+    """Per-row PRNG keys: position-folded for seeded rows, iteration
+    key otherwise (same scheme as :func:`sample`)."""
+    seed_const = jax.random.PRNGKey(0x5EED)
+
+    def rk(seed, pos, i):
+        k_seeded = jax.random.fold_in(
+            jax.random.fold_in(seed_const, seed), pos)
+        k_plain = jax.random.fold_in(key, i)
+        return jnp.where(seed != 0, k_seeded, k_plain)
+    seeds, pos = row_seeds
+    return jax.vmap(rk)(seeds, pos, jnp.arange(B, dtype=jnp.int32))
+
+
+def rejection_sample(logits: jax.Array,          # f32 [R, V] (R = S*G)
+                     st: SamplingTensors,        # repeated per row
+                     key: jax.Array,
+                     draft_ids: jax.Array,       # i32[R], -1 = no draft
+                     token_counts: Optional[jax.Array] = None,
+                     row_seeds: Optional[Tuple] = None
+                     ) -> Tuple[jax.Array, jax.Array]:
+    """Lossless speculative acceptance for sampled rows
+    (reference: speculativeDecoding rejection-sampling kernels;
+    Leviathan et al. with a deterministic drafter, q = point mass).
+
+    Per draft position: accept d with prob p(d); on rejection resample
+    from p with d's mass removed (renormalized) — the emitted token then
+    differs from the draft, so the host's accept-longest-prefix logic
+    needs no change. Rows without a draft (-1: bonus position, padding)
+    sample from p directly. Greedy rows emit argmax — acceptance is the
+    host-side equality test, exactly as without speculation."""
+    logits = logits.astype(jnp.float32)
+    if token_counts is not None:
+        logits = apply_penalties(logits, token_counts, st)
+    processed = mask_logits(logits, st)
+    R, V = processed.shape
+    probs = jax.nn.softmax(processed, axis=-1)
+    d = jnp.clip(draft_ids, 0)
+    has_draft = draft_ids >= 0
+    p_d = jnp.take_along_axis(probs, d[:, None], axis=-1)[:, 0]
+
+    if row_seeds is not None:
+        row_keys = _row_keys(key, row_seeds, R)
+    else:
+        row_keys = jax.vmap(
+            lambda i: jax.random.fold_in(key, i))(
+                jnp.arange(R, dtype=jnp.int32))
+    u = jax.vmap(lambda k: jax.random.uniform(k, (), jnp.float32))(
+        jax.vmap(lambda k: jax.random.fold_in(k, 7))(row_keys))
+    accept = has_draft & (u < p_d)
+
+    # residual distribution: p with the rejected draft's mass removed
+    onehot = jax.nn.one_hot(d, V, dtype=jnp.float32)
+    resid = jnp.where(has_draft[:, None], probs * (1.0 - onehot), probs)
+    rs = jnp.sum(resid, axis=-1, keepdims=True)
+    resid = jnp.where(rs > 1e-9, resid / jnp.maximum(rs, 1e-9), probs)
+    g = jax.vmap(lambda k: jax.random.gumbel(k, (V,), jnp.float32))(
+        jax.vmap(lambda k: jax.random.fold_in(k, 11))(row_keys))
+    resampled = jnp.argmax(jnp.log(jnp.maximum(resid, 1e-30)) + g,
+                           axis=-1).astype(jnp.int32)
+
+    # seeded rows use sample-and-match instead: draw the position-keyed
+    # sample the baseline WOULD draw and accept iff it equals the draft
+    # — emitted stream is bit-identical to non-speculative decoding
+    # (the reference's draft-token "matching" acceptance); unseeded rows
+    # get true rejection sampling (higher acceptance, lossless in
+    # distribution)
+    gm = jax.vmap(lambda k: jax.random.gumbel(k, (V,), jnp.float32))(
+        row_keys)
+    match_tok = jnp.argmax(processed + gm, axis=-1).astype(jnp.int32)
+    if row_seeds is not None:
+        is_seeded = row_seeds[0] != 0
+    else:
+        is_seeded = jnp.zeros((R,), bool)
+
+    greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    rej_tok = jnp.where(accept, d, resampled)
+    sampled = jnp.where(is_seeded, match_tok, rej_tok)
+    tokens = jnp.where(st.greedy, greedy_tok, sampled).astype(jnp.int32)
+    logz = jax.nn.logsumexp(processed, axis=-1)
+    chosen = jnp.take_along_axis(processed, tokens[:, None], axis=-1)[:, 0]
+    return tokens, chosen - logz
+
+
 def top_logprobs(logits: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
     """Top-k (values, ids) of log-softmax — for SamplingParams.logprobs."""
     lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

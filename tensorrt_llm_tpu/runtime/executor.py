@@ -751,15 +751,20 @@ class PyExecutor:
 
     def _prepare_drafts(self, batch: ScheduledRequests):
         """Speculative draft proposal (reference: drafter.prepare_draft_tokens
-        call site py_executor.py:2671). Drafts only for greedy requests
-        (greedy acceptance) within length/sequence bounds."""
-        gen = [r for r in batch.generation_requests
-               if r.sampling_params.greedy
-               and r.sampling_params.guided_decoding is None]
+        call site py_executor.py:2671). Greedy rows verify by argmax
+        equality; sampled rows verify losslessly in-graph (rejection
+        sampling / seeded sample-and-match — sampling_ops.rejection_sample).
+        Penalty requests are excluded: the count state can't be advanced
+        mid-window."""
+        def draftable(r):
+            sp = r.sampling_params
+            return (sp.guided_decoding is None
+                    and not sp.needs_penalties
+                    and not sp.use_beam_search)
+        gen = [r for r in batch.generation_requests if draftable(r)]
         self.drafter.prepare_draft_tokens(gen)
         for req in batch.generation_requests:
-            if not req.sampling_params.greedy or \
-                    req.sampling_params.guided_decoding is not None:
+            if not draftable(req):
                 req.draft_tokens = []
                 continue
             remaining = req.sampling_params.max_tokens - \
@@ -950,6 +955,9 @@ class PyExecutor:
             self._by_id.pop(req.request_id, None)
         if self.guided_decoder is not None:
             self.guided_decoder.drop(req.request_id)
+        if self.drafter is not None and hasattr(self.drafter,
+                                               "drop_request"):
+            self.drafter.drop_request(req.request_id)
         from .request import LlmRequestType
         if (req.request_type == LlmRequestType.REQUEST_TYPE_CONTEXT_ONLY
                 and self.kv_transceiver is not None):

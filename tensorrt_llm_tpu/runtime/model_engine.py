@@ -198,7 +198,8 @@ class ModelEngine:
             greedy = ints_s[o:o + S].astype(bool); o += S
             num_seqs = ints_s[o:o + 1]; o += 1
             counter = ints_s[o]; o += 1
-            row_seeds = ints_s[o:o + S]
+            row_seeds = ints_s[o:o + S]; o += S
+            draft_ids = ints_s[o:o + S * G]  # -1 = no draft (G>1 only)
             metadata = AttentionMetadata(
                 kv_lens=kv_lens, page_indices=page_indices,
                 cu_q_lens=cu_q_lens, num_seqs=num_seqs,
@@ -254,15 +255,36 @@ class ModelEngine:
             else:
                 if G > 1:
                     # spec-decode verification: logits has S*G rows; repeat
-                    # the per-seq sampling params per gathered position
+                    # the per-seq sampling params per gathered position.
+                    # Sampled rows use lossless acceptance: seeded rows
+                    # sample-and-match with position-keyed noise (stream
+                    # identical to non-speculative decoding), unseeded
+                    # rows true rejection sampling (reference:
+                    # speculativeDecoding rejection kernels)
                     sampling = jax.tree.map(
                         lambda a: jnp.repeat(a, G, axis=0), sampling)
                     counts = None if counts is None else \
                         jnp.repeat(counts, G, axis=0)
-                seeds_arg = (row_seeds, kv_lens) if G == 1 else None
-                new_tokens, logprobs = sample(logits, sampling, key,
-                                              token_counts=counts,
-                                              row_seeds=seeds_arg)
+                    from ..ops.sampling_ops import rejection_sample
+                    seeds_r = jnp.repeat(row_seeds, G, axis=0)
+                    # seeded-noise position of logits row g must equal
+                    # the kv_len the BASELINE would have when sampling
+                    # that token: kv_lens includes the fed drafts, so
+                    # subtract the per-row draft count (the spread of
+                    # the row's logits indices)
+                    li = logits_indices.reshape(S, G)
+                    n_drafts = (li[:, G - 1] - li[:, 0]).astype(jnp.int32)
+                    pos_base = kv_lens - n_drafts
+                    pos_r = jnp.repeat(pos_base, G, axis=0) + \
+                        jnp.tile(jnp.arange(G, dtype=jnp.int32), S)
+                    new_tokens, logprobs = rejection_sample(
+                        logits, sampling, key, draft_ids,
+                        token_counts=counts, row_seeds=(seeds_r, pos_r))
+                else:
+                    seeds_arg = (row_seeds, kv_lens)
+                    new_tokens, logprobs = sample(logits, sampling, key,
+                                                  token_counts=counts,
+                                                  row_seeds=seeds_arg)
             if G > 1:
                 # slot scatter keys off the first sampled token per seq
                 first = new_tokens.reshape(-1, G)[:, 0]
@@ -705,7 +727,8 @@ class ModelEngine:
                 kv_lens, cu, np.zeros(S * G, np.int32),
                 np.full(S, -1, np.int32), np.zeros(S, np.int32),
                 np.ones(S, np.int32), np.asarray([n_seqs], np.int32),
-                np.asarray([0], np.int32), np.zeros(S, np.int32)])
+                np.asarray([0], np.int32), np.zeros(S, np.int32),
+                np.full(S * G, -1, np.int32)])
             page_indices = np.zeros((S, self.pages_per_seq), np.int32)
             floats = np.ones((6, S), np.float32)
             out = step_fn(self.params, self.kv_pages, self.prev_tokens,
@@ -884,10 +907,17 @@ class ModelEngine:
         for i, r in enumerate(reqs):
             if r.sampling_params.seed:
                 seeds[i] = r.sampling_params.seed & 0x7FFFFFFF or 1
+        draft_ids = np.full(S * G, -1, np.int32)
+        if G > 1:
+            nc = len(batch.context_requests)
+            for i, r in enumerate(batch.generation_requests):
+                ds = r.draft_tokens[:self.max_draft_len]
+                row = (nc + i) * G
+                draft_ids[row:row + len(ds)] = ds
         ints_s = np.concatenate([
             inp.kv_lens, inp.cu_q_lens, inp.logits_indices, inp.out_slots,
             top_k, greedy, inp.num_seqs,
-            np.asarray([self.iter_counter], np.int32), seeds])
+            np.asarray([self.iter_counter], np.int32), seeds, draft_ids])
 
         counts = getattr(self, "token_counts", None)
         if use_penalties and counts is None:

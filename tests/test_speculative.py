@@ -76,3 +76,130 @@ def test_e2e_ngram_lossless(repeat_model):
     got = [o.outputs[0].token_ids for o in spec.generate(prompts, sp)]
     spec.shutdown()
     assert got == ref
+
+
+def test_e2e_draft_target_lossless_same_model(repeat_model):
+    """Draft == target: greedy acceptance is 100% and the stream is
+    byte-identical to the baseline (reference: model_drafter.py)."""
+    from tensorrt_llm_tpu import LLM, KvCacheConfig
+    from tensorrt_llm_tpu.llmapi.llm_args import SpeculativeConfig
+
+    prompts = [[5, 9, 23, 44, 17], [3, 3, 7, 3, 3, 7, 3, 3], [11] * 12]
+    sp = SamplingParams(max_tokens=16, top_k=1)
+
+    base = LLM(model=repeat_model, skip_tokenizer_init=True, dtype="float32",
+               max_batch_size=8, max_input_len=64, max_seq_len=128,
+               max_num_tokens=256,
+               kv_cache_config=KvCacheConfig(tokens_per_block=16,
+                                             max_tokens=2048))
+    ref = [o.outputs[0].token_ids for o in base.generate(prompts, sp)]
+    base.shutdown()
+
+    spec = LLM(model=repeat_model, skip_tokenizer_init=True, dtype="float32",
+               max_batch_size=8, max_input_len=64, max_seq_len=128,
+               max_num_tokens=256,
+               speculative_config=SpeculativeConfig(
+                   mode="DRAFT_TARGET", max_draft_len=3,
+                   draft_model=repeat_model),
+               kv_cache_config=KvCacheConfig(tokens_per_block=16,
+                                             max_tokens=2048))
+    got = [o.outputs[0].token_ids for o in spec.generate(prompts, sp)]
+    # draft == target (float32): every draft accepted -> requests
+    # finish in ceil(16/(3+1)) verify steps; acceptance is visible as
+    # fewer executor iterations than tokens
+    iters = spec.executor.iter_counter
+    spec.shutdown()
+    assert got == ref
+    assert iters < 16  # 16 tokens would need 16 iters without drafts
+
+
+def test_e2e_draft_target_lossless_different_model(repeat_model):
+    """A DIFFERENT (random) draft model: low acceptance, still lossless."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+    from tensorrt_llm_tpu import LLM, KvCacheConfig
+    from tensorrt_llm_tpu.llmapi.llm_args import SpeculativeConfig
+
+    torch.manual_seed(99)
+    dcfg = LlamaConfig(vocab_size=64, hidden_size=32, intermediate_size=64,
+                       num_hidden_layers=1, num_attention_heads=2,
+                       num_key_value_heads=2, max_position_embeddings=512)
+    draft = LlamaForCausalLM(dcfg).eval()
+
+    prompts = [[5, 9, 23, 44, 17], [11] * 12]
+    sp = SamplingParams(max_tokens=12, top_k=1)
+
+    base = LLM(model=repeat_model, skip_tokenizer_init=True, dtype="float32",
+               max_batch_size=8, max_input_len=64, max_seq_len=128,
+               max_num_tokens=256,
+               kv_cache_config=KvCacheConfig(tokens_per_block=16,
+                                             max_tokens=2048))
+    ref = [o.outputs[0].token_ids for o in base.generate(prompts, sp)]
+    base.shutdown()
+
+    spec = LLM(model=repeat_model, skip_tokenizer_init=True, dtype="float32",
+               max_batch_size=8, max_input_len=64, max_seq_len=128,
+               max_num_tokens=256,
+               speculative_config=SpeculativeConfig(
+                   mode="DRAFT_TARGET", max_draft_len=3, draft_model=draft),
+               kv_cache_config=KvCacheConfig(tokens_per_block=16,
+                                             max_tokens=2048))
+    got = [o.outputs[0].token_ids for o in spec.generate(prompts, sp)]
+    spec.shutdown()
+    assert got == ref
+
+
+def test_e2e_seeded_sampled_spec_lossless(repeat_model):
+    """Seeded sampled requests with drafts: sample-and-match acceptance
+    with position-keyed noise must reproduce the non-speculative stream
+    bit-exactly (reference: rejection-sampling acceptance, lossless)."""
+    from tensorrt_llm_tpu import LLM, KvCacheConfig
+    from tensorrt_llm_tpu.llmapi.llm_args import SpeculativeConfig
+
+    prompts = [[5, 9, 23, 44, 17], [3, 3, 7, 3, 3, 7, 3, 3]]
+    sp = SamplingParams(max_tokens=14, temperature=0.9, top_k=0,
+                        top_p=0.95, seed=4242)
+
+    base = LLM(model=repeat_model, skip_tokenizer_init=True, dtype="float32",
+               max_batch_size=8, max_input_len=64, max_seq_len=128,
+               max_num_tokens=256,
+               kv_cache_config=KvCacheConfig(tokens_per_block=16,
+                                             max_tokens=2048))
+    ref = [o.outputs[0].token_ids for o in base.generate(prompts, sp)]
+    base.shutdown()
+
+    spec = LLM(model=repeat_model, skip_tokenizer_init=True, dtype="float32",
+               max_batch_size=8, max_input_len=64, max_seq_len=128,
+               max_num_tokens=256,
+               speculative_config=SpeculativeConfig(
+                   mode="DRAFT_TARGET", max_draft_len=3,
+                   draft_model=repeat_model),
+               kv_cache_config=KvCacheConfig(tokens_per_block=16,
+                                             max_tokens=2048))
+    got = [o.outputs[0].token_ids for o in spec.generate(prompts, sp)]
+    spec.shutdown()
+    assert got == ref
+
+
+def test_e2e_unseeded_sampled_spec_valid(repeat_model):
+    """Unseeded sampled requests take the true rejection-sampling path:
+    completion must be well-formed (right length, in-vocab tokens)."""
+    from tensorrt_llm_tpu import LLM, KvCacheConfig
+    from tensorrt_llm_tpu.llmapi.llm_args import SpeculativeConfig
+
+    spec = LLM(model=repeat_model, skip_tokenizer_init=True, dtype="float32",
+               max_batch_size=8, max_input_len=64, max_seq_len=128,
+               max_num_tokens=256,
+               speculative_config=SpeculativeConfig(
+                   mode="DRAFT_TARGET", max_draft_len=3,
+                   draft_model=repeat_model),
+               kv_cache_config=KvCacheConfig(tokens_per_block=16,
+                                             max_tokens=2048))
+    sp = SamplingParams(max_tokens=12, temperature=0.8, top_k=0,
+                        ignore_eos=True)
+    outs = spec.generate([[5, 9, 23], [11] * 8], sp)
+    spec.shutdown()
+    for o in outs:
+        ids = o.outputs[0].token_ids
+        assert len(ids) == 12
+        assert all(0 <= t < 64 for t in ids)
