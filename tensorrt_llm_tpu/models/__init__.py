@@ -8,6 +8,10 @@ from . import mamba as _mamba  # noqa: F401
 from . import mixtral as _mixtral  # noqa: F401
 from . import phi as _phi  # noqa: F401
 from . import qwen as _qwen  # noqa: F401
+from . import granite as _granite  # noqa: F401
+from . import olmo as _olmo  # noqa: F401
+from . import gpt_family as _gpt_family  # noqa: F401
+from . import qwen_moe as _qwen_moe  # noqa: F401
 
 __all__ = ["DecoderModelForCausalLM", "MODEL_REGISTRY", "ModelConfig",
            "get_model_class", "register_model"]

@@ -1,0 +1,618 @@
+"""LayerNorm-family decoders: GPT-NeoX/Pythia, GPT-J, Falcon,
+StarCoder2, Nemotron.
+
+Behavioral reference: tensorrt_llm/_torch/models/modeling_gpt_neox-like
+paths and HF transformers numerics. One generic block with knobs
+instead of five near-copies:
+
+  * block style: sequential (h += attn(ln1 h); h += mlp(ln2 h)) or
+    parallel (h += attn(ln1 h) + mlp(ln2 h or ln1 h)) — the GPT-J /
+    Falcon / NeoX parallel-residual form.
+  * norm: LayerNorm with/without bias; Nemotron's layernorm1p is folded
+    at load (weight+1).
+  * MLP: plain fc→act→proj with gelu / tanh-gelu / relu².
+  * RoPE: partial rotary fraction, neox or interleaved style.
+
+Each subclass only maps HF weight names (and fused-QKV layouts) onto
+the shared layer layout {ln1, ln2, q, k, v, o, fc, proj}.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..ops.attention import AttentionMetadata
+from ..ops.norm import layer_norm
+from ..ops.rope import RopeConfig, rope_cos_sin
+from .modeling_utils import (AttentionSpec, DecoderModelForCausalLM,
+                             ModelConfig, attention_block, quantize_linear,
+                             register_model)
+
+_ACTS: Dict[str, Callable] = {
+    "gelu": jax.nn.gelu,
+    "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
+    "gelu_pytorch_tanh": lambda x: jax.nn.gelu(x, approximate=True),
+    "relu2": lambda x: jnp.square(jax.nn.relu(x)),
+    "silu": jax.nn.silu,
+}
+
+
+class LnFamilyModel(DecoderModelForCausalLM):
+    """Shared forward for the LayerNorm GPT family."""
+
+    # knobs set by subclasses
+    parallel_block = False
+    shared_ln = False          # parallel with ONE ln (gpt-j, falcon-7b)
+    act_name = "gelu"
+    attn_bias = True
+    mlp_bias = True
+    final_ln_bias = True
+    gated_mlp = False          # cohere: silu(gate) * up -> proj
+    logit_scale = 1.0
+
+    def __init__(self, model_config: ModelConfig):
+        super().__init__(model_config)
+        hf = self.hf
+        self.hidden_size = hf.hidden_size
+        self.num_heads = hf.num_attention_heads
+        self.inner = self._inner_size()
+        self.ln_eps = self._ln_eps()
+        self.attn_spec = AttentionSpec(
+            num_heads=self.num_heads, num_kv_heads=self.num_kv_heads,
+            head_dim=self.head_dim,
+            sm_scale=1.0 / math.sqrt(self.head_dim),
+            rope=self._rope_config())
+        self.m_attn = self._method("attn")
+        self.m_mlp = self._method("mlp")
+        self.m_lm_head = self._method("lm_head")
+
+    # ---- subclass hooks ------------------------------------------------
+    def _inner_size(self) -> int:
+        return getattr(self.hf, "intermediate_size", None) or \
+            4 * self.hf.hidden_size
+
+    def _ln_eps(self) -> float:
+        for name in ("layer_norm_eps", "layer_norm_epsilon", "norm_eps"):
+            if getattr(self.hf, name, None) is not None:
+                return getattr(self.hf, name)
+        return 1e-5
+
+    def _rope_config(self) -> Optional[RopeConfig]:
+        return RopeConfig.from_hf_config(self.hf, self.head_dim)
+
+    # ---- init/load -----------------------------------------------------
+    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
+        H, V, I = self.hidden_size, self.vocab_size, self.inner
+        L = self.num_layers
+        nq, nkv, hd = self.num_heads, self.num_kv_heads, self.head_dim
+        r = np.random.default_rng(0)
+
+        def mat(shape):
+            return (r.standard_normal(shape, np.float32) * 0.02)
+
+        def lin(method, kshape, bias):
+            per = [quantize_linear(method, mat(kshape),
+                                   bias=np.zeros(kshape[1], np.float32)
+                                   if bias else None, dtype=self.dtype)
+                   for _ in range(L)]
+            return jax.tree.map(lambda *xs: jnp.stack(xs), *per)
+
+        layers = {
+            "ln1": {"w": jnp.ones((L, H), self.dtype),
+                    "b": jnp.zeros((L, H), self.dtype)},
+            "q": lin(self.m_attn, (H, nq * hd), self.attn_bias),
+            "k": lin(self.m_attn, (H, nkv * hd), self.attn_bias),
+            "v": lin(self.m_attn, (H, nkv * hd), self.attn_bias),
+            "o": lin(self.m_attn, (nq * hd, H), self.attn_bias),
+            "fc": lin(self.m_mlp, (H, I), self.mlp_bias),
+            "proj": lin(self.m_mlp, (I, H), self.mlp_bias),
+        }
+        if self.gated_mlp:
+            layers["fc2"] = lin(self.m_mlp, (H, I), self.mlp_bias)
+        if not (self.parallel_block and self.shared_ln):
+            layers["ln2"] = {"w": jnp.ones((L, H), self.dtype),
+                             "b": jnp.zeros((L, H), self.dtype)}
+        return {
+            "embed": {"weight": jnp.asarray(mat((V, H)), self.dtype)},
+            "layers": layers,
+            "final_norm": {"w": jnp.ones((H,), self.dtype),
+                           "b": jnp.zeros((H,), self.dtype)},
+            "lm_head": quantize_linear(self.m_lm_head, mat((H, V)),
+                                       dtype=self.dtype),
+        }
+
+    # ---- forward -------------------------------------------------------
+    def forward(self, params: Dict[str, Any], token_ids: jax.Array,
+                kv_pages: jax.Array, metadata: AttentionMetadata,
+                input_embeds=None, lora=None, lora_slots=None,
+                collect_kv_stats: bool = False):
+        h = self._embed(params, token_ids, input_embeds)
+        spec = self.attn_spec
+        eps = self.ln_eps
+        act = _ACTS[self.act_name]
+        cos_sin = rope_cos_sin(spec.rope, metadata.positions) \
+            if spec.rope is not None else None
+        shard_mesh, shard_axis = self.attn_shard_args()
+
+        def ln(x, p):
+            return layer_norm(x, p["w"], p.get("b"), eps)
+
+        def mlp(layer, x):
+            if self.gated_mlp:
+                g = self.m_mlp.apply(layer["fc"], x)
+                u = self.m_mlp.apply(layer["fc2"], x)
+                a = (act(g.astype(jnp.float32)).astype(self.dtype) * u)
+            else:
+                a = act(self.m_mlp.apply(layer["fc"], x)
+                        .astype(jnp.float32)).astype(self.dtype)
+            return self.m_mlp.apply(layer["proj"], a)
+
+        def layer_body(h, xs):
+            layer, layer_kv = xs
+            x1 = ln(h, layer["ln1"])
+            attn_out, new_pages = attention_block(
+                layer, x1, layer_kv, metadata, spec,
+                self.m_attn, self.m_attn, attn_backend=self.attn_backend,
+                kv_scale=self.config.kv_scale, rope_cos_sin=cos_sin,
+                mesh=shard_mesh, tp_axis=shard_axis)
+            if self.parallel_block:
+                x2 = x1 if self.shared_ln else ln(h, layer["ln2"])
+                h = h + attn_out + mlp(layer, x2)
+            else:
+                h = h + attn_out
+                h = h + mlp(layer, ln(h, layer["ln2"]))
+            return h, new_pages
+
+        h, kv_pages = jax.lax.scan(layer_body, h,
+                                   (params["layers"], kv_pages))
+        h = layer_norm(h, params["final_norm"]["w"],
+                       params["final_norm"].get("b"), eps)
+        last = self._gather_logits(h, metadata)
+        logits = self.m_lm_head.apply(params["lm_head"], last)
+        logits = logits.astype(jnp.float32)
+        if self.logit_scale != 1.0:
+            logits = logits * self.logit_scale
+        return logits, kv_pages
+
+    # ---- sharding ------------------------------------------------------
+    def param_pspecs(self, params) -> Any:
+        def linear_spec(p, col: bool):
+            spec = {}
+            for k, v in p.items():
+                nd = v.ndim
+                lead = [None] * (nd - 2)
+                if k == "weight":
+                    spec[k] = P(*lead, "tp" if not col else None,
+                                "tp" if col else None)
+                else:
+                    spec[k] = P(*([None] * (nd - 1)),
+                                "tp" if col else None) if nd >= 1 else P()
+            return spec
+
+        layers = params["layers"]
+        ls = {
+            "ln1": jax.tree.map(lambda _: P(None, None), layers["ln1"]),
+            "q": linear_spec(layers["q"], True),
+            "k": linear_spec(layers["k"], True),
+            "v": linear_spec(layers["v"], True),
+            "o": linear_spec(layers["o"], False),
+            "fc": linear_spec(layers["fc"], True),
+            "proj": linear_spec(layers["proj"], False),
+        }
+        if "ln2" in layers:
+            ls["ln2"] = jax.tree.map(lambda _: P(None, None), layers["ln2"])
+        if "fc2" in layers:
+            ls["fc2"] = linear_spec(layers["fc2"], True)
+        return {
+            "embed": {"weight": P(None, None)},
+            "layers": ls,
+            "final_norm": jax.tree.map(lambda _: P(None),
+                                       params["final_norm"]),
+            "lm_head": linear_spec(params["lm_head"], True),
+        }
+
+    # ---- load helpers --------------------------------------------------
+    def _stack_lin(self, method, sd, fmt, L, transpose=True,
+                   bias_fmt=None):
+        from .modeling_utils import hf_transpose
+        per = []
+        for i in range(L):
+            w = sd[fmt.format(i)]
+            if transpose:
+                w = hf_transpose(w)
+            bias = sd.get((bias_fmt or fmt.replace(".weight", ".bias"))
+                          .format(i))
+            per.append(quantize_linear(method, w, bias=bias,
+                                       dtype=self.dtype))
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *per)
+
+    def _stack_ln(self, sd, wfmt, L, bfmt=None, plus_one=False):
+        w = np.stack([np.asarray(sd[wfmt.format(i)], np.float32)
+                      for i in range(L)])
+        if plus_one:
+            w = w + 1.0
+        out = {"w": jnp.asarray(w, self.dtype)}
+        if bfmt is not None and bfmt.format(0) in sd:
+            out["b"] = jnp.stack([
+                jnp.asarray(sd[bfmt.format(i)], self.dtype)
+                for i in range(L)])
+        return out
+
+
+@register_model("gpt_neox")
+class GPTNeoXForCausalLM(LnFamilyModel):
+    """Pythia / GPT-NeoX: fused per-head-interleaved QKV, optional
+    parallel residual with separate MLP norm, partial rotary."""
+    architectures = ("GPTNeoXForCausalLM",)
+    act_name = "gelu"
+
+    def __init__(self, model_config):
+        self.parallel_block = getattr(model_config.hf_config,
+                                      "use_parallel_residual", True)
+        super().__init__(model_config)
+
+    def load_hf_state_dict(self, sd):
+        L, H = self.num_layers, self.hidden_size
+        nh, hd = self.num_heads, self.head_dim
+        pre = "gpt_neox.layers.{}."
+        split_sd = dict(sd)
+        for i in range(L):
+            w = np.asarray(sd[pre.format(i) +
+                              "attention.query_key_value.weight"])
+            b = np.asarray(sd[pre.format(i) +
+                              "attention.query_key_value.bias"])
+            # [nh, 3, hd, H] per-head interleave
+            w = w.reshape(nh, 3, hd, H)
+            b = b.reshape(nh, 3, hd)
+            for j, name in enumerate("qkv"):
+                split_sd[pre.format(i) + f"attention.{name}.weight"] = \
+                    w[:, j].reshape(nh * hd, H)
+                split_sd[pre.format(i) + f"attention.{name}.bias"] = \
+                    b[:, j].reshape(nh * hd)
+        sd = split_sd
+        layers = {
+            "ln1": self._stack_ln(sd, pre + "input_layernorm.weight", L,
+                                  pre + "input_layernorm.bias"),
+            "ln2": self._stack_ln(sd, pre + "post_attention_layernorm.weight",
+                                  L, pre + "post_attention_layernorm.bias"),
+            "q": self._stack_lin(self.m_attn, sd, pre + "attention.q.weight", L),
+            "k": self._stack_lin(self.m_attn, sd, pre + "attention.k.weight", L),
+            "v": self._stack_lin(self.m_attn, sd, pre + "attention.v.weight", L),
+            "o": self._stack_lin(self.m_attn, sd, pre + "attention.dense.weight", L),
+            "fc": self._stack_lin(self.m_mlp, sd,
+                                  pre + "mlp.dense_h_to_4h.weight", L),
+            "proj": self._stack_lin(self.m_mlp, sd,
+                                    pre + "mlp.dense_4h_to_h.weight", L),
+        }
+        from .modeling_utils import hf_transpose
+        return {
+            "embed": {"weight": jnp.asarray(sd["gpt_neox.embed_in.weight"],
+                                            self.dtype)},
+            "layers": layers,
+            "final_norm": {
+                "w": jnp.asarray(sd["gpt_neox.final_layer_norm.weight"],
+                                 self.dtype),
+                "b": jnp.asarray(sd["gpt_neox.final_layer_norm.bias"],
+                                 self.dtype)},
+            "lm_head": quantize_linear(
+                self.m_lm_head, hf_transpose(sd["embed_out.weight"]),
+                dtype=self.dtype),
+        }
+
+
+@register_model("gptj")
+class GPTJForCausalLM(LnFamilyModel):
+    """GPT-J 6B: parallel block with one shared LN, interleaved partial
+    rotary, biased MLP / unbiased attention, lm_head with bias."""
+    architectures = ("GPTJForCausalLM",)
+    parallel_block = True
+    shared_ln = True
+    act_name = "gelu_new"
+    attn_bias = False
+
+    def _inner_size(self):
+        return getattr(self.hf, "n_inner", None) or 4 * self.hf.n_embd
+
+    @property
+    def num_layers(self):
+        return self.hf.n_layer
+
+    @property
+    def num_kv_heads(self):
+        return self.hf.n_head
+
+    @property
+    def head_dim(self):
+        return self.hf.n_embd // self.hf.n_head
+
+    def __init__(self, model_config):
+        hf = model_config.hf_config
+        hf.hidden_size = hf.n_embd
+        hf.num_attention_heads = hf.n_head
+        super().__init__(model_config)
+
+    def _rope_config(self):
+        hd = self.head_dim
+        return RopeConfig(
+            head_dim=hd, rope_theta=10000.0,
+            max_position_embeddings=self.hf.n_positions,
+            is_neox=False,
+            partial_rotary_factor=(self.hf.rotary_dim or hd) / hd)
+
+    def load_hf_state_dict(self, sd):
+        L = self.num_layers
+        pre = "transformer.h.{}."
+        layers = {
+            "ln1": self._stack_ln(sd, pre + "ln_1.weight", L,
+                                  pre + "ln_1.bias"),
+            "q": self._stack_lin(self.m_attn, sd, pre + "attn.q_proj.weight", L),
+            "k": self._stack_lin(self.m_attn, sd, pre + "attn.k_proj.weight", L),
+            "v": self._stack_lin(self.m_attn, sd, pre + "attn.v_proj.weight", L),
+            "o": self._stack_lin(self.m_attn, sd, pre + "attn.out_proj.weight", L),
+            "fc": self._stack_lin(self.m_mlp, sd, pre + "mlp.fc_in.weight", L),
+            "proj": self._stack_lin(self.m_mlp, sd, pre + "mlp.fc_out.weight", L),
+        }
+        from .modeling_utils import hf_transpose
+        return {
+            "embed": {"weight": jnp.asarray(sd["transformer.wte.weight"],
+                                            self.dtype)},
+            "layers": layers,
+            "final_norm": {
+                "w": jnp.asarray(sd["transformer.ln_f.weight"], self.dtype),
+                "b": jnp.asarray(sd["transformer.ln_f.bias"], self.dtype)},
+            "lm_head": quantize_linear(
+                self.m_lm_head, hf_transpose(sd["lm_head.weight"]),
+                bias=sd.get("lm_head.bias"), dtype=self.dtype),
+        }
+
+
+@register_model("falcon")
+class FalconForCausalLM(LnFamilyModel):
+    """Falcon 7B/40B: fused grouped QKV, parallel attention, MQA/GQA."""
+    architectures = ("FalconForCausalLM",)
+    act_name = "gelu"
+    mlp_bias = False
+
+    def __init__(self, model_config):
+        hf = model_config.hf_config
+        self.parallel_block = getattr(hf, "parallel_attn", True)
+        self.new_arch = getattr(hf, "new_decoder_architecture", False)
+        self.shared_ln = not self.new_arch
+        self.attn_bias = getattr(hf, "bias", False)
+        self.mlp_bias = getattr(hf, "bias", False)
+        super().__init__(model_config)
+
+    @property
+    def num_kv_heads(self):
+        hf = self.hf
+        if getattr(hf, "new_decoder_architecture", False):
+            return hf.num_kv_heads
+        if getattr(hf, "multi_query", True):
+            return 1
+        return hf.num_attention_heads
+
+    def load_hf_state_dict(self, sd):
+        L, H = self.num_layers, self.hidden_size
+        nq, nkv, hd = self.num_heads, self.num_kv_heads, self.head_dim
+        pre = "transformer.h.{}."
+        split_sd = dict(sd)
+        for i in range(L):
+            w = np.asarray(sd[pre.format(i) +
+                              "self_attention.query_key_value.weight"])
+            # grouped layout: [nkv, nq//nkv + 2, hd, H]
+            w = w.reshape(nkv, nq // nkv + 2, hd, H)
+            q = w[:, :-2].reshape(nq * hd, H)
+            k = w[:, -2].reshape(nkv * hd, H)
+            v = w[:, -1].reshape(nkv * hd, H)
+            split_sd[pre.format(i) + "self_attention.q.weight"] = q
+            split_sd[pre.format(i) + "self_attention.k.weight"] = k
+            split_sd[pre.format(i) + "self_attention.v.weight"] = v
+        sd = split_sd
+        ln1_w = pre + ("ln_attn.weight" if self.new_arch
+                       else "input_layernorm.weight")
+        ln1_b = pre + ("ln_attn.bias" if self.new_arch
+                       else "input_layernorm.bias")
+        layers = {
+            "ln1": self._stack_ln(sd, ln1_w, L, ln1_b),
+            "q": self._stack_lin(self.m_attn, sd,
+                                 pre + "self_attention.q.weight", L),
+            "k": self._stack_lin(self.m_attn, sd,
+                                 pre + "self_attention.k.weight", L),
+            "v": self._stack_lin(self.m_attn, sd,
+                                 pre + "self_attention.v.weight", L),
+            "o": self._stack_lin(self.m_attn, sd,
+                                 pre + "self_attention.dense.weight", L),
+            "fc": self._stack_lin(self.m_mlp, sd,
+                                  pre + "mlp.dense_h_to_4h.weight", L),
+            "proj": self._stack_lin(self.m_mlp, sd,
+                                    pre + "mlp.dense_4h_to_h.weight", L),
+        }
+        if self.new_arch:
+            layers["ln2"] = self._stack_ln(sd, pre + "ln_mlp.weight", L,
+                                           pre + "ln_mlp.bias")
+        from .modeling_utils import hf_transpose
+        return {
+            "embed": {"weight": jnp.asarray(
+                sd["transformer.word_embeddings.weight"], self.dtype)},
+            "layers": layers,
+            "final_norm": {
+                "w": jnp.asarray(sd["transformer.ln_f.weight"], self.dtype),
+                "b": jnp.asarray(sd["transformer.ln_f.bias"], self.dtype)},
+            "lm_head": quantize_linear(
+                self.m_lm_head, hf_transpose(sd["lm_head.weight"]),
+                dtype=self.dtype),
+        }
+
+
+@register_model("starcoder2")
+class Starcoder2ForCausalLM(LnFamilyModel):
+    """StarCoder2: llama-shaped module names, LayerNorm + plain
+    tanh-gelu MLP, biased projections, sliding window optional."""
+    architectures = ("Starcoder2ForCausalLM",)
+    act_name = "gelu_pytorch_tanh"
+
+    def __init__(self, model_config):
+        super().__init__(model_config)
+        import dataclasses
+        sw = getattr(self.hf, "sliding_window", None)
+        if sw:
+            self.attn_spec = dataclasses.replace(self.attn_spec,
+                                                 sliding_window=sw)
+
+    def load_hf_state_dict(self, sd):
+        L = self.num_layers
+        pre = "model.layers.{}."
+        layers = {
+            "ln1": self._stack_ln(sd, pre + "input_layernorm.weight", L,
+                                  pre + "input_layernorm.bias"),
+            "ln2": self._stack_ln(sd, pre + "post_attention_layernorm.weight",
+                                  L, pre + "post_attention_layernorm.bias"),
+            "q": self._stack_lin(self.m_attn, sd,
+                                 pre + "self_attn.q_proj.weight", L),
+            "k": self._stack_lin(self.m_attn, sd,
+                                 pre + "self_attn.k_proj.weight", L),
+            "v": self._stack_lin(self.m_attn, sd,
+                                 pre + "self_attn.v_proj.weight", L),
+            "o": self._stack_lin(self.m_attn, sd,
+                                 pre + "self_attn.o_proj.weight", L),
+            "fc": self._stack_lin(self.m_mlp, sd, pre + "mlp.c_fc.weight", L),
+            "proj": self._stack_lin(self.m_mlp, sd,
+                                    pre + "mlp.c_proj.weight", L),
+        }
+        from .modeling_utils import hf_transpose
+        fn = {"w": jnp.asarray(sd["model.norm.weight"], self.dtype)}
+        if "model.norm.bias" in sd:
+            fn["b"] = jnp.asarray(sd["model.norm.bias"], self.dtype)
+        lm_w = sd.get("lm_head.weight", sd["model.embed_tokens.weight"])
+        return {
+            "embed": {"weight": jnp.asarray(
+                sd["model.embed_tokens.weight"], self.dtype)},
+            "layers": layers,
+            "final_norm": fn,
+            "lm_head": quantize_linear(self.m_lm_head, hf_transpose(lm_w),
+                                       dtype=self.dtype),
+        }
+
+
+@register_model("cohere")
+class CohereForCausalLM(LnFamilyModel):
+    """Cohere Command-R: parallel attention+MLP with one shared bias-free
+    LayerNorm, gated silu MLP, interleaved RoPE, tied embeddings scaled
+    by logit_scale."""
+    architectures = ("CohereForCausalLM",)
+    parallel_block = True
+    shared_ln = True
+    gated_mlp = True
+    act_name = "silu"
+    attn_bias = False
+    mlp_bias = False
+
+    def __init__(self, model_config):
+        super().__init__(model_config)
+        if getattr(self.hf, "use_qk_norm", False):
+            raise NotImplementedError("cohere use_qk_norm not supported")
+        self.logit_scale = getattr(self.hf, "logit_scale", 1.0)
+
+    def _rope_config(self):
+        return RopeConfig(
+            head_dim=self.head_dim,
+            rope_theta=getattr(self.hf, "rope_theta", 10000.0),
+            max_position_embeddings=self.hf.max_position_embeddings,
+            is_neox=False)
+
+    def load_hf_state_dict(self, sd):
+        L = self.num_layers
+        pre = "model.layers.{}."
+        layers = {
+            "ln1": self._stack_ln(sd, pre + "input_layernorm.weight", L),
+            "q": self._stack_lin(self.m_attn, sd,
+                                 pre + "self_attn.q_proj.weight", L),
+            "k": self._stack_lin(self.m_attn, sd,
+                                 pre + "self_attn.k_proj.weight", L),
+            "v": self._stack_lin(self.m_attn, sd,
+                                 pre + "self_attn.v_proj.weight", L),
+            "o": self._stack_lin(self.m_attn, sd,
+                                 pre + "self_attn.o_proj.weight", L),
+            "fc": self._stack_lin(self.m_mlp, sd,
+                                  pre + "mlp.gate_proj.weight", L),
+            "fc2": self._stack_lin(self.m_mlp, sd,
+                                   pre + "mlp.up_proj.weight", L),
+            "proj": self._stack_lin(self.m_mlp, sd,
+                                    pre + "mlp.down_proj.weight", L),
+        }
+        from .modeling_utils import hf_transpose
+        return {
+            "embed": {"weight": jnp.asarray(
+                sd["model.embed_tokens.weight"], self.dtype)},
+            "layers": layers,
+            "final_norm": {"w": jnp.asarray(sd["model.norm.weight"],
+                                            self.dtype)},
+            "lm_head": quantize_linear(
+                self.m_lm_head,
+                hf_transpose(sd.get("lm_head.weight",
+                                    sd["model.embed_tokens.weight"])),
+                dtype=self.dtype),
+        }
+
+
+@register_model("nemotron")
+class NemotronForCausalLM(LnFamilyModel):
+    """Nemotron: layernorm1p (weight+1 folded at load), squared-ReLU
+    plain MLP, partial rotary, no biases."""
+    architectures = ("NemotronForCausalLM",)
+    act_name = "relu2"
+    attn_bias = False
+    mlp_bias = False
+
+    def _rope_config(self):
+        hd = self.head_dim
+        pct = getattr(self.hf, "partial_rotary_factor",
+                      getattr(self.hf, "rope_percent", 0.5))
+        return RopeConfig(
+            head_dim=hd,
+            rope_theta=getattr(self.hf, "rope_theta", 10000.0),
+            max_position_embeddings=self.hf.max_position_embeddings,
+            partial_rotary_factor=pct)
+
+    def load_hf_state_dict(self, sd):
+        L = self.num_layers
+        pre = "model.layers.{}."
+        layers = {
+            "ln1": self._stack_ln(sd, pre + "input_layernorm.weight", L,
+                                  pre + "input_layernorm.bias",
+                                  plus_one=True),
+            "ln2": self._stack_ln(sd, pre + "post_attention_layernorm.weight",
+                                  L, pre + "post_attention_layernorm.bias",
+                                  plus_one=True),
+            "q": self._stack_lin(self.m_attn, sd,
+                                 pre + "self_attn.q_proj.weight", L),
+            "k": self._stack_lin(self.m_attn, sd,
+                                 pre + "self_attn.k_proj.weight", L),
+            "v": self._stack_lin(self.m_attn, sd,
+                                 pre + "self_attn.v_proj.weight", L),
+            "o": self._stack_lin(self.m_attn, sd,
+                                 pre + "self_attn.o_proj.weight", L),
+            "fc": self._stack_lin(self.m_mlp, sd, pre + "mlp.up_proj.weight", L),
+            "proj": self._stack_lin(self.m_mlp, sd,
+                                    pre + "mlp.down_proj.weight", L),
+        }
+        from .modeling_utils import hf_transpose
+        return {
+            "embed": {"weight": jnp.asarray(
+                sd["model.embed_tokens.weight"], self.dtype)},
+            "layers": layers,
+            "final_norm": {
+                "w": jnp.asarray(np.asarray(sd["model.norm.weight"],
+                                            np.float32) + 1.0, self.dtype),
+                "b": jnp.asarray(sd["model.norm.bias"], self.dtype)
+                if "model.norm.bias" in sd else jnp.zeros(
+                    (self.hidden_size,), self.dtype)},
+            "lm_head": quantize_linear(
+                self.m_lm_head, hf_transpose(sd["lm_head.weight"]),
+                dtype=self.dtype),
+        }

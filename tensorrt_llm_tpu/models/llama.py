@@ -48,6 +48,14 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
             is_neox=True)
         # Qwen3-style per-head RMS norm on q/k before RoPE
         self.use_qk_norm = False
+        # OLMo2-style: qk norm over the full projection dim, and norms
+        # applied to sublayer OUTPUTS instead of inputs
+        self.qk_norm_full = False
+        self.norm_placement = "pre"   # "pre" (llama) | "post" (olmo2)
+        # Granite-style scalar multipliers (neutral for llama)
+        self.embedding_multiplier = 1.0
+        self.residual_multiplier = 1.0
+        self.logits_scaling = 1.0
         # per-projection quant methods (exclude_modules honored by name)
         self.m_q = self._method("q_proj")
         self.m_kv = self._method("k_proj")
@@ -165,6 +173,9 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
                 input_embeds=None, lora=None, lora_slots=None,
                 collect_kv_stats: bool = False):
         h = self._embed(params, token_ids, input_embeds)
+        if self.embedding_multiplier != 1.0:
+            h = h * self.embedding_multiplier
+        rm = self.residual_multiplier
         spec = self.attn_spec
         eps = self.rms_eps
         from ..ops.rope import rope_cos_sin
@@ -190,7 +201,19 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
             def make_lora_fn(_):
                 return None
 
-        if self.use_qk_norm:
+        if self.use_qk_norm and self.qk_norm_full:
+            # OLMo2: RMS over the whole flattened projection, not per head
+            def _full(x, w):
+                T = x.shape[0]
+                flat = x.reshape(T, -1)
+                return rms_norm(flat, w, eps).reshape(x.shape)
+
+            def q_norm(layer, q):
+                return _full(q, layer["q_norm"])
+
+            def k_norm(layer, k):
+                return _full(k, layer["k_norm"])
+        elif self.use_qk_norm:
             def q_norm(layer, q):
                 return rms_norm(q, layer["q_norm"], eps)
 
@@ -209,15 +232,20 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
 
         h = constrain(h)
 
+        post_norms = self.norm_placement == "post"
+
         def layer_body(h, xs):
             # per-layer KV pages ride the scan xs/ys (sliced in, stacked
             # out) so XLA aliases them in place instead of copying the
             # full pool through the carry
             layer, layer_kv, lora_layer = xs
             lf = make_lora_fn(lora_layer)
-            normed = rms_norm(h, layer["input_norm"], eps)
+            # "pre": norm the sublayer INPUT (llama); "post": feed h raw
+            # and norm the sublayer OUTPUT (OLMo2 reordered residual)
+            attn_in = h if post_norms else \
+                rms_norm(h, layer["input_norm"], eps)
             attn = attention_block(
-                layer, normed, layer_kv, metadata, spec,
+                layer, attn_in, layer_kv, metadata, spec,
                 self.m_q, self.m_o, attn_backend=self.attn_backend,
                 kv_scale=layer.get("kv_scale", self.config.kv_scale),
                 rope_cos_sin=cos_sin,
@@ -229,8 +257,11 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
             else:
                 attn_out, new_pages = attn
                 kv_stat = None
-            h = h + attn_out
-            normed = rms_norm(h, layer["post_norm"], eps)
+            if post_norms:
+                attn_out = rms_norm(attn_out, layer["input_norm"], eps)
+            h = h + (attn_out if rm == 1.0 else rm * attn_out)
+            normed = h if post_norms else \
+                rms_norm(h, layer["post_norm"], eps)
             gate = self.m_mlp.apply(layer["gate"], normed)
             up = self.m_mlp.apply(layer["up"], normed)
             if lf is not None:
@@ -241,7 +272,9 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
             mlp_out = self.m_mlp.apply(layer["down"], act)
             if lf is not None:
                 mlp_out = lf("down", act, mlp_out)
-            h = constrain(h + mlp_out)
+            if post_norms:
+                mlp_out = rms_norm(mlp_out, layer["post_norm"], eps)
+            h = constrain(h + (mlp_out if rm == 1.0 else rm * mlp_out))
             ys = (new_pages, kv_stat) if collect_kv_stats else new_pages
             return h, ys
 
@@ -254,9 +287,12 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
         h = rms_norm(h, params["final_norm"], eps)
         last = self._gather_logits(h, metadata)
         logits = self.m_lm_head.apply(params["lm_head"], last)
+        logits = logits.astype(jnp.float32)
+        if self.logits_scaling != 1.0:
+            logits = logits / self.logits_scaling
         if collect_kv_stats:
-            return logits.astype(jnp.float32), kv_pages, kv_stats
-        return logits.astype(jnp.float32), kv_pages
+            return logits, kv_pages, kv_stats
+        return logits, kv_pages
 
     # ------------------------------------------------------------------ #
     # Pipelined forward (true PP: micro-batches + ppermute handoff;
@@ -284,6 +320,9 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
         mapping = self.config.mapping
 
         h = self._embed(params, token_ids)
+        if self.embedding_multiplier != 1.0:
+            h = h * self.embedding_multiplier
+        rm = self.residual_multiplier
         h_mb = h.reshape(M, T // M, -1)
         md_mb = split_metadata(metadata, M, T)
 
@@ -299,13 +338,14 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
                     self.m_q, self.m_o, attn_backend=self.attn_backend,
                     kv_scale=layer.get("kv_scale", self.config.kv_scale),
                     rope_cos_sin=cos_sin)
-                h = h + attn_out
+                h = h + (attn_out if rm == 1.0 else rm * attn_out)
                 normed = rms_norm(h, layer["post_norm"], eps)
                 gate = self.m_mlp.apply(layer["gate"], normed)
                 up = self.m_mlp.apply(layer["up"], normed)
                 act = jax.nn.silu(gate.astype(jnp.float32)) \
                     .astype(self.dtype) * up
-                h = h + self.m_mlp.apply(layer["down"], act)
+                mlp_out = self.m_mlp.apply(layer["down"], act)
+                h = h + (mlp_out if rm == 1.0 else rm * mlp_out)
                 return h, new_pages
 
             h, kv_l = jax.lax.scan(layer_body, h, (layers_l, kv_l))
@@ -321,7 +361,10 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
         h = rms_norm(h, params["final_norm"], eps)
         last = self._gather_logits(h, metadata)
         logits = self.m_lm_head.apply(params["lm_head"], last)
-        return logits.astype(jnp.float32), kv_pages
+        logits = logits.astype(jnp.float32)
+        if self.logits_scaling != 1.0:
+            logits = logits / self.logits_scaling
+        return logits, kv_pages
 
     # ------------------------------------------------------------------ #
     # Sharding (GSPMD PartitionSpecs; reference TP semantics linear.py:86)

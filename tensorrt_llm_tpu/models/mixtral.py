@@ -29,9 +29,14 @@ class MixtralForCausalLM(LlamaForCausalLM):
 
     def __init__(self, model_config):
         super().__init__(model_config)
-        self.num_experts = self.hf.num_local_experts
+        self.num_experts = getattr(self.hf, "num_local_experts", None) or \
+            getattr(self.hf, "num_experts", 0)
         self.top_k = self.hf.num_experts_per_tok
         self.moe_backend = "auto"
+        # routing renormalization (Mixtral yes; Qwen2-MoE no by default)
+        self.renormalize = True
+        # Qwen2-MoE style always-on shared expert gated by a sigmoid
+        self.has_shared_expert = False
 
     # ------------------------------------------------------------------ #
     def init_params(self, rng: jax.Array) -> Dict[str, Any]:
@@ -132,6 +137,15 @@ class MixtralForCausalLM(LlamaForCausalLM):
 
         shard_mesh, shard_axis = self.attn_shard_args()
 
+        if self.use_qk_norm:
+            def q_norm(layer, q):
+                return rms_norm(q, layer["q_norm"], eps)
+
+            def k_norm(layer, k):
+                return rms_norm(k, layer["k_norm"], eps)
+        else:
+            q_norm = k_norm = None
+
         def layer_body(h, xs):
             layer, layer_kv = xs
             normed = rms_norm(h, layer["input_norm"], eps)
@@ -139,13 +153,28 @@ class MixtralForCausalLM(LlamaForCausalLM):
                 layer, normed, layer_kv, metadata, spec,
                 self.m_q, self.m_o, attn_backend=self.attn_backend,
                 kv_scale=self.config.kv_scale, rope_cos_sin=cos_sin,
+                q_norm=q_norm, k_norm=k_norm,
                 mesh=shard_mesh, tp_axis=shard_axis)
             h = h + attn_out
             normed = rms_norm(h, layer["post_norm"], eps)
-            h = h + moe_mlp(normed, layer["w_gate"], layer["w_up"],
-                            layer["w_down"], layer["router"],
-                            top_k=self.top_k, backend=self.moe_backend,
-                            mapping=mapping, mesh=self.mesh)
+            moe_out = moe_mlp(normed, layer["w_gate"], layer["w_up"],
+                              layer["w_down"], layer["router"],
+                              top_k=self.top_k, backend=self.moe_backend,
+                              mapping=mapping, mesh=self.mesh,
+                              renormalize=self.renormalize)
+            if self.has_shared_expert:
+                # always-on shared expert scaled by a sigmoid gate
+                # (Qwen2-MoE shared_expert + shared_expert_gate)
+                g = self.m_mlp.apply(layer["se_gate"], normed)
+                u = self.m_mlp.apply(layer["se_up"], normed)
+                a = jax.nn.silu(g.astype(jnp.float32)) \
+                    .astype(self.dtype) * u
+                se = self.m_mlp.apply(layer["se_down"], a)
+                gate = jax.nn.sigmoid(
+                    jnp.dot(normed, layer["se_gate_w"],
+                            preferred_element_type=jnp.float32))
+                moe_out = moe_out + gate.astype(self.dtype) * se
+            h = h + moe_out
             return h, new_pages
 
         h, kv_pages = jax.lax.scan(

@@ -174,10 +174,14 @@ def moe_mlp_dense(x: jax.Array, w_gate: jax.Array, w_up: jax.Array,
 
 def moe_mlp(x, w_gate, w_up, w_down, router_w, top_k: int,
             backend: str = "auto", mapping=None, mesh=None,
-            ep_axes: Union[str, Sequence[str]] = ("cp", "tp")) -> jax.Array:
-    """Full MoE block: route → dispatch → expert MLP → combine."""
+            ep_axes: Union[str, Sequence[str]] = ("cp", "tp"),
+            renormalize: bool = True) -> jax.Array:
+    """Full MoE block: route → dispatch → expert MLP → combine.
+    ``renormalize=False`` keeps raw softmax weights on the selected
+    experts (Qwen2-MoE norm_topk_prob=False semantics)."""
     router_logits = jnp.dot(x, router_w, preferred_element_type=jnp.float32)
-    probs, expert_idx = topk_routing(router_logits, top_k)
+    probs, expert_idx = topk_routing(router_logits, top_k,
+                                     renormalize=renormalize)
     if backend == "auto":
         multi = mapping is not None and mapping.world_size > 1
         backend = ("ep" if mesh is not None else "dense") if multi \
