@@ -19,6 +19,32 @@ import time
 import numpy as np
 
 
+def measure_hbm_bw() -> float:
+    """Streaming read+write bandwidth of THE chip, one jitted chained-add
+    over 256MB (fetches 4 elements — the tunnel moves ~30MB/s, so any
+    measurement returning big arrays times the network, not the HBM)."""
+    import time as _t
+    import jax
+    import jax.numpy as jnp
+    n = int(128e6)
+    x = jnp.ones((n,), jnp.bfloat16)
+
+    @jax.jit
+    def chain(x):
+        def body(x, _):
+            return x + 1, None
+        x, _ = jax.lax.scan(body, x, None, length=8)
+        return x[:4]
+
+    np.asarray(chain(x))
+    best = 1e9
+    for _ in range(3):
+        t0 = _t.monotonic()
+        np.asarray(chain(x))
+        best = min(best, _t.monotonic() - t0)
+    return 8 * 2 * n * 2 / best
+
+
 def main():
     if os.environ.get("BENCH_DEBUG"):
         import faulthandler
@@ -158,7 +184,11 @@ def main():
               f"tpot p50={q(tpots, .5)*1e3:.1f}ms p95={q(tpots, .95)*1e3:.1f}ms",
               file=sys.stderr, flush=True)
 
-    # HBM-bandwidth decode roofline: tok/s ≈ batch * BW / bytes_touched/step
+    # HBM-bandwidth decode roofline: tok/s ≈ batch * BW / bytes_touched/step.
+    # "Speed of light" is the ACTUAL chip's streaming bandwidth, measured
+    # in-graph right here (the tunnel-attached v5e-lite measures ~160GB/s,
+    # a fraction of a production v5e's 810 — a fixed constant would grade
+    # against hardware we don't have).
     param_bytes = {"none": 2.0, "int8": 1.0, "int4": 0.5}[quant]
     n_params = (cfg.vocab_size * cfg.hidden_size * 2 +
                 cfg.num_hidden_layers * (
@@ -171,7 +201,9 @@ def main():
                         cfg.num_key_value_heads *
                         (cfg.hidden_size // cfg.num_attention_heads) * 2)
     avg_ctx = isl + osl / 2
-    hbm_bw = 8.1e11 if jax.default_backend() == "tpu" else 5e10  # v5e ~810GB/s
+    hbm_bw = measure_hbm_bw() if jax.default_backend() == "tpu" else 5e10
+    print(f"# measured HBM bandwidth: {hbm_bw/1e9:.0f} GB/s",
+          file=sys.stderr, flush=True)
     step_bytes = weight_bytes + batch * avg_ctx * kv_bytes_per_tok
     roofline = batch * hbm_bw / step_bytes
 

@@ -264,6 +264,22 @@ class LLM:
                     max_matching_ngram_size=sc.ngram_max_matching_ngram_size)
             elif sc.mode == "DRAFT_TARGET":
                 drafter = self._build_two_model_drafter(sc, max_draft_len)
+            elif sc.mode == "EAGLE3":
+                from ..speculative.eagle import Eagle3Drafter
+                head_sd = None
+                if sc.draft_model is not None and \
+                        isinstance(sc.draft_model, (str, Path)):
+                    from safetensors import numpy as st_numpy
+                    head_sd = {}
+                    for f in sorted(Path(sc.draft_model)
+                                    .glob("*.safetensors")):
+                        head_sd.update(st_numpy.load_file(str(f)))
+                drafter = Eagle3Drafter(
+                    self.model, self._params,
+                    max_draft_len=max_draft_len,
+                    max_slots=min(32, args.max_batch_size),
+                    max_seq_len=args.max_seq_len,
+                    head_state_dict=head_sd)
             else:
                 raise NotImplementedError(
                     f"speculative mode {sc.mode} not yet supported")

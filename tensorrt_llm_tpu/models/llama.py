@@ -171,7 +171,8 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
     def forward(self, params: Dict[str, Any], token_ids: jax.Array,
                 kv_pages: jax.Array, metadata: AttentionMetadata,
                 input_embeds=None, lora=None, lora_slots=None,
-                collect_kv_stats: bool = False):
+                collect_kv_stats: bool = False,
+                collect_hidden: bool = False):
         h = self._embed(params, token_ids, input_embeds)
         if self.embedding_multiplier != 1.0:
             h = h * self.embedding_multiplier
@@ -284,6 +285,10 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
             kv_pages, kv_stats = ys
         else:
             kv_pages = ys
+        # EAGLE draft features: pre-final-norm hidden rows at the logits
+        # positions (reference: eagle3.py captures decoder features)
+        hidden_rows = self._gather_logits(h, metadata) \
+            if collect_hidden else None
         h = rms_norm(h, params["final_norm"], eps)
         last = self._gather_logits(h, metadata)
         logits = self.m_lm_head.apply(params["lm_head"], last)
@@ -292,6 +297,8 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
             logits = logits / self.logits_scaling
         if collect_kv_stats:
             return logits, kv_pages, kv_stats
+        if collect_hidden:
+            return logits, kv_pages, hidden_rows
         return logits, kv_pages
 
     # ------------------------------------------------------------------ #

@@ -148,6 +148,7 @@ class _InflightBatch:
     kind: str = "single"        # "single" | "multi"
     emitted: Any = None         # multi: device i32[S] valid-token counts
     planned: Optional[List[int]] = None  # multi: per-row token budget
+    hidden: Any = None          # EAGLE features [S*G, H] (device future)
 
 
 @dataclasses.dataclass
@@ -383,16 +384,28 @@ class PyExecutor:
                     if self.guided_decoder is not None:
                         mask = self.guided_decoder.build_mask(batch)
                     mask = self._apply_bad_words(batch, mask)
-                    tokens, logprobs, top_lp = self.engine.forward_step(
-                        batch, use_penalties=use_pen, logits_mask=mask)
+                    wants_hidden = getattr(self.drafter,
+                                           "wants_hidden_states", False)
+                    if wants_hidden:
+                        tokens, logprobs, top_lp, hidden = \
+                            self.engine.forward_step(
+                                batch, use_penalties=use_pen,
+                                logits_mask=mask, collect_hidden=True)
+                    else:
+                        hidden = None
+                        tokens, logprobs, top_lp = self.engine.forward_step(
+                            batch, use_penalties=use_pen, logits_mask=mask)
                     try:  # start the D2H copy as soon as the step finishes
                         tokens.copy_to_host_async()
                         logprobs.copy_to_host_async()
+                        if hidden is not None:
+                            hidden.copy_to_host_async()
                     except Exception:
                         pass
                     entries = self._advance_device_state(batch)
                     self._inflight.append(
-                        _InflightBatch(entries, tokens, logprobs, top_lp))
+                        _InflightBatch(entries, tokens, logprobs, top_lp,
+                                       hidden=hidden))
                 t2 = time.monotonic()
                 while len(self._inflight) >= self.pipeline_depth:
                     self._process_inflight()
@@ -787,6 +800,9 @@ class PyExecutor:
         if batch.top_logprobs is not None:
             tl_vals, tl_ids = jax.device_get(batch.top_logprobs)
             top_lp = (np.asarray(tl_vals), np.asarray(tl_ids))
+        hidden = None
+        if batch.hidden is not None:
+            hidden = np.asarray(jax.device_get(batch.hidden))  # [S*G, H]
         G = self.engine.max_draft_len + 1
         if G > 1:
             tokens = tokens.reshape(-1, G)
@@ -814,6 +830,11 @@ class PyExecutor:
             for g in range(accepted + 1):
                 done = req.add_output_token(int(tokens[i, g]),
                                             float(logprobs[i, g]))
+                if hidden is not None:
+                    # EAGLE feature of the position that PRODUCED this
+                    # token (reference: eagle3 feature capture)
+                    req.eagle_feats.append(
+                        (int(tokens[i, g]), hidden[i * G_rows + g]))
                 if top_lp is not None and req.sampling_params.logprobs:
                     vals, ids = top_lp
                     row = i * G_rows + g if vals.shape[0] > tokens.shape[0] \
@@ -838,6 +859,9 @@ class PyExecutor:
             if rejected:
                 req.num_device_tokens -= rejected
                 self.kv.rewind_tokens(req, 0)
+            if entry.drafts and self.drafter is not None:
+                # acceptance telemetry for adaptive drafters
+                self.drafter.update(req, entry.drafts[:accepted])
             tok = int(tokens[i, accepted])
             if not self.enable_overlap:
                 req.host_token_override = tok

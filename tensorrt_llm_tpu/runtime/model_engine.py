@@ -83,6 +83,12 @@ class ModelEngine:
         self.seed_key = jax.random.PRNGKey(0)
         self.iter_counter = 0
 
+        try:
+            self._param_bytes_hint = sum(
+                a.size * jnp.dtype(a.dtype).itemsize
+                for a in jax.tree.leaves(params))
+        except Exception:
+            self._param_bytes_hint = None
         self.num_kv_pages = num_kv_pages or self._default_num_pages()
         logger.info("KV pool: %d pages x %d tokens (%.1f MB/layer)",
                     self.num_kv_pages, self.page_size,
@@ -122,7 +128,17 @@ class ModelEngine:
             free = stats["bytes_limit"] - stats["bytes_in_use"]
             budget = int(free * cfg.free_gpu_memory_fraction) - (1 << 30)
         except Exception:
-            budget = 2 << 30  # CPU/test fallback: 2 GiB worth of pages
+            if jax.default_backend() == "tpu":
+                # memory_stats unavailable (tunnel backend): budget from
+                # total HBM minus the measured parameter bytes
+                import os
+                total = int(float(os.environ.get("TLLM_TPU_HBM_GB", "16"))
+                            * (1 << 30))
+                pbytes = self._param_bytes_hint or total // 4
+                budget = int((total - pbytes) *
+                             cfg.free_gpu_memory_fraction) - (1 << 30)
+            else:
+                budget = 2 << 30  # CPU/test fallback
         budget = max(budget, bytes_per_page * self.max_batch_size)
         pages = budget // bytes_per_page
         # at least enough for max_batch_size sequences of one page; at most
@@ -170,7 +186,8 @@ class ModelEngine:
 
     def _build_step(self, use_penalties: bool, use_mask: bool = False,
                     all_greedy: bool = False, num_logprobs: int = 0,
-                    use_embeds: bool = False, use_lora: bool = False):
+                    use_embeds: bool = False, use_lora: bool = False,
+                    use_hidden: bool = False):
         model = self.model
         G = self.max_draft_len + 1  # logits gathered per sequence
         S = self.max_batch_size
@@ -221,12 +238,18 @@ class ModelEngine:
             if use_lora:
                 extra = dict(lora=lora_params, lora_slots=lora_slots)
             M = self._pp_microbatches()
+            hidden = jnp.zeros((0,), jnp.float32)
             if M > 1 and not use_embeds and not use_lora and G == 1:
                 # true pipeline parallelism: micro-batched stages with
                 # ppermute handoff (reference: py_executor.py:1811)
                 logits, kv_pages = model.forward_pp(
                     params, tokens, kv_pages, metadata,
                     num_microbatches=M)
+            elif use_hidden:
+                # EAGLE draft features ride along with the logits
+                logits, kv_pages, hidden = model.forward(
+                    params, tokens, kv_pages, metadata,
+                    input_embeds=embeds, collect_hidden=True, **extra)
             else:
                 logits, kv_pages = model.forward(
                     params, tokens, kv_pages, metadata,
@@ -305,7 +328,7 @@ class ModelEngine:
             else:
                 tl_vals = tl_ids = jnp.zeros((0,), jnp.int32)
             return (new_tokens, logprobs, tl_vals, tl_ids, prev_tokens,
-                    token_counts, kv_pages)
+                    token_counts, kv_pages, hidden)
 
         donate = (1, 2, 3)  # kv_pages, prev_tokens, token_counts
         return jax.jit(step, donate_argnums=donate)
@@ -504,13 +527,14 @@ class ModelEngine:
 
     def _get_step_fn(self, use_penalties: bool, use_mask: bool = False,
                      all_greedy: bool = False, num_logprobs: int = 0,
-                     use_embeds: bool = False, use_lora: bool = False):
+                     use_embeds: bool = False, use_lora: bool = False,
+                     use_hidden: bool = False):
         key = (use_penalties, use_mask, all_greedy, num_logprobs,
-               use_embeds, use_lora)
+               use_embeds, use_lora, use_hidden)
         if key not in self._step_fns:
             self._step_fns[key] = self._build_step(
                 use_penalties, use_mask, all_greedy, num_logprobs,
-                use_embeds, use_lora)
+                use_embeds, use_lora, use_hidden)
         return self._step_fns[key]
 
     def calibrate_kv_scales(self, token_ids: np.ndarray) -> Optional[np.ndarray]:
@@ -737,7 +761,7 @@ class ModelEngine:
                           jnp.asarray(page_indices), jnp.asarray(floats),
                           jnp.zeros((1, 1), bool),
                           jnp.zeros((1, 1), jnp.float32), 0)
-            _, _, _, _, self.prev_tokens, _, self.kv_pages = out
+            _, _, _, _, self.prev_tokens, _, self.kv_pages, _ = out
             last = out[0]
             logger.info("warmed bucket T=%d", T)
         if last is not None:
@@ -865,7 +889,8 @@ class ModelEngine:
     # ------------------------------------------------------------------ #
     def forward_step(self, batch: ScheduledRequests,
                      use_penalties: bool = False,
-                     logits_mask: Optional[np.ndarray] = None):
+                     logits_mask: Optional[np.ndarray] = None,
+                     collect_hidden: bool = False):
         """Launch one iteration; returns (tokens, logprobs) device futures
         indexed by batch row."""
         inp = self.prepare_inputs(batch)
@@ -949,7 +974,8 @@ class ModelEngine:
                     and self.lora_params is not None
                     and any(r.lora_task_id is not None for r in reqs))
         step_fn = self._get_step_fn(use_penalties, use_mask, all_greedy,
-                                    num_logprobs, use_embeds, use_lora)
+                                    num_logprobs, use_embeds, use_lora,
+                                    collect_hidden)
         mask_arr = jnp.asarray(logits_mask) if use_mask else \
             jnp.zeros((1, 1), bool)
         embeds_arr = jnp.asarray(embeds) if use_embeds else \
@@ -961,8 +987,10 @@ class ModelEngine:
                       jnp.asarray(inp.page_indices), jnp.asarray(floats),
                       mask_arr, embeds_arr, lora_arg)
         (tokens, logprobs, tl_vals, tl_ids, self.prev_tokens, new_counts,
-         self.kv_pages) = out
+         self.kv_pages, hidden) = out
         if use_penalties:
             self.token_counts = new_counts
         top_lp = (tl_vals, tl_ids) if num_logprobs else None
+        if collect_hidden:
+            return tokens, logprobs, top_lp, hidden
         return tokens, logprobs, top_lp

@@ -135,6 +135,9 @@ class LlmRequest:
         # tokens this request may emit in the current multi-step decode
         # window (set by the executor after KV pre-allocation)
         self.multi_step_budget: int = 1
+        # EAGLE speculative features: (token, target-hidden) pairs not
+        # yet consumed by the draft head (executor appends, drafter pops)
+        self.eagle_feats: List = []
 
         self.perf = PerfMetrics(arrival_time=arrival_time or time.monotonic())
         self.priority: float = 0.5

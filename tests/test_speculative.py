@@ -203,3 +203,33 @@ def test_e2e_unseeded_sampled_spec_valid(repeat_model):
         ids = o.outputs[0].token_ids
         assert len(ids) == 12
         assert all(0 <= t < 64 for t in ids)
+
+
+def test_e2e_eagle3_lossless(repeat_model):
+    """EAGLE3 one-model head (random weights: ~zero acceptance, but the
+    mechanism — feature capture, head KV, verify, rewind — must be
+    lossless vs baseline greedy). (reference: speculative/eagle3.py)"""
+    from tensorrt_llm_tpu import LLM, KvCacheConfig
+    from tensorrt_llm_tpu.llmapi.llm_args import SpeculativeConfig
+
+    prompts = [[5, 9, 23, 44, 17], [3, 3, 7, 3, 3, 7, 3, 3], [11] * 12]
+    sp = SamplingParams(max_tokens=14, top_k=1)
+
+    base = LLM(model=repeat_model, skip_tokenizer_init=True, dtype="float32",
+               max_batch_size=8, max_input_len=64, max_seq_len=128,
+               max_num_tokens=256,
+               kv_cache_config=KvCacheConfig(tokens_per_block=16,
+                                             max_tokens=2048))
+    ref = [o.outputs[0].token_ids for o in base.generate(prompts, sp)]
+    base.shutdown()
+
+    spec = LLM(model=repeat_model, skip_tokenizer_init=True, dtype="float32",
+               max_batch_size=8, max_input_len=64, max_seq_len=128,
+               max_num_tokens=256,
+               speculative_config=SpeculativeConfig(mode="EAGLE3",
+                                                    max_draft_len=3),
+               kv_cache_config=KvCacheConfig(tokens_per_block=16,
+                                             max_tokens=2048))
+    got = [o.outputs[0].token_ids for o in spec.generate(prompts, sp)]
+    spec.shutdown()
+    assert got == ref
