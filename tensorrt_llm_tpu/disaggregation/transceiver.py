@@ -64,12 +64,20 @@ class InProcessKvTransport(KvTransport):
 
 
 class TcpKvTransport(KvTransport):
-    """Minimal push transport: generation side listens, context side
-    connects and streams a msgpack header (key, meta, dtype, shape)
-    followed by the raw ndarray bytes. No pickle crosses the wire — same
-    trust-boundary rule as executor_orchestration/broadcast.py. The
-    listener binds to ``listen_host`` (default loopback); set it to the
-    DCN-facing private interface for cross-host transfer."""
+    """Socket transport for cross-process KV handoff. Two wire ops, both
+    msgpack-framed (no pickle crosses the wire — same trust-boundary rule
+    as executor_orchestration/broadcast.py):
+
+      * push — peer streams {key, meta, dtype, shape} + raw ndarray bytes
+        into this listener's store (ctx engine pushing to a known gen).
+      * get  — peer asks this listener for a stored key and the blob is
+        streamed back (gen engine PULLING from the ctx server whose
+        endpoint rides in ``DisaggregatedParams.opaque_state`` — the
+        TPU analog of the reference's requester/responder pull model,
+        reference: cpp dataTransceiver.cpp RequestAndReceive).
+
+    The listener binds to ``listen_host`` (default loopback); set it to
+    the DCN-facing private interface for cross-host transfer."""
 
     _MAX_HEADER = 64 << 20      # sanity bound on header size
     _MAX_PAYLOAD = 64 << 30     # sanity bound on KV blob size
@@ -79,14 +87,19 @@ class TcpKvTransport(KvTransport):
         self._store: Dict[str, tuple] = {}
         self._cv = threading.Condition()
         self._server = None
+        self.listen_port = None
         if listen_port is not None:
             self._server = socket.create_server((listen_host, listen_port))
+            self.listen_port = self._server.getsockname()[1]
             t = threading.Thread(target=self._serve, daemon=True)
             t.start()
 
     def _serve(self):
         while True:
-            conn, _ = self._server.accept()
+            try:
+                conn, _ = self._server.accept()
+            except OSError:
+                return
             threading.Thread(target=self._recv_one, args=(conn,),
                              daemon=True).start()
 
@@ -96,6 +109,9 @@ class TcpKvTransport(KvTransport):
             if hn > self._MAX_HEADER:
                 raise ValueError(f"header too large: {hn}")
             header = msgpack.unpackb(self._read_exact(conn, hn), raw=False)
+            if header.get("op") == "get":
+                self._serve_get(conn, header)
+                return
             key = header["key"]
             meta = header["meta"]
             dtype = _np_dtype(header["dtype"])
@@ -111,6 +127,25 @@ class TcpKvTransport(KvTransport):
                 self._cv.notify_all()
         finally:
             conn.close()
+
+    def _serve_get(self, conn, header):
+        """Stream a stored blob back to a pulling peer, then drop it."""
+        key = header["key"]
+        timeout = min(float(header.get("timeout", 30.0)), 300.0)
+        with self._cv:
+            ok = self._cv.wait_for(lambda: key in self._store, timeout)
+            item = self._store.pop(key, None) if ok else None
+        if item is None:
+            resp = msgpack.packb({"status": "missing"}, use_bin_type=True)
+            conn.sendall(struct.pack("<Q", len(resp)) + resp)
+            return
+        kv, meta = item
+        kv = np.ascontiguousarray(kv)
+        resp = msgpack.packb(
+            {"status": "ok", "meta": meta, "dtype": kv.dtype.name,
+             "shape": list(kv.shape)}, use_bin_type=True)
+        conn.sendall(struct.pack("<Q", len(resp)) + resp)
+        conn.sendall(kv.tobytes())
 
     @staticmethod
     def _read_exact(conn, n):
@@ -133,12 +168,40 @@ class TcpKvTransport(KvTransport):
             s.sendall(header)
             s.sendall(kv.tobytes())
 
-    def put(self, key, kv, meta):  # local put (tests)
+    def put(self, key, kv, meta):  # local put (ctx side stores for pull)
         with self._cv:
             self._store[key] = (kv, meta)
             self._cv.notify_all()
 
-    def get(self, key, timeout=60.0):
+    def fetch(self, host: str, port: int, key: str,
+              timeout: float = 30.0) -> tuple:
+        """Pull a blob from a remote listener (gen side)."""
+        header = msgpack.packb({"op": "get", "key": key,
+                                "timeout": timeout}, use_bin_type=True)
+        with socket.create_connection((host, port),
+                                      timeout=timeout + 10) as s:
+            s.sendall(struct.pack("<Q", len(header)))
+            s.sendall(header)
+            (hn,) = struct.unpack("<Q", self._read_exact(s, 8))
+            if hn > self._MAX_HEADER:
+                raise ValueError(f"header too large: {hn}")
+            resp = msgpack.unpackb(self._read_exact(s, hn), raw=False)
+            if resp.get("status") != "ok":
+                raise TimeoutError(f"KV for {key} not available at "
+                                   f"{host}:{port}")
+            dtype = _np_dtype(resp["dtype"])
+            shape = tuple(resp["shape"])
+            nbytes = int(dtype.itemsize * np.prod(shape)) if shape else \
+                dtype.itemsize
+            if nbytes > self._MAX_PAYLOAD:
+                raise ValueError(f"payload too large: {nbytes}")
+            kv = np.frombuffer(self._read_exact(s, nbytes),
+                               dtype=dtype).reshape(shape)
+            return kv, resp["meta"]
+
+    def get(self, key, timeout=60.0, endpoint=None):
+        if endpoint is not None:
+            return self.fetch(endpoint[0], int(endpoint[1]), key, timeout)
         with self._cv:
             if not self._cv.wait_for(lambda: key in self._store, timeout):
                 raise TimeoutError(f"KV for {key} not received")
@@ -147,6 +210,13 @@ class TcpKvTransport(KvTransport):
     def release(self, key):
         with self._cv:
             self._store.pop(key, None)
+
+    def close(self):
+        if self._server is not None:
+            try:
+                self._server.close()
+            except OSError:
+                pass
 
 
 class KvCacheTransceiver:
@@ -167,7 +237,11 @@ class KvCacheTransceiver:
         return key
 
     def receive_generation_kv(self, request, key: str,
-                              timeout: float = 60.0) -> None:
-        kv, meta = self.transport.get(key, timeout)
+                              timeout: float = 60.0,
+                              endpoint=None) -> None:
+        try:
+            kv, meta = self.transport.get(key, timeout, endpoint=endpoint)
+        except TypeError:   # custom transports without pull support
+            kv, meta = self.transport.get(key, timeout)
         self.engine.inject_kv(request.kv_block_ids, kv)
         self.transport.release(key)

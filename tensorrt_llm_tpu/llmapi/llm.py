@@ -380,9 +380,19 @@ class LLM:
                                    eos_token_id=0)
             guided_decoder = GuidedDecoder(table, args.max_batch_size)
         from ..disaggregation.transceiver import (InProcessKvTransport,
-                                                  KvCacheTransceiver)
+                                                  KvCacheTransceiver,
+                                                  TcpKvTransport)
+        tc = args.cache_transceiver_config
+        self.kv_endpoint = None   # (host, port) other engines pull from
+        if tc is not None and tc.backend == "tcp":
+            transport = TcpKvTransport(listen_port=tc.listen_port,
+                                       listen_host=tc.listen_host)
+            self.kv_endpoint = (tc.advertise_host or tc.listen_host,
+                                transport.listen_port)
+        else:
+            transport = InProcessKvTransport()
         self.kv_transceiver = KvCacheTransceiver(
-            self.engine, self.kv_cache_manager, InProcessKvTransport())
+            self.engine, self.kv_cache_manager, transport)
         role, bcaster = "single", None
         oc = args.orchestrator_config
         if oc:
@@ -471,6 +481,7 @@ class LLM:
         from ..runtime.request import LlmRequestType
         rtype = LlmRequestType.REQUEST_TYPE_CONTEXT_AND_GENERATION
         kv_key = None
+        kv_ep = None
         if disaggregated_params is not None:
             if disaggregated_params.request_type == "context_only":
                 rtype = LlmRequestType.REQUEST_TYPE_CONTEXT_ONLY
@@ -478,6 +489,13 @@ class LLM:
             elif disaggregated_params.request_type == "generation_only":
                 rtype = LlmRequestType.REQUEST_TYPE_GENERATION_ONLY
                 kv_key = f"ctxkv-{disaggregated_params.ctx_request_id}"
+                if disaggregated_params.opaque_state:
+                    # ctx engine's pull endpoint rides in opaque_state
+                    import msgpack
+                    st = msgpack.unpackb(disaggregated_params.opaque_state,
+                                         raw=False)
+                    if st.get("kv_host"):
+                        kv_ep = (st["kv_host"], st["kv_port"])
         lora_task_id = None
         if lora_request is not None:
             if self.lora_manager is None:
@@ -499,7 +517,8 @@ class LLM:
             first = disaggregated_params.first_gen_tokens[0]
             req.host_token_override = first
             req.output_token_ids = [first]
-        res = self.executor.submit(req, kv_transfer_key=kv_key)
+        res = self.executor.submit(req, kv_transfer_key=kv_key,
+                                   kv_endpoint=kv_ep)
         extra = []
         if sampling_params.n > 1 and not sampling_params.use_beam_search:
             import copy

@@ -124,6 +124,24 @@ class SpeculativeConfig(StrictBaseModel):
     ngram_prompt_lookup_num_tokens: int = 4
 
 
+class CacheTransceiverConfig(StrictBaseModel):
+    """KV-transfer transport for disaggregated serving (reference:
+    llm_args.py CacheTransceiverConfig / cacheTransceiver.cpp backends —
+    UCX/NIXL/MPI collapse to TCP-over-DCN on TPU pods; colocated
+    processes use the in-proc store).
+
+    ``backend="tcp"`` starts a pull listener: context engines store
+    extracted KV locally and advertise ``(advertise_host, port)`` in
+    ``DisaggregatedParams.opaque_state``; generation engines connect and
+    pull. ``listen_port=0`` binds an ephemeral port."""
+    backend: Literal["inproc", "tcp"] = "inproc"
+    listen_host: str = "127.0.0.1"
+    listen_port: int = 0
+    # address other engines should dial (defaults to listen_host)
+    advertise_host: Optional[str] = None
+    max_tokens_in_buffer: Optional[int] = None
+
+
 class ParallelConfig(StrictBaseModel):
     tensor_parallel_size: int = 1
     pipeline_parallel_size: int = 1
@@ -171,6 +189,7 @@ class LlmArgs(StrictBaseModel):
     moe_config: MoeConfig = Field(default_factory=MoeConfig)
     speculative_config: Optional[SpeculativeConfig] = None
     attention_dp_config: Optional[AttentionDpConfig] = None
+    cache_transceiver_config: Optional[CacheTransceiverConfig] = None
 
     enable_lora: bool = False
     lora_config: Optional[Dict[str, Any]] = None

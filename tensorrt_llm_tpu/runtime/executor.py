@@ -246,7 +246,8 @@ class PyExecutor:
     # API
     # ------------------------------------------------------------------ #
     def submit(self, request: LlmRequest,
-               kv_transfer_key: Optional[str] = None) -> GenerationResult:
+               kv_transfer_key: Optional[str] = None,
+               kv_endpoint=None) -> GenerationResult:
         if self._shutdown.is_set():
             raise RuntimeError("executor is shut down")
         res = GenerationResult(request, tokenizer=self.tokenizer,
@@ -270,7 +271,8 @@ class PyExecutor:
                 self._request_queue.put(row)
         elif request.request_type == \
                 LlmRequestType.REQUEST_TYPE_GENERATION_ONLY:
-            self._pending_disagg.put((request, kv_transfer_key))
+            self._pending_disagg.put((request, kv_transfer_key,
+                                      kv_endpoint))
         else:
             self._request_queue.put(request)
         self._work_event.set()
@@ -519,16 +521,17 @@ class PyExecutor:
         TRANS_COMPLETE states, kv_cache_transceiver.py:107)."""
         while True:
             try:
-                req, key = self._pending_disagg.get_nowait()
+                req, key, endpoint = self._pending_disagg.get_nowait()
             except queue.Empty:
                 return
             try:
                 if not self._free_slots:
-                    self._pending_disagg.put((req, key))
+                    self._pending_disagg.put((req, key, endpoint))
                     return
                 req.seq_slot = self._free_slots.pop()
                 self.kv.add_sequence(req, enable_reuse=False)
-                self.kv_transceiver.receive_generation_kv(req, key)
+                self.kv_transceiver.receive_generation_kv(
+                    req, key, endpoint=endpoint)
                 req.state = LlmRequestState.GENERATION_IN_PROGRESS
                 req.context_current_position = req.prompt_len
                 req.num_device_tokens = req.prompt_len

@@ -44,14 +44,36 @@ class BlockKey:
     extra_hashes: Tuple[int, ...] = ()
 
 
+def stable_block_hash(tokens, parent_hash: Optional[int] = None,
+                      lora_task_id: Optional[int] = None,
+                      cache_salt: Optional[str] = None) -> int:
+    """Chained content hash of one full KV block, stable across processes
+    (the reference's block_key_hasher, serve/router.py:664: sha256 over
+    parent hash + token ids). Routers reproduce these from raw prompts to
+    predict prefix-cache hits on remote servers, so process-local
+    ``hash()`` is not usable here."""
+    import hashlib
+    import struct as _struct
+    h = hashlib.sha256()
+    if parent_hash is not None:
+        h.update(_struct.pack("<q", parent_hash))
+    if lora_task_id is not None:
+        h.update(b"L" + _struct.pack("<q", lora_task_id))
+    if cache_salt:
+        h.update(b"S" + cache_salt.encode())
+    h.update(_struct.pack(f"<{len(tokens)}i", *tokens))
+    return int.from_bytes(h.digest()[:8], "little", signed=True)
+
+
 class RadixNode:
     """Reuse-tree node: holds either a primary block, offloaded host
     data, or (transiently) neither before being pruned."""
     __slots__ = ("key", "parent", "children", "block", "host_data",
-                 "priority", "_lru_tick")
+                 "priority", "_lru_tick", "content_hash")
 
     def __init__(self, key: Optional[BlockKey] = None,
                  parent: Optional["RadixNode"] = None):
+        self.content_hash: Optional[int] = None
         self.key = key
         self.parent = parent
         self.children: Dict[BlockKey, "RadixNode"] = {}
@@ -278,14 +300,20 @@ class KVCacheManager:
         tokens = request.all_token_ids
         node: Optional[RadixNode] = self._root
         stored_hashes: List[int] = []
+        phash: Optional[int] = None   # chained stable hash of the prefix
         for i, block in enumerate(chain):
             start = i * self.tokens_per_block
             full = start + self.tokens_per_block <= len(tokens)
             if store and full and node is not None and block.node is None:
+                blk_tokens = tuple(
+                    tokens[start:start + self.tokens_per_block])
                 key = BlockKey(
-                    tokens=tuple(tokens[start:start + self.tokens_per_block]),
+                    tokens=blk_tokens,
                     lora_task_id=request.lora_task_id,
                     cache_salt=request.cache_salt)
+                phash = stable_block_hash(blk_tokens, phash,
+                                          request.lora_task_id,
+                                          request.cache_salt)
                 existing = node.children.get(key)
                 if existing is not None:
                     # duplicate content: keep the existing node
@@ -294,15 +322,17 @@ class KVCacheManager:
                     continue
                 child = RadixNode(key, node)
                 child.block = block
+                child.content_hash = phash
                 child.priority = self._req_priority.get(
                     rid, DEFAULT_PRIORITY)
                 block.node = child
                 node.children[key] = child
-                stored_hashes.append(hash(key))
+                stored_hashes.append(phash)
                 node = child
                 self._release_block(block)
             elif block.node is not None:
                 node = block.node
+                phash = node.content_hash
                 self._release_block(block)
             else:
                 node = None  # chain broken: deeper blocks cannot attach
@@ -418,7 +448,9 @@ class KVCacheManager:
                             self.secondary_offload_min_priority):
                         self._offload_node(node)
                     else:
-                        self._push_event("removed", [hash(node.key)])
+                        self._push_event("removed", [
+                            node.content_hash if node.content_hash
+                            is not None else hash(node.key)])
                         parent = node.parent
                         node.detach()
                         self._maybe_prune(parent)
@@ -431,7 +463,9 @@ class KVCacheManager:
         node.block = None
         self._host_lru[node] = None
         self._stats.offloaded_blocks += 1
-        self._push_event("offloaded", [hash(node.key)])
+        self._push_event("offloaded", [
+            node.content_hash if node.content_hash is not None
+            else hash(node.key)])
         while len(self._host_lru) > self.host_cache_blocks:
             victim, _ = self._host_lru.popitem(last=False)
             # only detach subtree-safe (leaf) victims; non-leaves wait

@@ -47,6 +47,39 @@ class ResponseFormat(BaseModel):
     json_schema: Optional[Dict[str, Any]] = None
 
 
+class DisaggregatedParamsPayload(BaseModel):
+    """JSON carrier for DisaggregatedParams over HTTP (reference:
+    openai_protocol.py DisaggregatedParams / to_llm_disaggregated_params).
+    ``opaque_state`` is base64 so the ctx engine's KV pull endpoint can
+    ride through the router untouched."""
+    request_type: Literal["context_only", "generation_only",
+                          "context_and_generation"] = \
+        "context_and_generation"
+    ctx_request_id: Optional[int] = None
+    first_gen_tokens: Optional[List[int]] = None
+    opaque_state: Optional[str] = None       # base64
+
+    def to_params(self):
+        import base64
+        from ..disaggregation import DisaggregatedParams
+        return DisaggregatedParams(
+            request_type=self.request_type,
+            ctx_request_id=self.ctx_request_id,
+            first_gen_tokens=self.first_gen_tokens,
+            opaque_state=(base64.b64decode(self.opaque_state)
+                          if self.opaque_state else None))
+
+    @classmethod
+    def from_params(cls, p) -> "DisaggregatedParamsPayload":
+        import base64
+        return cls(
+            request_type=p.request_type,
+            ctx_request_id=p.ctx_request_id,
+            first_gen_tokens=p.first_gen_tokens,
+            opaque_state=(base64.b64encode(p.opaque_state).decode()
+                          if p.opaque_state else None))
+
+
 class CompletionRequest(BaseModel):
     model: str
     prompt: Union[str, List[str], List[int], List[List[int]]]
@@ -76,6 +109,7 @@ class CompletionRequest(BaseModel):
     skip_special_tokens: bool = True
     detokenize: bool = True
     response_format: Optional[ResponseFormat] = None
+    disaggregated_params: Optional[DisaggregatedParamsPayload] = None
 
     def to_sampling_params(self) -> SamplingParams:
         guided = None
@@ -99,8 +133,10 @@ class CompletionRequest(BaseModel):
 class CompletionResponseChoice(BaseModel):
     index: int
     text: str
+    token_ids: Optional[List[int]] = None
     logprobs: Optional[Any] = None
     finish_reason: Optional[str] = None
+    disaggregated_params: Optional[DisaggregatedParamsPayload] = None
 
 
 class CompletionResponse(BaseModel):
@@ -152,6 +188,7 @@ class ChatCompletionRequest(BaseModel):
     add_generation_prompt: bool = True
     chat_template: Optional[str] = None
     chat_template_kwargs: Optional[Dict[str, Any]] = None
+    disaggregated_params: Optional[DisaggregatedParamsPayload] = None
 
     def to_sampling_params(self) -> SamplingParams:
         max_toks = self.max_completion_tokens or self.max_tokens or 512
@@ -179,6 +216,7 @@ class ChatCompletionResponseChoice(BaseModel):
     message: ChatMessage
     logprobs: Optional[Any] = None
     finish_reason: Optional[str] = None
+    disaggregated_params: Optional[DisaggregatedParamsPayload] = None
 
 
 class ChatCompletionResponse(BaseModel):

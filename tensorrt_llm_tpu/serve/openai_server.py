@@ -151,13 +151,34 @@ class OpenAIServer:
         })
 
     # ------------------------------------------------------------------ #
-    async def _generate_async(self, prompt, sampling_params, streaming=False):
+    async def _generate_async(self, prompt, sampling_params, streaming=False,
+                              disaggregated_params=None):
         loop = asyncio.get_running_loop()
-        fut = self.llm.generate_async(prompt, sampling_params,
-                                      streaming=streaming)
+        fut = self.llm.generate_async(
+            prompt, sampling_params, streaming=streaming,
+            disaggregated_params=disaggregated_params)
         if streaming:
             return fut
         return await loop.run_in_executor(None, lambda: fut.result(3600))
+
+    def _ctx_response_params(self, out):
+        """DisaggregatedParams payload for a finished context-only
+        request: id + first token + this engine's KV pull endpoint
+        (reference: ctx response carries ctx_request_id/opaque state,
+        openai_disagg_server.py send_context_request)."""
+        import msgpack
+        from ..disaggregation import DisaggregatedParams
+        from .openai_protocol import DisaggregatedParamsPayload
+        opaque = None
+        ep = getattr(self.llm, "kv_endpoint", None)
+        if ep is not None:
+            opaque = msgpack.packb({"kv_host": ep[0], "kv_port": ep[1]},
+                                   use_bin_type=True)
+        return DisaggregatedParamsPayload.from_params(DisaggregatedParams(
+            request_type="context_only",
+            ctx_request_id=out.request_id,
+            first_gen_tokens=list(out.outputs[0].token_ids),
+            opaque_state=opaque))
 
     async def completions(self, request: web.Request) -> web.StreamResponse:
         try:
@@ -171,16 +192,24 @@ class OpenAIServer:
             prompts = [prompts]
         sp = body.to_sampling_params()
         self._num_requests += 1
+        dp = body.disaggregated_params.to_params() \
+            if body.disaggregated_params else None
         if body.stream:
-            return await self._stream_completion(request, body, prompts[0], sp)
+            return await self._stream_completion(request, body, prompts[0],
+                                                 sp, dp)
         outs = await asyncio.gather(*[
-            self._generate_async(p, sp) for p in prompts])
+            self._generate_async(p, sp, disaggregated_params=dp)
+            for p in prompts])
         choices, usage = [], UsageInfo()
+        is_ctx = dp is not None and dp.request_type == "context_only"
         for i, out in enumerate(outs):
             o = out.outputs[0]
             text = o.text or " ".join(map(str, o.token_ids))
             choices.append(CompletionResponseChoice(
-                index=i, text=text, finish_reason=o.finish_reason))
+                index=i, text=text, token_ids=list(o.token_ids),
+                finish_reason=o.finish_reason,
+                disaggregated_params=(self._ctx_response_params(out)
+                                      if is_ctx else None)))
             usage.prompt_tokens += len(out.prompt_token_ids)
             usage.completion_tokens += len(o.token_ids)
             self._num_tokens_out += len(o.token_ids)
@@ -189,12 +218,13 @@ class OpenAIServer:
                                   usage=usage)
         return web.json_response(resp.model_dump())
 
-    async def _stream_completion(self, request, body, prompt, sp):
+    async def _stream_completion(self, request, body, prompt, sp, dp=None):
         resp = web.StreamResponse(headers={
             "Content-Type": "text/event-stream",
             "Cache-Control": "no-cache"})
         await resp.prepare(request)
-        fut = await self._generate_async(prompt, sp, streaming=True)
+        fut = await self._generate_async(prompt, sp, streaming=True,
+                                         disaggregated_params=dp)
         loop = asyncio.get_running_loop()
         it = iter(fut)
         while True:
@@ -233,25 +263,31 @@ class OpenAIServer:
             prompt_ids = tokenizer.encode(text)
         sp = body.to_sampling_params()
         self._num_requests += 1
+        dp = body.disaggregated_params.to_params() \
+            if body.disaggregated_params else None
         if body.stream:
-            return await self._stream_chat(request, body, prompt_ids, sp)
-        out = await self._generate_async(prompt_ids, sp)
+            return await self._stream_chat(request, body, prompt_ids, sp, dp)
+        out = await self._generate_async(prompt_ids, sp,
+                                         disaggregated_params=dp)
         o = out.outputs[0]
         self._num_tokens_out += len(o.token_ids)
         usage = UsageInfo(
             prompt_tokens=len(prompt_ids),
             completion_tokens=len(o.token_ids),
             total_tokens=len(prompt_ids) + len(o.token_ids))
+        is_ctx = dp is not None and dp.request_type == "context_only"
         resp = ChatCompletionResponse(
             model=body.model,
             choices=[ChatCompletionResponseChoice(
                 index=0,
                 message=ChatMessage(role="assistant", content=o.text),
-                finish_reason=o.finish_reason)],
+                finish_reason=o.finish_reason,
+                disaggregated_params=(self._ctx_response_params(out)
+                                      if is_ctx else None))],
             usage=usage)
         return web.json_response(resp.model_dump())
 
-    async def _stream_chat(self, request, body, prompt_ids, sp):
+    async def _stream_chat(self, request, body, prompt_ids, sp, dp=None):
         resp = web.StreamResponse(headers={
             "Content-Type": "text/event-stream",
             "Cache-Control": "no-cache"})
@@ -261,7 +297,8 @@ class OpenAIServer:
             choices=[ChatCompletionStreamChoice(
                 index=0, delta=DeltaMessage(role="assistant"))])
         await resp.write(f"data: {first.model_dump_json()}\n\n".encode())
-        fut = await self._generate_async(prompt_ids, sp, streaming=True)
+        fut = await self._generate_async(prompt_ids, sp, streaming=True,
+                                         disaggregated_params=dp)
         loop = asyncio.get_running_loop()
         it = iter(fut)
         while True:
