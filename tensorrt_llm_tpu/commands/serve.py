@@ -17,6 +17,9 @@ def main(argv=None):
     p.add_argument("--dtype", default="auto")
     p.add_argument("--extra_llm_api_options", default=None,
                    help="YAML overlay file (reference semantics)")
+    p.add_argument("--grpc", action="store_true",
+                   help="serve the binary gRPC frontend instead of HTTP "
+                        "(reference: serve.py --grpc)")
     args = p.parse_args(argv)
 
     from ..llmapi.llm import LLM
@@ -33,8 +36,12 @@ def main(argv=None):
         kwargs = update_llm_args_with_extra_options(
             kwargs, args.extra_llm_api_options)
     llm = LLM(model=args.model, **kwargs)
-    from ..serve.openai_server import OpenAIServer
-    OpenAIServer(llm, model_name=args.model).run(args.host, args.port)
+    if args.grpc:
+        from ..grpc import GrpcServer
+        GrpcServer(llm, model_name=args.model).run(args.host, args.port)
+    else:
+        from ..serve.openai_server import OpenAIServer
+        OpenAIServer(llm, model_name=args.model).run(args.host, args.port)
 
 
 if __name__ == "__main__":
