@@ -103,6 +103,14 @@ class LLM:
 
         self._build_model()
         self._build_executor()
+        # opt-out anonymous usage telemetry, fail-silent (reference:
+        # llm.py:279-296 + tensorrt_llm/usage/)
+        from ..usage import UsageReporter
+        self._usage = UsageReporter()
+        self._usage.start(self, stats_fn=lambda: (
+            len(self.executor.stats_history),
+            sum(s.num_gen_tokens
+                for s in self.executor.stats_history)))
 
     # ------------------------------------------------------------------ #
     # Build (reference: _TorchLLM._build_model llm.py:1476)
@@ -393,6 +401,26 @@ class LLM:
             transport = InProcessKvTransport()
         self.kv_transceiver = KvCacheTransceiver(
             self.engine, self.kv_cache_manager, transport)
+        kv_connector = None
+        if args.kv_connector_config:
+            from ..runtime.kv_connector import (KvCacheConnectorScheduler,
+                                                KvConnectorManager)
+            kc = args.kv_connector_config
+            if "instance" in kc:
+                worker = kc["instance"]
+            else:
+                import importlib
+                mod = importlib.import_module(kc["connector_module"])
+                kwargs = kc.get("kwargs", {})
+                worker = getattr(mod, kc["connector_worker_class"])(**kwargs)
+            sched = worker if isinstance(worker, KvCacheConnectorScheduler) \
+                else None
+            if "connector_scheduler_class" in (kc if "instance" not in kc
+                                               else {}):
+                sched = getattr(mod, kc["connector_scheduler_class"])(
+                    **kc.get("kwargs", {}))
+            worker.register_engine(self.engine)
+            kv_connector = KvConnectorManager(worker, sched)
         role, bcaster = "single", None
         oc = args.orchestrator_config
         if oc:
@@ -416,7 +444,8 @@ class LLM:
             kv_transceiver=self.kv_transceiver,
             pipeline_depth=args.max_inflight_steps,
             decode_multi_step=args.decode_multi_step,
-            role=role, broadcaster=bcaster)
+            role=role, broadcaster=bcaster,
+            kv_connector=kv_connector)
 
     # ------------------------------------------------------------------ #
     # Generation (reference: llm.py:329-533)
@@ -569,6 +598,8 @@ class LLM:
         return self.kv_cache_manager.get_latest_events()
 
     def shutdown(self):
+        if hasattr(self, "_usage"):
+            self._usage.shutdown(self)
         if hasattr(self, "executor"):
             self.executor.shutdown()
 

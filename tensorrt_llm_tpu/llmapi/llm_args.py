@@ -225,6 +225,13 @@ class LlmArgs(StrictBaseModel):
     num_postprocess_workers: int = 0
     batch_wait_timeout_ms: float = 0.0
 
+    # pluggable external KV connector (reference: llm_args.py:1036
+    # KvCacheConnectorConfig): {"connector_module": str,
+    # "connector_worker_class": str, "connector_scheduler_class": str,
+    # "kwargs": {...}} or {"instance": obj} for an in-process connector
+    # implementing both halves
+    kv_connector_config: Optional[Dict[str, Any]] = None
+
     # multi-host orchestration (reference: MGMN leader/follower intake,
     # executor_request_queue.py:42): {"role": "leader"|"follower",
     # "port": int, "num_followers": int (leader), "host": str (follower)}

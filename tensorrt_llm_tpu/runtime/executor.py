@@ -177,7 +177,8 @@ class PyExecutor:
                  pipeline_depth: int = 4,
                  decode_multi_step: int = 1,
                  role: str = "single",
-                 broadcaster=None):
+                 broadcaster=None,
+                 kv_connector=None):
         self.engine = engine
         self.kv = kv_cache_manager
         self.scheduler = scheduler
@@ -185,6 +186,9 @@ class PyExecutor:
         self.drafter = drafter
         self.guided_decoder = guided_decoder
         self.kv_transceiver = kv_transceiver
+        # external KV store hooks (KvConnectorManager)
+        self.kv_connector = kv_connector
+        self._save_parked: List[LlmRequest] = []
         self._pending_disagg: "queue.Queue" = queue.Queue()
         if guided_decoder is not None and enable_overlap:
             enable_overlap = False  # matcher must see token t before t+1
@@ -356,6 +360,10 @@ class PyExecutor:
                         self._prepare_resources(batch)
                     if gen_window is not None:
                         self._prepare_resources_multi(gen_window)
+                    if self.kv_connector is not None:
+                        # ship connector metadata + land external KV in
+                        # the freshly allocated pages before forward
+                        self.kv_connector.begin_batch()
                 if batch.is_empty and gen_window is None:
                     # nothing runnable; drain pending results
                     self._process_inflight()
@@ -609,6 +617,16 @@ class PyExecutor:
                 if reused:
                     req.context_current_position = reused
                     req.perf.kv_cache_hit_tokens = reused
+                if self.kv_connector is not None:
+                    # external store may extend the radix-reused prefix
+                    # (reference: py_executor.py:2641 connector hooks)
+                    extra = self.kv_connector.query_match(req, reused)
+                    extra = min(extra, req.context_len - 1 - reused)
+                    extra -= extra % self.kv.tokens_per_block
+                    if extra > 0:
+                        req.context_current_position = reused + extra
+                        req.perf.kv_cache_hit_tokens = reused + extra
+                    self.kv_connector.after_alloc(req, extra)
                 if req.perf.first_scheduled_time == 0:
                     req.perf.first_scheduled_time = time.monotonic()
         for req in deferred:
@@ -885,6 +903,14 @@ class PyExecutor:
         """Complete requests finished out-of-band (cancellation)."""
         for req in [r for r in self._active if r.is_finished]:
             self._finish_request(req)
+        if self.kv_connector is not None and self._save_parked:
+            for req in self.kv_connector.poll_finished_saves():
+                self.kv.free_resources(req)
+                if req.seq_slot is not None:
+                    self._free_slots.append(req.seq_slot)
+                    req.seq_slot = None
+                if req in self._save_parked:
+                    self._save_parked.remove(req)
 
     def _update_beam_groups(self):
         if not self._beam_groups:
@@ -991,6 +1017,18 @@ class PyExecutor:
             # context phase done: ship the KV before releasing the pages
             self.kv_transceiver.send_context_kv(req)
             req.state = LlmRequestState.DISAGG_CONTEXT_COMPLETE
+        if self.kv_connector is not None and \
+                self.kv_connector.on_request_finished(req):
+            # async external save in flight: hold blocks + slot until
+            # the worker reports the save done (poll in the loop)
+            if req in self._active:
+                self._active.remove(req)
+            self._save_parked.append(req)
+            with self._lock:
+                res = self._results.pop(req.request_id, None)
+            if res is not None:
+                res._on_finish()
+            return
         self.kv.free_resources(req)
         if req.seq_slot is not None:
             self._free_slots.append(req.seq_slot)
