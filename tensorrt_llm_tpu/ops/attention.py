@@ -183,10 +183,30 @@ def ragged_paged_attention(
             return jnp.zeros_like(q).at[:m].set(out_s[:m].astype(q.dtype))
 
         def prefill_path(_):
-            return _reference_attention(
-                q, kv_pages, metadata, sm_scale=sm_scale,
-                sliding_window=sliding_window, soft_cap=soft_cap,
-                k_scale=k_scale, v_scale=v_scale)
+            # in-repo ragged prefill kernel (hd % 64 geometries); falls
+            # back to the dense path only when a query segment exceeds
+            # the kernel's VMEM slab
+            from .pallas.prefill_attention import ragged_prefill_attention
+            maxq = min(T, 256)    # VMEM slab bound (~9MB at qh32·hd64)
+            q_lens = metadata.cu_q_lens[1:S + 1] - metadata.cu_q_lens[:S]
+            fits = jnp.max(q_lens) <= maxq
+
+            def kernel_path(_):
+                return ragged_prefill_attention(
+                    q, kv_pages, metadata.kv_lens, metadata.page_indices,
+                    metadata.cu_q_lens, sm_scale=sm_scale,
+                    sliding_window=sliding_window, soft_cap=soft_cap,
+                    k_scale=k_scale, v_scale=v_scale, max_q_len=maxq)
+
+            def dense_path(_):
+                return _reference_attention(
+                    q, kv_pages, metadata, sm_scale=sm_scale,
+                    sliding_window=sliding_window, soft_cap=soft_cap,
+                    k_scale=k_scale, v_scale=v_scale)
+
+            if (2 * q.shape[-1]) % 128 != 0:   # kernel can't serve hd
+                return dense_path(None)
+            return jax.lax.cond(fits, kernel_path, dense_path, None)
 
         return jax.lax.cond(decode_only, decode_path, prefill_path, None)
     if backend == "rpa":
