@@ -445,7 +445,9 @@ class LLM:
             pipeline_depth=args.max_inflight_steps,
             decode_multi_step=args.decode_multi_step,
             role=role, broadcaster=bcaster,
-            kv_connector=kv_connector)
+            kv_connector=kv_connector,
+            waiting_queue_policy=args.scheduler_config.waiting_queue_policy,
+            max_active_requests=args.scheduler_config.max_active_requests)
 
     # ------------------------------------------------------------------ #
     # Generation (reference: llm.py:329-533)

@@ -48,12 +48,19 @@ class KvCacheConfig(StrictBaseModel):
 
 
 class SchedulerConfig(StrictBaseModel):
-    """Reference: llm_args.py:2320."""
+    """Reference: llm_args.py:2320 (+ scheduler-v2 waiting queue,
+    waiting_queue.py)."""
     capacity_scheduler_policy: CapacitySchedulerPolicy = \
         CapacitySchedulerPolicy.GUARANTEED_NO_EVICT
     context_chunking_policy: ContextChunkingPolicy = \
         ContextChunkingPolicy.FIRST_COME_FIRST_SERVED
     dynamic_batch_config: Optional[dict] = None
+    # scheduler-v2 admission stage: requests wait here (ordered by
+    # policy) until the active set has room
+    waiting_queue_policy: Literal["fcfs", "priority"] = "fcfs"
+    # cap on requests concurrently holding executor state; None = 4x
+    # max_batch_size (waiting requests hold no KV/slots)
+    max_active_requests: Optional[int] = None
 
 
 class BucketingConfig(StrictBaseModel):

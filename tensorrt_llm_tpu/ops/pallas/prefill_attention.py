@@ -304,6 +304,13 @@ def ragged_prefill_attention(q: jax.Array,            # [T, qh, hd] packed
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T + nrows + ALIGN, qh * hd),
                                        q.dtype),
+        # sequential grid is REQUIRED: each sequence's edge blend reads
+        # rows the previous grid step wrote. vmem limit raised above the
+        # 16M default — the unrolled (head × sub-block) body carries
+        # f32 staging temps the allocator accounts conservatively.
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(cu_q_lens, kv_lens, page_indices, q_pad, kv_pages)
     return out[:T].reshape(T, qh, hd)

@@ -178,7 +178,9 @@ class PyExecutor:
                  decode_multi_step: int = 1,
                  role: str = "single",
                  broadcaster=None,
-                 kv_connector=None):
+                 kv_connector=None,
+                 waiting_queue_policy: str = "fcfs",
+                 max_active_requests: Optional[int] = None):
         self.engine = engine
         self.kv = kv_cache_manager
         self.scheduler = scheduler
@@ -189,6 +191,13 @@ class PyExecutor:
         # external KV store hooks (KvConnectorManager)
         self.kv_connector = kv_connector
         self._save_parked: List[LlmRequest] = []
+        # scheduler-v2 admission stage (reference: waiting_queue.py):
+        # submissions wait here, ordered by policy, until the active set
+        # has room; priority requests jump the line
+        from .waiting_queue import create_waiting_queue
+        self.waiting = create_waiting_queue(waiting_queue_policy)
+        self.max_active_requests = max_active_requests or \
+            4 * engine.max_batch_size
         self._pending_disagg: "queue.Queue" = queue.Queue()
         if guided_decoder is not None and enable_overlap:
             enable_overlap = False  # matcher must see token t before t+1
@@ -460,6 +469,14 @@ class PyExecutor:
                 req = self._request_queue.get_nowait()
             except queue.Empty:
                 break
+            self.waiting.add_request(req)
+        # admission: move waiting -> active while there is room
+        # (cancelled-in-queue requests finish immediately)
+        while self.waiting and len(self._active) < self.max_active_requests:
+            req = self.waiting.pop_request()
+            if req.is_finished:
+                self._finish_request(req)
+                continue
             self._active.append(req)
             if self.role == "leader":
                 self._new_since_broadcast.append(req)

@@ -141,6 +141,8 @@ class LlmRequest:
 
         self.perf = PerfMetrics(arrival_time=arrival_time or time.monotonic())
         self.priority: float = 0.5
+        # attention-DP rank assignment (adp_router.py); None = unrouted
+        self.dp_rank: Optional[int] = None
 
         # streaming: index of last token already emitted to the client
         self.num_tokens_streamed: int = 0
