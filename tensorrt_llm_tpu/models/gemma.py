@@ -202,3 +202,137 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
         layers["post_ffn_norm"] = P(None, None)
         layers["is_sliding"] = P(None)
         return base
+
+
+@register_model("gemma3", "gemma3_text")
+class Gemma3ForCausalLM(Gemma2ForCausalLM):
+    """Gemma 3 (text): Gemma2 conventions minus the soft-caps, plus
+    per-head QK gemma-norms and DUAL rotary bases — sliding layers use
+    ``rope_local_base_freq`` (no scaling), full-attention layers use
+    ``rope_theta`` with the config's rope_scaling (linear 8x on the
+    larger checkpoints). Layer pattern from ``config.layer_types``
+    (5 local : 1 global). Reference:
+    tensorrt_llm/_torch/models/modeling_gemma3.py:1."""
+    architectures = ("Gemma3ForCausalLM", "Gemma3TextModel")
+
+    def __init__(self, model_config):
+        super().__init__(model_config)
+        hf = self.hf
+        self.attn_softcap = getattr(hf, "attn_logit_softcapping", None)
+        self.final_softcap = getattr(hf, "final_logit_softcapping", None)
+        q_scalar = getattr(hf, "query_pre_attn_scalar", 256)
+        self.attn_spec = AttentionSpec(
+            num_heads=self.num_heads, num_kv_heads=self.num_kv_heads,
+            head_dim=self.head_dim,
+            sm_scale=q_scalar ** -0.5,
+            rope=RopeConfig.from_hf_config(hf, self.head_dim),
+            soft_cap=None, is_neox=True)
+        self.local_rope = RopeConfig(
+            head_dim=self.head_dim,
+            rope_theta=getattr(hf, "rope_local_base_freq", 10000.0),
+            max_position_embeddings=hf.max_position_embeddings,
+            is_neox=True)
+
+    def _layer_is_sliding(self, idx: int) -> bool:
+        lt = getattr(self.hf, "layer_types", None)
+        if lt:
+            return lt[idx] == "sliding_attention"
+        return (idx + 1) % 6 != 0         # 5 local : 1 global
+
+    def init_params(self, rng):
+        hd, L = self.head_dim, self.num_layers
+        # piggyback on gemma2 dummy init, then add qk-norm weights via
+        # a second load (the loader reads them when present)
+        self._dummy_qk = True
+        try:
+            return super().init_params(rng)
+        finally:
+            del self._dummy_qk
+
+    def load_hf_state_dict(self, sd: Dict[str, Any]) -> Dict[str, Any]:
+        sd = dict(sd)
+        hd, L = self.head_dim, self.num_layers
+        if getattr(self, "_dummy_qk", False):
+            for i in range(L):
+                p = f"model.layers.{i}.self_attn."
+                sd.setdefault(p + "q_norm.weight", np.zeros(hd, np.float32))
+                sd.setdefault(p + "k_norm.weight", np.zeros(hd, np.float32))
+        params = super().load_hf_state_dict(sd)
+        dtype = self.dtype
+        params["layers"]["q_norm"] = jnp.stack([
+            jnp.asarray(sd[f"model.layers.{i}.self_attn.q_norm.weight"],
+                        dtype=jnp.float32) for i in range(L)])
+        params["layers"]["k_norm"] = jnp.stack([
+            jnp.asarray(sd[f"model.layers.{i}.self_attn.k_norm.weight"],
+                        dtype=jnp.float32) for i in range(L)])
+        return params
+
+    def forward(self, params, token_ids, kv_pages, metadata,
+                input_embeds=None):
+        H = self.hidden_size
+        h = self._embed(params, token_ids, input_embeds)
+        h = h * jnp.asarray(math.sqrt(H), self.dtype)
+        spec = self.attn_spec
+        eps = self.rms_eps
+        cos_sin_global = rope_cos_sin(spec.rope, metadata.positions)
+        cos_sin_local = rope_cos_sin(self.local_rope, metadata.positions)
+        sliding_spec = AttentionSpec(
+            num_heads=spec.num_heads, num_kv_heads=spec.num_kv_heads,
+            head_dim=spec.head_dim, sm_scale=spec.sm_scale, rope=spec.rope,
+            sliding_window=self.sliding_window, soft_cap=None)
+
+        shard_mesh, shard_axis = self.attn_shard_args()
+
+        def q_norm(layer, q):
+            return gemma_rms_norm(q, layer["q_norm"], eps)
+
+        def k_norm(layer, k):
+            return gemma_rms_norm(k, layer["k_norm"], eps)
+
+        def attn(which_spec, cs, layer, normed, layer_kv):
+            return attention_block(
+                layer, normed, layer_kv, metadata, which_spec,
+                self.m_q, self.m_o, attn_backend=self.attn_backend,
+                kv_scale=self.config.kv_scale, rope_cos_sin=cs,
+                q_norm=q_norm, k_norm=k_norm,
+                mesh=shard_mesh, tp_axis=shard_axis)
+
+        def layer_body(h, xs):
+            layer, layer_kv = xs
+            normed = gemma_rms_norm(h, layer["input_norm"], eps)
+            attn_out, new_pages = jax.lax.cond(
+                layer["is_sliding"],
+                lambda args: attn(sliding_spec, cos_sin_local, *args),
+                lambda args: attn(spec, cos_sin_global, *args),
+                (layer, normed, layer_kv))
+            h = h + gemma_rms_norm(attn_out, layer["post_attn_norm"], eps)
+            normed = gemma_rms_norm(h, layer["pre_ffn_norm"], eps)
+            gate = self.m_mlp.apply(layer["gate"], normed)
+            up = self.m_mlp.apply(layer["up"], normed)
+            act = jax.nn.gelu(gate.astype(jnp.float32), approximate=True)
+            mlp_out = self.m_mlp.apply(layer["down"],
+                                       act.astype(self.dtype) * up)
+            h = h + gemma_rms_norm(mlp_out, layer["post_ffn_norm"], eps)
+            return h, new_pages
+
+        h, kv_pages = jax.lax.scan(layer_body, h,
+                                   (params["layers"], kv_pages))
+        h = gemma_rms_norm(h, params["final_norm"], eps)
+        last = self._gather_logits(h, metadata)
+        logits = self.m_lm_head.apply(params["lm_head"], last)
+        logits = logits.astype(jnp.float32)
+        if self.final_softcap:
+            logits = self.final_softcap * jnp.tanh(
+                logits / self.final_softcap)
+        return logits, kv_pages
+
+    def param_pspecs(self, params) -> Any:
+        from jax.sharding import PartitionSpec as P
+        layers = dict(params["layers"])
+        qn = layers.pop("q_norm", None)
+        kn = layers.pop("k_norm", None)
+        spec = super().param_pspecs({**params, "layers": layers})
+        if qn is not None:
+            spec["layers"]["q_norm"] = P(None, None)
+            spec["layers"]["k_norm"] = P(None, None)
+        return spec

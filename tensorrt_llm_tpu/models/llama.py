@@ -56,6 +56,11 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
         self.embedding_multiplier = 1.0
         self.residual_multiplier = 1.0
         self.logits_scaling = 1.0
+        # per-layer sliding alternation: subclasses set an AttentionSpec
+        # with the window and put an "is_sliding" flag in each layer
+        self.sliding_spec = None
+        # gated-MLP activation: act(gate) * up
+        self.mlp_act = "silu"     # silu | gelu_tanh | relu
         # per-projection quant methods (exclude_modules honored by name)
         self.m_q = self._method("q_proj")
         self.m_kv = self._method("k_proj")
@@ -168,6 +173,14 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
                 "o": (nq * hd, H), "gate": (H, I), "up": (H, I),
                 "down": (I, H)}
 
+    def _rope_variants(self, positions, cos_sin):
+        """Hook: build the per-layer rope alternatives (default: one)."""
+        return cos_sin
+
+    def _layer_rope(self, layer, variants):
+        """Hook: pick this layer's cos/sin from the variants."""
+        return variants
+
     def forward(self, params: Dict[str, Any], token_ids: jax.Array,
                 kv_pages: jax.Array, metadata: AttentionMetadata,
                 input_embeds=None, lora=None, lora_slots=None,
@@ -181,6 +194,10 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
         eps = self.rms_eps
         from ..ops.rope import rope_cos_sin
         cos_sin = rope_cos_sin(spec.rope, metadata.positions)
+        # per-layer rope variants (Gemma3 local/global thetas, SmolLM3
+        # NoPE layers, Exaone4 rope-on-sliding-only): subclasses
+        # precompute alternates and select per layer via scan flags
+        rope_variants = self._rope_variants(metadata.positions, cos_sin)
 
         use_lora = lora is not None
         lora_scan_xs = None
@@ -234,6 +251,9 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
         h = constrain(h)
 
         post_norms = self.norm_placement == "post"
+        # GLM-4-style sandwich: pre-norms as usual PLUS extra norms on
+        # each sublayer's output before the residual add
+        sandwich = self.norm_placement == "sandwich"
 
         def layer_body(h, xs):
             # per-layer KV pages ride the scan xs/ys (sliced in, stacked
@@ -245,14 +265,27 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
             # and norm the sublayer OUTPUT (OLMo2 reordered residual)
             attn_in = h if post_norms else \
                 rms_norm(h, layer["input_norm"], eps)
-            attn = attention_block(
-                layer, attn_in, layer_kv, metadata, spec,
-                self.m_q, self.m_o, attn_backend=self.attn_backend,
-                kv_scale=layer.get("kv_scale", self.config.kv_scale),
-                rope_cos_sin=cos_sin,
-                q_norm=q_norm, k_norm=k_norm,
-                mesh=shard_mesh, tp_axis=shard_axis, lora_fn=lf,
-                collect_kv_stats=collect_kv_stats)
+
+            def run_attn(attn_spec, cs):
+                return attention_block(
+                    layer, attn_in, layer_kv, metadata, attn_spec,
+                    self.m_q, self.m_o, attn_backend=self.attn_backend,
+                    kv_scale=layer.get("kv_scale", self.config.kv_scale),
+                    rope_cos_sin=cs,
+                    q_norm=q_norm, k_norm=k_norm,
+                    mesh=shard_mesh, tp_axis=shard_axis, lora_fn=lf,
+                    collect_kv_stats=collect_kv_stats)
+
+            cs = self._layer_rope(layer, rope_variants)
+            if self.sliding_spec is not None:
+                # alternating local/global layers (Exaone4-style):
+                # is_sliding flag rides the scan
+                attn = jax.lax.cond(
+                    layer["is_sliding"],
+                    lambda _: run_attn(self.sliding_spec, cs),
+                    lambda _: run_attn(spec, cs), None)
+            else:
+                attn = run_attn(spec, cs)
             if collect_kv_stats:
                 attn_out, new_pages, kv_stat = attn
             else:
@@ -260,6 +293,8 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
                 kv_stat = None
             if post_norms:
                 attn_out = rms_norm(attn_out, layer["input_norm"], eps)
+            elif sandwich:
+                attn_out = rms_norm(attn_out, layer["post_attn_extra"], eps)
             h = h + (attn_out if rm == 1.0 else rm * attn_out)
             normed = h if post_norms else \
                 rms_norm(h, layer["post_norm"], eps)
@@ -268,13 +303,18 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
             if lf is not None:
                 gate = lf("gate", normed, gate)
                 up = lf("up", normed, up)
-            act = jax.nn.silu(gate.astype(jnp.float32)) \
+            act_fn = {"silu": jax.nn.silu,
+                      "gelu_tanh": lambda x: jax.nn.gelu(x, approximate=True),
+                      "relu": jax.nn.relu}[self.mlp_act]
+            act = act_fn(gate.astype(jnp.float32)) \
                 .astype(self.dtype) * up
             mlp_out = self.m_mlp.apply(layer["down"], act)
             if lf is not None:
                 mlp_out = lf("down", act, mlp_out)
             if post_norms:
                 mlp_out = rms_norm(mlp_out, layer["post_norm"], eps)
+            elif sandwich:
+                mlp_out = rms_norm(mlp_out, layer["post_mlp_extra"], eps)
             h = constrain(h + (mlp_out if rm == 1.0 else rm * mlp_out))
             ys = (new_pages, kv_stat) if collect_kv_stats else new_pages
             return h, ys
