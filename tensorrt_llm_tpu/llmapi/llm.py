@@ -102,6 +102,8 @@ class LLM:
             self.mesh = self.mapping.build_mesh()
 
         self._build_model()
+        from ..multimodal import create_input_processor
+        self.input_processor = create_input_processor(self.model)
         self._build_executor()
         # opt-out anonymous usage telemetry, fail-silent (reference:
         # llm.py:279-296 + tensorrt_llm/usage/)
@@ -457,7 +459,7 @@ class LLM:
                  sampling_params: Optional[Union[SamplingParams,
                                                  List[SamplingParams]]] = None,
                  use_tqdm: bool = False) -> List[RequestOutput]:
-        single = isinstance(prompts, str) or (
+        single = isinstance(prompts, (str, dict)) or (
             isinstance(prompts, Sequence) and prompts and
             isinstance(prompts[0], int))
         batch = [prompts] if single else list(prompts)
@@ -483,6 +485,15 @@ class LLM:
         import copy as _copy
         sampling_params = _copy.copy(sampling_params) if sampling_params \
             else SamplingParams()
+        prompt_embeds = None
+        mm_data = None
+        if isinstance(prompt, dict):
+            # vLM input dict (reference: inputs/data.py PromptInputs):
+            # {"prompt": str | ids, "multi_modal_data": {"image": [...]}}
+            mm_data = prompt.get("multi_modal_data")
+            prompt_embeds = prompt.get("prompt_embeds")
+            prompt = prompt.get("prompt",
+                                prompt.get("prompt_token_ids"))
         if isinstance(prompt, str):
             if self.tokenizer is None:
                 raise ValueError("string prompt requires a tokenizer")
@@ -539,11 +550,26 @@ class LLM:
                         lora_task_id, lora_request.lora_path)
                 self.lora_manager.activate(lora_task_id)
                 self.engine.refresh_lora()
+        if mm_data is not None:
+            proc = getattr(self, "input_processor", None)
+            if proc is None:
+                raise ValueError(
+                    f"model {type(self.model).__name__} has no multimodal "
+                    "input processor")
+            token_ids, prompt_embeds, salt = proc(token_ids, mm_data)
+            # image content keys the KV-reuse prefix (mm-hash): identical
+            # text around different images must not share cache blocks
+            cache_salt = (cache_salt or "") + salt
+            if len(token_ids) > self.args.max_input_len:
+                raise ValueError(
+                    f"prompt with expanded image tokens ({len(token_ids)})"
+                    f" exceeds max_input_len {self.args.max_input_len}")
         req = LlmRequest(prompt_token_ids=token_ids,
                          sampling_params=sampling_params,
                          streaming=streaming, cache_salt=cache_salt,
                          request_type=rtype,
-                         lora_task_id=lora_task_id)
+                         lora_task_id=lora_task_id,
+                         prompt_embeds=prompt_embeds)
         if rtype == LlmRequestType.REQUEST_TYPE_GENERATION_ONLY:
             first = disaggregated_params.first_gen_tokens[0]
             req.host_token_override = first

@@ -1,0 +1,9 @@
+"""Multimodal: vision encoders, input processors, VLM definitions
+(reference: tensorrt_llm/inputs/ + _torch/models/multimodal_encoders/)."""
+from .encoders import VisionTower
+from .processor import (INPUT_PROCESSOR_REGISTRY, create_input_processor,
+                        mm_hash, register_input_processor)
+from . import llava as _llava  # noqa: F401  (registers model + processor)
+
+__all__ = ["VisionTower", "create_input_processor", "mm_hash",
+           "register_input_processor", "INPUT_PROCESSOR_REGISTRY"]

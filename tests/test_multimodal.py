@@ -1,0 +1,113 @@
+"""Multimodal: CLIP tower parity, LLaVA e2e vs HF greedy, mm-hash reuse
+keys (reference: tests/unittest/_torch/multimodal/)."""
+import numpy as np
+import pytest
+
+from tensorrt_llm_tpu import LLM, KvCacheConfig, SamplingParams
+
+
+def _clip_cfg():
+    from transformers import CLIPVisionConfig
+    return CLIPVisionConfig(hidden_size=32, intermediate_size=64,
+                            num_hidden_layers=2, num_attention_heads=4,
+                            image_size=16, patch_size=8)
+
+
+def test_clip_tower_parity():
+    import torch
+    from transformers import CLIPVisionModel
+    from tensorrt_llm_tpu.multimodal.encoders import VisionTower
+
+    torch.manual_seed(0)
+    cfg = _clip_cfg()
+    hf = CLIPVisionModel(cfg).eval()
+    tower = VisionTower(cfg, flavor="clip")
+    sd = {"vision_model." + k: v.numpy()
+          for k, v in hf.vision_model.state_dict().items()}
+    params = tower.load_hf_state_dict(sd)
+
+    rng = np.random.default_rng(0)
+    pixels = rng.standard_normal((2, 3, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        out = hf(torch.tensor(pixels), output_hidden_states=True)
+    # final layer hidden states (post-LN is pooled-CLS-only in HF)
+    ours = np.asarray(tower(params, pixels, feature_layer=-1))
+    ref = out.hidden_states[-1].numpy()
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+    # penultimate features (llava's vision_feature_layer=-2, no post-LN)
+    ours2 = np.asarray(tower(params, pixels, feature_layer=-2))
+    ref2 = out.hidden_states[-2].numpy()
+    np.testing.assert_allclose(ours2, ref2, rtol=2e-4, atol=2e-4)
+
+
+@pytest.fixture(scope="module")
+def llava_pair():
+    import torch
+    from transformers import (CLIPVisionConfig, LlamaConfig, LlavaConfig,
+                              LlavaForConditionalGeneration)
+    torch.manual_seed(0)
+    tc = LlamaConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                     num_hidden_layers=2, num_attention_heads=4,
+                     num_key_value_heads=2, max_position_embeddings=256,
+                     pad_token_id=0, eos_token_id=1, bos_token_id=2)
+    cfg = LlavaConfig(vision_config=_clip_cfg(), text_config=tc,
+                      image_token_index=120, vision_feature_layer=-2,
+                      vision_feature_select_strategy="default",
+                      pad_token_id=0)
+    return LlavaForConditionalGeneration(cfg).eval()
+
+
+def test_llava_e2e_matches_hf(llava_pair):
+    import torch
+    hf = llava_pair
+    rng = np.random.default_rng(1)
+    image = rng.standard_normal((3, 16, 16)).astype(np.float32)
+    n_img_tokens = (16 // 8) ** 2            # 4 patches
+    prompt = [5, 9] + [120] * n_img_tokens + [23, 44, 17]
+
+    with torch.no_grad():
+        out = hf.generate(
+            input_ids=torch.tensor([prompt]),
+            pixel_values=torch.tensor(image)[None],
+            max_new_tokens=8, do_sample=False)
+    ref = out[0, len(prompt):].tolist()
+
+    llm = LLM(model=hf, skip_tokenizer_init=True, dtype="float32",
+              max_batch_size=4, max_input_len=64, max_seq_len=128,
+              max_num_tokens=256,
+              kv_cache_config=KvCacheConfig(tokens_per_block=16,
+                                            max_tokens=1024))
+    got = llm.generate(
+        {"prompt_token_ids": prompt,
+         "multi_modal_data": {"image": [image]}},
+        SamplingParams(max_tokens=8, top_k=1, end_id=-1)
+    ).outputs[0].token_ids
+    llm.shutdown()
+    assert got[:len(ref)] == ref
+
+
+def test_llava_single_placeholder_expansion(llava_pair):
+    """A single <image> marker auto-expands to tokens_per_image."""
+    llm = LLM(model=llava_pair, skip_tokenizer_init=True, dtype="float32",
+              max_batch_size=4, max_input_len=64, max_seq_len=128,
+              max_num_tokens=256,
+              kv_cache_config=KvCacheConfig(tokens_per_block=16,
+                                            max_tokens=1024))
+    rng = np.random.default_rng(2)
+    image = rng.standard_normal((3, 16, 16)).astype(np.float32)
+    out = llm.generate(
+        {"prompt_token_ids": [5, 120, 7],
+         "multi_modal_data": {"image": [image]}},
+        SamplingParams(max_tokens=4, top_k=1, end_id=-1))
+    # 3 prompt tokens -> 2 text + 4 image tokens after expansion
+    assert len(out.prompt_token_ids) == 6
+    assert len(out.outputs[0].token_ids) == 4
+    llm.shutdown()
+
+
+def test_mm_hash_distinguishes_images(llava_pair):
+    from tensorrt_llm_tpu.multimodal import mm_hash
+    a = np.zeros((3, 16, 16), np.float32)
+    b = np.ones((3, 16, 16), np.float32)
+    assert mm_hash([a]) != mm_hash([b])
+    assert mm_hash([a]) == mm_hash([a.copy()])
