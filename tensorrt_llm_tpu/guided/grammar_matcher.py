@@ -186,12 +186,33 @@ class MatcherFactory:
         elif params.json_object:
             pattern = json_object_regex()
         elif params.grammar:
-            raise NotImplementedError(
-                "EBNF grammars not yet supported; use regex or json")
+            from .ebnf import ebnf_to_regex
+            pattern = ebnf_to_regex(params.grammar)
         elif params.structural_tag:
-            raise NotImplementedError("structural_tag not yet supported")
+            return self._create_structural(params.structural_tag)
         else:
             return None
         if pattern not in self._dfa_cache:
             self._dfa_cache[pattern] = compile_regex(pattern)
         return GrammarMatcher(self._dfa_cache[pattern], self.table)
+
+    def _create_structural(self, spec) -> GrammarMatcher:
+        """xgrammar structural-tag spec: {"structures": [{"begin",
+        "schema"|"content_regex", "end"}], "triggers": [...]} (triggers
+        are implied by the begin literals in the DFA engine)."""
+        from .regex_dfa import build_structural_dfa
+        key = spec if isinstance(spec, str) else json.dumps(
+            spec, sort_keys=True)
+        if key not in self._dfa_cache:
+            obj = json.loads(spec) if isinstance(spec, str) else spec
+            triples = []
+            for st in obj["structures"]:
+                if "content_regex" in st:
+                    content = st["content_regex"]
+                elif st.get("schema"):
+                    content = schema_to_regex(st["schema"])
+                else:
+                    content = None
+                triples.append((st["begin"], content, st["end"]))
+            self._dfa_cache[key] = build_structural_dfa(triples)
+        return GrammarMatcher(self._dfa_cache[key], self.table)

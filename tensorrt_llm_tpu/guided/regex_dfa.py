@@ -65,10 +65,10 @@ class _Parser:
     """Recursive-descent regex parser building NFA fragments
     (fragment = (start, accept))."""
 
-    def __init__(self, pattern: str):
+    def __init__(self, pattern: str, nfa: Optional["_NFA"] = None):
         self.p = pattern
         self.i = 0
-        self.nfa = _NFA()
+        self.nfa = nfa if nfa is not None else _NFA()
 
     def parse(self) -> Tuple[int, int]:
         frag = self._alternation()
@@ -305,7 +305,13 @@ class DFA:
 def compile_regex(pattern: str, max_states: int = 20000) -> DFA:
     parser = _Parser(pattern)
     start, accept = parser.parse()
-    nfa = parser.nfa
+    return determinize(parser.nfa, start, {accept}, max_states)
+
+
+def determinize(nfa: "_NFA", start: int, accepts: Set[int],
+                max_states: int = 20000) -> DFA:
+    """Subset construction over an arbitrary NFA (programmatically built
+    fragments — structural tags — share this path with parsed regexes)."""
 
     def closure(states: frozenset) -> frozenset:
         stack = list(states)
@@ -329,7 +335,7 @@ def compile_regex(pattern: str, max_states: int = 20000) -> DFA:
         while len(rows) <= i:
             rows.append(np.full(256, DEAD, np.int32))
             accepting.append(False)
-        accepting[i] = accept in cur
+        accepting[i] = bool(accepts & cur)
         moves: Dict[int, Set[int]] = {}
         for s in cur:
             for byte, targets in nfa.transitions[s].items():
@@ -389,3 +395,104 @@ class TokenMaskCache:
             m = (fin != DEAD) & (self.token_lens > 0)
             self._cache[state] = m
         return self._cache[state]
+
+
+# --------------------------------------------------------------------- #
+# Structural tags (reference: xgrammar structural_tag via
+# grammar_matcher.py): free text until a begin tag appears, then
+# constrained content, the end tag, then free text again — repeatable.
+# The free-text scanner is an Aho–Corasick automaton over the begin
+# literals embedded as deterministic NFA states, so emitting any begin
+# tag FORCES the matcher into that structure's content DFA.
+# --------------------------------------------------------------------- #
+def _aho_corasick(literals: List[bytes]):
+    """Byte-level AC automaton: returns (delta, terminal) where
+    delta[node][byte] -> node and terminal[node] is the pattern index
+    completed at (or via suffix of) that node, else -1."""
+    goto: List[Dict[int, int]] = [{}]
+    term: List[int] = [-1]
+    for idx, lit in enumerate(literals):
+        node = 0
+        for b in lit:
+            nxt = goto[node].get(b)
+            if nxt is None:
+                nxt = len(goto)
+                goto[node][b] = nxt
+                goto.append({})
+                term.append(-1)
+            node = nxt
+        term[node] = idx
+    # BFS failure links
+    from collections import deque
+    fail = [0] * len(goto)
+    dq = deque(goto[0].values())
+    while dq:
+        u = dq.popleft()
+        for b, v in goto[u].items():
+            dq.append(v)
+            f = fail[u]
+            while f and b not in goto[f]:
+                f = fail[f]
+            fail[v] = goto[f].get(b, 0) if goto[f].get(b, 0) != v else 0
+            if term[fail[v]] >= 0 and term[v] < 0:
+                term[v] = term[fail[v]]
+    # resolved transitions
+    delta = []
+    for u in range(len(goto)):
+        row = {}
+        for b in range(256):
+            n = u
+            while n and b not in goto[n]:
+                n = fail[n]
+            row[b] = goto[n].get(b, 0)
+        delta.append(row)
+    return delta, term
+
+
+def build_structural_dfa(structures: List[Tuple[str, Optional[str], str]],
+                         max_states: int = 20000) -> DFA:
+    """``structures``: (begin, content_regex_or_None, end) triples.
+    None content = unconstrained until the end literal (scan for it)."""
+    nfa = _NFA()
+    begins = [s[0].encode() for s in structures]
+    delta, term = _aho_corasick(begins)
+    base = [nfa.new_state() for _ in delta]       # scan states
+
+    content_starts: List[int] = []
+    for begin, content, end in structures:
+        if content:
+            p = _Parser(content, nfa)
+            c_start, c_acc = p.parse()
+        else:
+            # scan-until-end: AC over the single end literal
+            d2, t2 = _aho_corasick([end.encode()])
+            sub = [nfa.new_state() for _ in d2]
+            for u, row in enumerate(d2):
+                if t2[u] >= 0:
+                    continue
+                for b, v in row.items():
+                    nfa.add(sub[u], b, sub[v])
+            c_start = sub[0]
+            c_acc = sub[[i for i, t in enumerate(t2) if t >= 0][0]]
+            content_starts.append(c_start)
+            # end literal already consumed by the scan: loop back
+            nfa.add_eps(c_acc, base[0])
+            continue
+        content_starts.append(c_start)
+        prev = c_acc
+        for b in end.encode():
+            nxt = nfa.new_state()
+            nfa.add(prev, b, nxt)
+            prev = nxt
+        nfa.add_eps(prev, base[0])                # repeatable
+
+    for u, row in enumerate(delta):
+        if term[u] >= 0:
+            # completing a begin tag forces that structure's content
+            nfa.add_eps(base[u], content_starts[term[u]])
+            continue
+        for b, v in row.items():
+            nfa.add(base[u], b, base[v])
+
+    accepts = {base[u] for u in range(len(delta)) if term[u] < 0}
+    return determinize(nfa, base[0], accepts, max_states)

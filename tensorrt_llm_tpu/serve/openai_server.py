@@ -30,9 +30,16 @@ from .openai_protocol import (ChatCompletionRequest, ChatCompletionResponse,
 
 
 class OpenAIServer:
-    def __init__(self, llm: LLM, model_name: str = "tllm-tpu-model"):
+    def __init__(self, llm: LLM, model_name: str = "tllm-tpu-model",
+                 tool_parser: Optional[str] = None):
         self.llm = llm
         self.model_name = model_name
+        # tool-call extraction from generated text (reference:
+        # serve/tool_parser/); name from --tool_parser
+        self.tool_parser = None
+        if tool_parser:
+            from .tool_parser import create_tool_parser
+            self.tool_parser = create_tool_parser(tool_parser)
         self.app = web.Application()
         self._num_requests = 0
         self._num_tokens_out = 0
@@ -47,6 +54,7 @@ class OpenAIServer:
         r.add_get("/kv_cache_events", self.kv_cache_events)
         r.add_post("/v1/completions", self.completions)
         r.add_post("/v1/chat/completions", self.chat_completions)
+        r.add_post("/v1/responses", self.responses)
         r.add_post("/release_memory", self.release_memory)
         r.add_post("/resume_memory", self.resume_memory)
         r.add_post("/update_weights", self.update_weights)
@@ -276,16 +284,79 @@ class OpenAIServer:
             completion_tokens=len(o.token_ids),
             total_tokens=len(prompt_ids) + len(o.token_ids))
         is_ctx = dp is not None and dp.request_type == "context_only"
+        content, tool_calls, finish = o.text, None, o.finish_reason
+        if self.tool_parser is not None and body.tools:
+            parsed = self.tool_parser.parse(o.text or "")
+            if parsed.tool_calls:
+                content = parsed.content or None
+                tool_calls = [c.to_openai() for c in parsed.tool_calls]
+                finish = "tool_calls"
         resp = ChatCompletionResponse(
             model=body.model,
             choices=[ChatCompletionResponseChoice(
                 index=0,
-                message=ChatMessage(role="assistant", content=o.text),
-                finish_reason=o.finish_reason,
+                message=ChatMessage(role="assistant", content=content,
+                                    tool_calls=tool_calls),
+                finish_reason=finish,
                 disaggregated_params=(self._ctx_response_params(out)
                                       if is_ctx else None))],
             usage=usage)
         return web.json_response(resp.model_dump())
+
+    async def responses(self, request: web.Request) -> web.Response:
+        """OpenAI Responses API, minimal surface (reference:
+        serve/openai_server.py /v1/responses + responses_utils.py):
+        ``input`` as a string or message list -> one assistant message."""
+        try:
+            body = await request.json()
+        except Exception as e:
+            return self._error(str(e))
+        tokenizer = self.llm.tokenizer
+        inp = body.get("input", "")
+        if isinstance(inp, str):
+            msgs = [{"role": "user", "content": inp}]
+        else:
+            msgs = [{"role": m.get("role", "user"),
+                     "content": m.get("content", "")} for m in inp]
+        if body.get("instructions"):
+            msgs.insert(0, {"role": "system",
+                            "content": body["instructions"]})
+        if tokenizer is None:
+            return self._error("responses endpoint requires a tokenizer")
+        try:
+            prompt_ids = tokenizer.apply_chat_template(
+                msgs, tokenize=True, add_generation_prompt=True)
+        except Exception:
+            text = "\n".join(f"{m['role']}: {m['content']}"
+                             for m in msgs) + "\nassistant:"
+            prompt_ids = tokenizer.encode(text)
+        from ..sampling_params import SamplingParams as SP
+        sp = SP(max_tokens=body.get("max_output_tokens", 512),
+                temperature=body.get("temperature", 1.0),
+                top_p=body.get("top_p", 1.0))
+        self._num_requests += 1
+        out = await self._generate_async(prompt_ids, sp)
+        o = out.outputs[0]
+        self._num_tokens_out += len(o.token_ids)
+        import time as _time
+        import uuid as _uuid
+        return web.json_response({
+            "id": "resp_" + _uuid.uuid4().hex,
+            "object": "response",
+            "created_at": int(_time.time()),
+            "status": "completed",
+            "model": body.get("model", self.model_name),
+            "output": [{
+                "type": "message", "role": "assistant",
+                "status": "completed",
+                "content": [{"type": "output_text", "text": o.text,
+                             "annotations": []}],
+            }],
+            "usage": {"input_tokens": len(out.prompt_token_ids),
+                      "output_tokens": len(o.token_ids),
+                      "total_tokens": len(out.prompt_token_ids)
+                      + len(o.token_ids)},
+        })
 
     async def _stream_chat(self, request, body, prompt_ids, sp, dp=None):
         resp = web.StreamResponse(headers={

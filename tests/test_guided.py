@@ -133,3 +133,89 @@ def test_matcher_dead_end_allows_eos():
     # pattern exhausted: only EOS admissible
     assert mask[table.eos_token_id]
     assert mask.sum() == 1
+
+
+# --------------------------------------------------------------------- #
+# EBNF grammars (bounded-expansion compiler; reference: xgrammar ebnf)
+# --------------------------------------------------------------------- #
+def test_ebnf_choice_grammar():
+    from tensorrt_llm_tpu.guided.ebnf import ebnf_to_regex
+    g = 'root ::= "yes" | "no" | "maybe"'
+    dfa = compile_regex(ebnf_to_regex(g))
+    for s in ("yes", "no", "maybe"):
+        assert match_full(dfa, s), s
+    for s in ("", "y", "yesno", "nope"):
+        assert not match_full(dfa, s), s
+
+
+def test_ebnf_rule_refs_and_repetition():
+    from tensorrt_llm_tpu.guided.ebnf import ebnf_to_regex
+    g = '''
+    # a comma-separated word list
+    root ::= word ("," ws word)*
+    word ::= [a-z]+
+    ws   ::= [ ]?
+    '''
+    dfa = compile_regex(ebnf_to_regex(g))
+    for s in ("a", "foo,bar", "x, y, z"):
+        assert match_full(dfa, s), s
+    for s in ("", ",a", "a,", "A"):
+        assert not match_full(dfa, s), s
+
+
+def test_ebnf_bounded_recursion():
+    from tensorrt_llm_tpu.guided.ebnf import ebnf_to_regex
+    # nested parens: recursion depth capped, base case exists
+    g = 'root ::= "()" | "(" root ")"'
+    dfa = compile_regex(ebnf_to_regex(g, max_depth=4))
+    for s in ("()", "(())", "((()))"):
+        assert match_full(dfa, s), s
+    assert not match_full(dfa, "(")
+    # unbounded recursion without base case is rejected loudly
+    with pytest.raises(ValueError, match="recursion"):
+        ebnf_to_regex('root ::= "(" root ")"', max_depth=2)
+
+
+def test_ebnf_via_matcher_factory():
+    table, chars = simple_table()
+    factory = MatcherFactory(table)
+    m = factory.create(GuidedDecodingParams(grammar='root ::= "ab" | "c"'))
+    mask = m.fill_next_token_bitmask()
+    assert mask[chars.index("a")] and mask[chars.index("c")]
+    assert not mask[chars.index("b")]
+    assert m.accept_token(chars.index("a"))
+    assert m.accept_token(chars.index("b"))
+    assert m.fill_next_token_bitmask()[0]          # eos now legal
+
+
+# --------------------------------------------------------------------- #
+# Structural tags (reference: xgrammar structural_tag)
+# --------------------------------------------------------------------- #
+def test_structural_tag_dfa_semantics():
+    from tensorrt_llm_tpu.guided.regex_dfa import build_structural_dfa
+    dfa = build_structural_dfa([("<f>", "[0-9]+", "</f>")])
+    assert match_full(dfa, "free text only")
+    assert match_full(dfa, "x <f>123</f> y")
+    assert match_full(dfa, "<f>1</f><f>2</f>")
+    assert not match_full(dfa, "<f>abc</f>")       # content constrained
+    assert not match_full(dfa, "<f>12")            # unterminated
+
+
+def test_structural_tag_via_factory():
+    table, chars = simple_table()
+    factory = MatcherFactory(table)
+    spec = {"structures": [
+        {"begin": "{", "content_regex": "[12]+", "end": "}"}]}
+    m = factory.create(GuidedDecodingParams(
+        structural_tag=json.dumps(spec)))
+    # free text: everything allowed (incl. eos)
+    mask = m.fill_next_token_bitmask()
+    assert mask[chars.index("a")] and mask[0]
+    # entering the structure forces content
+    assert m.accept_token(chars.index("{"))
+    mask = m.fill_next_token_bitmask()
+    assert mask[chars.index("1")] and mask[chars.index("2")]
+    assert not mask[chars.index("a")] and not mask[0]
+    assert m.accept_token(chars.index("1"))
+    assert m.accept_token(chars.index("}"))
+    assert m.fill_next_token_bitmask()[0]          # back to free text

@@ -122,3 +122,14 @@ async def test_stop_strings(client, llm):
         max_tokens=6, top_k=1, stop=[stop]))
     assert stop not in out.outputs[0].text
     assert out.outputs[0].finish_reason in ("stop_words", "length")
+
+
+async def test_responses_endpoint(client):
+    r = await client.post("/v1/responses", json={
+        "model": "m", "input": "hi there", "max_output_tokens": 6})
+    assert r.status == 200
+    data = await r.json()
+    assert data["object"] == "response"
+    assert data["status"] == "completed"
+    assert data["output"][0]["content"][0]["type"] == "output_text"
+    assert data["usage"]["output_tokens"] == 6
