@@ -145,6 +145,23 @@ class LLM:
             self.args.kv_cache_config.enable_block_reuse = False
         if getattr(self, "_checkpoint_kv_scales", None) is not None:
             self.model.checkpoint_kv_scales = self._checkpoint_kv_scales
+        from ..quantization.mode import QuantAlgo
+        if (self.args.quant_config.quant_algo in (
+                QuantAlgo.W8A8_SQ_PER_CHANNEL,
+                QuantAlgo.W8A8_SQ_PER_CHANNEL_PER_TOKEN_PLUGIN)
+                and state_dict is not None
+                and self._inline_model is not None
+                and not getattr(self.model, "smooth_scales", None)):
+            # actual SmoothQuant smoothing: calibrate per-channel act
+            # maxima on the torch twin, fold s into the weights
+            # (reference: quantize_by_modelopt int8_sq;
+            # smoothquant_val is the alpha knob)
+            from ..quantization.smoothquant import (
+                calibrate_smooth_scales, default_calibration_ids)
+            ids = default_calibration_ids(self.model.vocab_size)
+            self.model.smooth_scales = calibrate_smooth_scales(
+                self._inline_model, ids,
+                alpha=self.args.quant_config.smoothquant_val)
         if state_dict is None:
             params = self.model.init_params(jax.random.PRNGKey(0))
         else:
@@ -449,7 +466,8 @@ class LLM:
             role=role, broadcaster=bcaster,
             kv_connector=kv_connector,
             waiting_queue_policy=args.scheduler_config.waiting_queue_policy,
-            max_active_requests=args.scheduler_config.max_active_requests)
+            max_active_requests=args.scheduler_config.max_active_requests,
+            num_postprocess_workers=args.num_postprocess_workers)
 
     # ------------------------------------------------------------------ #
     # Generation (reference: llm.py:329-533)

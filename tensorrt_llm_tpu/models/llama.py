@@ -116,13 +116,16 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
         def t(name):  # torch stores [out, in] → we want [in, out]
             return hf_transpose(sd[name])
 
+        smooth_scales = getattr(self, "smooth_scales", None) or {}
+
         def stack_quant(method, fmt):
             per_layer = []
             for i in range(L):
-                bias_name = fmt.format(i).replace(".weight", ".bias")
-                bias = sd.get(bias_name)
-                per_layer.append(quantize_linear(method, t(fmt.format(i)),
-                                                 bias=bias, dtype=dtype))
+                name = fmt.format(i)
+                bias = sd.get(name.replace(".weight", ".bias"))
+                per_layer.append(quantize_linear(
+                    method, t(name), bias=bias, dtype=dtype,
+                    smooth=smooth_scales.get(name)))
             return jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
 
         layers = {

@@ -298,7 +298,9 @@ def hf_transpose(w):
 
 def quantize_linear(method: LinearMethod, w: np.ndarray,
                     bias: Optional[np.ndarray] = None,
-                    dtype=jnp.bfloat16) -> Dict[str, jax.Array]:
+                    dtype=jnp.bfloat16,
+                    smooth: Optional[np.ndarray] = None
+                    ) -> Dict[str, jax.Array]:
     """Load-time conversion of one [K, N] weight through its method.
 
     Quantization runs on the host CPU backend so only the *quantized*
@@ -325,7 +327,13 @@ def quantize_linear(method: LinearMethod, w: np.ndarray,
         return params
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
+        if smooth is not None:
+            # SmoothQuant fold: columns scale by s, activations divide
+            # by s at apply time — exact in fp, kinder to int8
+            w = np.asarray(w) * np.asarray(smooth)[:, None]
         params = method.quantize_weights(jnp.asarray(w), dtype=dtype)
+        if smooth is not None:
+            params["smooth"] = jnp.asarray(smooth, jnp.float32)
         if bias is not None:
             params["bias"] = jnp.asarray(bias, dtype=dtype)
         params = jax.tree.map(lambda a: np.asarray(a), params)

@@ -138,6 +138,9 @@ class SmoothQuantMethod(LinearMethod):
         return {"weight": q, "weight_scale": s}
 
     def apply(self, params, x):
+        if "smooth" in params:
+            x = (x.astype(jnp.float32)
+                 / params["smooth"]).astype(x.dtype)
         xq, x_scale = Q.quantize_activation_per_token_int8(x)
         acc = jax.lax.dot_general(
             xq, params["weight"], (((xq.ndim - 1,), (0,)), ((), ())),

@@ -42,10 +42,14 @@ class GenerationResult:
     tensorrt_llm/executor/result.py GenerationResult)."""
 
     def __init__(self, request: LlmRequest, tokenizer=None,
-                 streaming: bool = False):
+                 streaming: bool = False, postproc_pool=None):
         self.request = request
         self.tokenizer = tokenizer
         self.streaming = streaming
+        # detokenization offload (reference: num_postprocess_workers —
+        # postproc_worker.py): chunk decode runs on the pool, the
+        # executor loop only enqueues futures (order kept by the queue)
+        self._pool = postproc_pool
         self._done = threading.Event()
         self._stream_queue: "queue.Queue" = queue.Queue()
         self.outputs: List[CompletionOutput] = []
@@ -77,18 +81,31 @@ class GenerationResult:
             item = self._stream_queue.get()
             if item is None:
                 break
+            if hasattr(item, "result"):     # postproc future
+                item = item.result()
             yield item
 
     # executor-side callbacks ------------------------------------------- #
     def _on_tokens(self, new_tokens: List[int]) -> None:
         if self.streaming:
-            req = self.request
-            out = CompletionOutput(
-                index=0, token_ids=list(new_tokens),
-                text=self._safe_decode(new_tokens))
-            self._stream_queue.put(out)
+            toks = list(new_tokens)
+
+            def make():
+                return CompletionOutput(
+                    index=0, token_ids=toks,
+                    text=self._safe_decode(toks))
+            if self._pool is not None:
+                self._stream_queue.put(self._pool.submit(make))
+            else:
+                self._stream_queue.put(make())
 
     def _on_finish(self) -> None:
+        if self._pool is not None:
+            self._pool.submit(self._finish_impl)
+        else:
+            self._finish_impl()
+
+    def _finish_impl(self) -> None:
         req = self.request
         if self.streaming and req.num_tokens_streamed < req.num_output_tokens:
             tail = req.output_token_ids[req.num_tokens_streamed:]
@@ -180,7 +197,8 @@ class PyExecutor:
                  broadcaster=None,
                  kv_connector=None,
                  waiting_queue_policy: str = "fcfs",
-                 max_active_requests: Optional[int] = None):
+                 max_active_requests: Optional[int] = None,
+                 num_postprocess_workers: int = 0):
         self.engine = engine
         self.kv = kv_cache_manager
         self.scheduler = scheduler
@@ -188,6 +206,14 @@ class PyExecutor:
         self.drafter = drafter
         self.guided_decoder = guided_decoder
         self.kv_transceiver = kv_transceiver
+        # postprocess worker pool: detokenization off the executor loop
+        # (reference: num_postprocess_workers, executor/postproc_worker.py)
+        self._postproc = None
+        if num_postprocess_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+            self._postproc = ThreadPoolExecutor(
+                num_postprocess_workers,
+                thread_name_prefix="tllm-postproc")
         # external KV store hooks (KvConnectorManager)
         self.kv_connector = kv_connector
         self._save_parked: List[LlmRequest] = []
@@ -264,7 +290,8 @@ class PyExecutor:
         if self._shutdown.is_set():
             raise RuntimeError("executor is shut down")
         res = GenerationResult(request, tokenizer=self.tokenizer,
-                               streaming=request.streaming)
+                               streaming=request.streaming,
+                               postproc_pool=self._postproc)
         with self._lock:
             self._results[request.request_id] = res
         from .request import LlmRequestType
@@ -298,6 +325,8 @@ class PyExecutor:
             res.request.cancel()
 
     def shutdown(self, wait: bool = True) -> None:
+        if self._postproc is not None:
+            self._postproc.shutdown(wait=False)
         self._shutdown.set()
         self._hang_detector.stop()
         self._work_event.set()

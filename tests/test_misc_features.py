@@ -198,3 +198,49 @@ def test_executor_error_propagates():
     with pytest.raises(RuntimeError, match="injected failure"):
         fut.result(timeout=30)
     llm.shutdown()
+
+
+def test_postprocess_workers_stream(model_fixture_or_none=None):
+    """num_postprocess_workers: streamed chunks decode off the executor
+    loop; order and content identical to inline decoding
+    (reference: executor/postproc_worker.py)."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+    from tensorrt_llm_tpu import LLM, KvCacheConfig, SamplingParams
+    torch.manual_seed(0)
+    cfg = LlamaConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, max_position_embeddings=512)
+    tmodel = LlamaForCausalLM(cfg).eval()
+
+    class Tok:
+        eos_token_id = 0
+        vocab_size = 128
+
+        def encode(self, text, add_special_tokens=True):
+            return [ord(c) % 96 + 2 for c in text][:16]
+
+        def decode(self, ids, skip_special_tokens=True):
+            return "".join(chr(97 + i % 26) for i in ids)
+
+        def __len__(self):
+            return 128
+
+    def run(n_workers):
+        llm = LLM(model=tmodel, tokenizer=Tok(), dtype="float32",
+                  max_batch_size=4, max_input_len=64, max_seq_len=128,
+                  max_num_tokens=256, num_postprocess_workers=n_workers,
+                  kv_cache_config=KvCacheConfig(tokens_per_block=16,
+                                                max_tokens=1024))
+        fut = llm.generate_async([5, 9, 23, 44], SamplingParams(
+            max_tokens=10, top_k=1), streaming=True)
+        chunks = [(tuple(c.token_ids), c.text) for c in fut]
+        final = fut.result(60).outputs[0]
+        llm.shutdown()
+        return chunks, final.text, final.token_ids
+
+    c0, t0, ids0 = run(0)
+    c2, t2, ids2 = run(2)
+    assert ids0 == ids2
+    assert t0 == t2 and t0 != ""
+    assert c0 == c2
