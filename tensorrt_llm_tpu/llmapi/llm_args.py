@@ -179,6 +179,9 @@ class LlmArgs(StrictBaseModel):
     moe_tensor_parallel_size: int = -1
     moe_expert_parallel_size: int = -1
     enable_attention_dp: bool = False
+    # DWDP: dp-shard the weights at rest, all-gather layer-by-layer in
+    # the scan (reference: _torch/pyexecutor/dwdp.py DwdpManager)
+    enable_dwdp: bool = False
     pp_partition: Optional[List[int]] = None
 
     # engine limits
@@ -265,7 +268,8 @@ class LlmArgs(StrictBaseModel):
             cp=self.context_parallel_size, dp=self.data_parallel_size,
             moe_tp=self.moe_tensor_parallel_size,
             moe_ep=self.moe_expert_parallel_size,
-            enable_attention_dp=self.enable_attention_dp)
+            enable_attention_dp=self.enable_attention_dp,
+            enable_dwdp=self.enable_dwdp)
 
     @classmethod
     def from_kwargs(cls, **kwargs) -> "LlmArgs":

@@ -48,6 +48,10 @@ class Mapping:
     moe_tp_size: int = -1
     moe_ep_size: int = -1
     enable_attention_dp: bool = False
+    # DWDP (reference: _torch/pyexecutor/dwdp.py, blog19): weights live
+    # sharded across the dp replicas and are all-gathered layer-by-layer
+    # inside the scan — replica weight memory scales 1/dp at rest
+    enable_dwdp: bool = False
     cp_type: CpType = CpType.ULYSSES
     rank: int = 0
 
@@ -168,8 +172,10 @@ class Mapping:
     @classmethod
     def from_sizes(cls, tp: int = 1, pp: int = 1, cp: int = 1, dp: int = 1,
                    moe_tp: int = -1, moe_ep: int = -1,
-                   enable_attention_dp: bool = False) -> "Mapping":
+                   enable_attention_dp: bool = False,
+                   enable_dwdp: bool = False) -> "Mapping":
         return cls(world_size=tp * pp * cp * dp, tp_size=tp, pp_size=pp,
                    cp_size=cp, dp_size=dp, moe_tp_size=moe_tp,
                    moe_ep_size=moe_ep,
-                   enable_attention_dp=enable_attention_dp)
+                   enable_attention_dp=enable_attention_dp,
+                   enable_dwdp=enable_dwdp)

@@ -424,6 +424,12 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
         # pipeline — memory scales with pp; XLA broadcasts each layer's
         # weights during its scan step, prefetch-overlapped)
         pp = "pp" if self.config.mapping.pp_size > 1 else None
+        # DWDP: the non-tp matrix dim additionally shards over "dp" so
+        # each replica holds 1/dp of the weights at rest; XLA all-gathers
+        # a layer's weights inside its scan step (prefetch-overlapped) —
+        # the TPU shape of DwdpManager.prefetch_first_layers
+        dw = "dp" if (self.config.mapping.enable_dwdp
+                      and self.config.mapping.dp_size > 1) else None
 
         def linear_spec(p, col: bool):
             """col: output-dim sharded (P(None,'tp')); row: input-dim."""
@@ -434,19 +440,19 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
                     [None] * (nd - 2)
                 if k == "weight":
                     spec[k] = P(*lead,
-                                "tp" if not col else None,
-                                "tp" if col else None)
+                                "tp" if not col else dw,
+                                "tp" if col else dw)
                 elif k == "weight_scale":
                     if nd == 3:   # [L, K//G, N] groupwise: groups follow K
                         spec[k] = P(pp, None if col else "tp",
-                                    "tp" if col else None)
+                                    "tp" if col else dw)
                     else:         # [L, N] or [N] per-channel: follows N
                         spec[k] = P(*([pp] + [None] * max(0, nd - 2)
                                       if nd >= 2 else []),
-                                    "tp" if col else None)
+                                    "tp" if col else dw)
                 else:             # bias / zeros follow output dim
                     spec[k] = P(*([pp] + [None] * (nd - 2) if nd >= 2
-                                  else []), "tp" if col else None)
+                                  else []), "tp" if col else dw)
             return spec
 
         layers = params["layers"]
