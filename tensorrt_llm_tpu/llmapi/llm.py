@@ -310,6 +310,15 @@ class LLM:
             else:
                 raise NotImplementedError(
                     f"speculative mode {sc.mode} not yet supported")
+        maw = args.kv_cache_config.max_attention_window
+        if maw and hasattr(self.model, "enable_vswa"):
+            # VSWA: per-window KV pools — the smallest window in the
+            # list sizes the sliding pool (reference semantics: the
+            # window list cycles over layers)
+            self.model.enable_vswa(min(maw))
+            if args.decode_multi_step > 1:
+                args.decode_multi_step = 1   # single-step until the
+                # multi-step window learns dual pools
         self.engine = ModelEngine(
             self.model, self._params, args,
             mapping=self.mapping, mesh=self.mesh,
@@ -383,6 +392,16 @@ class LLM:
             enable_block_reuse=args.kv_cache_config.enable_block_reuse,
             event_buffer_max_size=args.kv_cache_config.event_buffer_max_size,
             **kv_kwargs)
+        if getattr(self.engine, "_vswa", False):
+            from ..runtime.kv_cache_manager import VswaKvManager
+            sliding_mgr = KVCacheManager(
+                num_blocks=self.engine.num_sw_pages,
+                tokens_per_block=args.kv_cache_config.tokens_per_block,
+                max_seq_len=args.max_seq_len,
+                enable_block_reuse=False)
+            self.kv_cache_manager = VswaKvManager(
+                self.kv_cache_manager, sliding_mgr,
+                window=self.model.vswa_window)
         capacity = CapacityScheduler(
             max_num_requests=args.max_batch_size,
             kv_cache_manager=self.kv_cache_manager,

@@ -336,3 +336,116 @@ class Gemma3ForCausalLM(Gemma2ForCausalLM):
             spec["layers"]["q_norm"] = P(None, None)
             spec["layers"]["k_norm"] = P(None, None)
         return spec
+
+
+# ----------------------------------------------------------------------- #
+# VSWA (variable sliding-window attention): dual KV pools
+# (reference: resource_manager.py:1878 per-window pools)
+# ----------------------------------------------------------------------- #
+def _gemma2_enable_vswa(self, window: int) -> None:
+    """Split the alternating sliding/global layers onto two KV pools.
+    Requires strict alternation starting with a sliding layer (HF
+    Gemma-2's layout)."""
+    L = self.num_layers
+    pattern = [self._layer_is_sliding(i) for i in range(L)]
+    if L % 2 or pattern != [i % 2 == 0 for i in range(L)]:
+        raise ValueError("VSWA needs strict sliding/global alternation")
+    self.vswa_enabled = True
+    self.vswa_window = window
+    self.num_sliding_layers = L // 2
+    self.num_global_layers = L // 2
+
+
+def _gemma2_make_kv_pages(self, num_pages, page_size, num_sw_pages=None):
+    import jax.numpy as jnp
+    if not getattr(self, "vswa_enabled", False) or num_sw_pages is None:
+        return LlamaForCausalLM.make_kv_pages(self, num_pages, page_size)
+    kvh, hd = self.num_kv_heads, self.head_dim
+    dt = self.config.kv_cache_dtype
+    Lg = self.num_global_layers
+    Ls = self.num_sliding_layers
+    return (jnp.zeros((Lg, num_pages, page_size, 2 * kvh, hd), dt),
+            jnp.zeros((Ls, num_sw_pages, page_size, 2 * kvh, hd), dt))
+
+
+def _gemma2_kv_pspec(self):
+    base = LlamaForCausalLM.kv_pspec(self)
+    if not getattr(self, "vswa_enabled", False):
+        return base
+    return (base, base)
+
+
+def _gemma2_forward_vswa(self, params, token_ids, kv_pages, metadata,
+                         input_embeds=None):
+    """Pair scan: each step runs one sliding layer (small pool, sliding
+    metadata) then one global layer (full pool)."""
+    import dataclasses as _dc
+    kv_g, kv_s = kv_pages
+    H = self.hidden_size
+    h = self._embed(params, token_ids, input_embeds)
+    h = h * jnp.asarray(math.sqrt(H), self.dtype)
+    spec = self.attn_spec
+    eps = self.rms_eps
+    cos_sin = rope_cos_sin(spec.rope, metadata.positions)
+    sliding_spec = AttentionSpec(
+        num_heads=spec.num_heads, num_kv_heads=spec.num_kv_heads,
+        head_dim=spec.head_dim, sm_scale=spec.sm_scale, rope=spec.rope,
+        sliding_window=self.vswa_window, soft_cap=spec.soft_cap)
+    md_sw = metadata.for_sliding_pool()
+    md = _dc.replace(metadata, page_indices_sw=None, slot_mapping_sw=None)
+    shard_mesh, shard_axis = self.attn_shard_args()
+
+    layers = params["layers"]
+    lay_s = jax.tree.map(lambda a: a[0::2], layers)
+    lay_g = jax.tree.map(lambda a: a[1::2], layers)
+
+    def half_layer(h, layer, layer_kv, which_spec, which_md):
+        normed = gemma_rms_norm(h, layer["input_norm"], eps)
+        attn_out, new_kv = attention_block(
+            layer, normed, layer_kv, which_md, which_spec,
+            self.m_q, self.m_o, attn_backend=self.attn_backend,
+            kv_scale=self.config.kv_scale, rope_cos_sin=cos_sin,
+            mesh=shard_mesh, tp_axis=shard_axis)
+        h = h + gemma_rms_norm(attn_out, layer["post_attn_norm"], eps)
+        normed = gemma_rms_norm(h, layer["pre_ffn_norm"], eps)
+        gate = self.m_mlp.apply(layer["gate"], normed)
+        up = self.m_mlp.apply(layer["up"], normed)
+        act = jax.nn.gelu(gate.astype(jnp.float32), approximate=True)
+        mlp_out = self.m_mlp.apply(layer["down"],
+                                   act.astype(self.dtype) * up)
+        h = h + gemma_rms_norm(mlp_out, layer["post_ffn_norm"], eps)
+        return h, new_kv
+
+    def pair_body(h, xs):
+        ls, lg, pkv_s, pkv_g = xs
+        h, pkv_s = half_layer(h, ls, pkv_s, sliding_spec, md_sw)
+        h, pkv_g = half_layer(h, lg, pkv_g, spec, md)
+        return h, (pkv_s, pkv_g)
+
+    h, (kv_s, kv_g) = jax.lax.scan(pair_body, h,
+                                   (lay_s, lay_g, kv_s, kv_g))
+    h = gemma_rms_norm(h, params["final_norm"], eps)
+    last = self._gather_logits(h, metadata)
+    logits = self.m_lm_head.apply(params["lm_head"], last)
+    logits = logits.astype(jnp.float32)
+    if self.final_softcap:
+        logits = self.final_softcap * jnp.tanh(logits / self.final_softcap)
+    return logits, (kv_g, kv_s)
+
+
+_gemma2_orig_forward = Gemma2ForCausalLM.forward
+
+
+def _gemma2_forward(self, params, token_ids, kv_pages, metadata,
+                    input_embeds=None):
+    if getattr(self, "vswa_enabled", False):
+        return _gemma2_forward_vswa(self, params, token_ids, kv_pages,
+                                    metadata, input_embeds)
+    return _gemma2_orig_forward(self, params, token_ids, kv_pages,
+                                metadata, input_embeds)
+
+
+Gemma2ForCausalLM.enable_vswa = _gemma2_enable_vswa
+Gemma2ForCausalLM.make_kv_pages = _gemma2_make_kv_pages
+Gemma2ForCausalLM.kv_pspec = _gemma2_kv_pspec
+Gemma2ForCausalLM.forward = _gemma2_forward

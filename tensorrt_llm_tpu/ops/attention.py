@@ -72,6 +72,18 @@ class AttentionMetadata:
     # sequence slot per batch row (recurrent-state models index their
     # SSM/conv caches by slot; -1 = padding row). Optional for attention.
     seq_slots: Optional[jax.Array] = None
+    # VSWA (per-window KV pools, reference: resource_manager.py:1878):
+    # sliding-window layers address their own smaller pool through these
+    # tables; None for single-pool models.
+    page_indices_sw: Optional[jax.Array] = None
+    slot_mapping_sw: Optional[jax.Array] = None
+
+    def for_sliding_pool(self) -> "AttentionMetadata":
+        """View of this metadata addressed at the sliding pool."""
+        import dataclasses as _dc
+        return _dc.replace(self, page_indices=self.page_indices_sw,
+                           slot_mapping=self.slot_mapping_sw,
+                           page_indices_sw=None, slot_mapping_sw=None)
 
 
 def write_kv(kv_pages: jax.Array, k: jax.Array, v: jax.Array,

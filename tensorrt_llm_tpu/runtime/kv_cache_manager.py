@@ -510,3 +510,150 @@ class KVCacheManager:
 
 class NoFreeBlocksError(RuntimeError):
     pass
+
+
+class _TrimmedBlock:
+    """Placeholder for a sliding-window-evicted block: the page id stays
+    in the sequence's table (kernels mask those positions anyway) but
+    the physical block has returned to the free pool."""
+    __slots__ = ("block_id",)
+
+    def __init__(self, block_id: int):
+        self.block_id = block_id
+
+
+# ------------------------------------------------------------------- #
+# VSWA: sliding-window eviction + dual-pool facade
+# (reference: resource_manager.py:1878 — per-window KV pools;
+#  kvCacheManager window-block eviction)
+# ------------------------------------------------------------------- #
+def _trim_prefix(mgr: "KVCacheManager", request, keep_from_block: int
+                 ) -> int:
+    """Release chain blocks fully below ``keep_from_block`` back to the
+    free pool while leaving their ids in request.kv_block_ids (the page
+    table stays absolutely indexed; evicted entries are stale-but-valid
+    pool indices whose contents attention masks out)."""
+    chain = mgr._seq_blocks.get(request.request_id)
+    if chain is None:
+        return 0
+    freed = 0
+    for i in range(min(keep_from_block, len(chain))):
+        b = chain[i]
+        if isinstance(b, _TrimmedBlock):
+            continue
+        mgr._release_block(b)
+        chain[i] = _TrimmedBlock(b.block_id)
+        freed += 1
+    return freed
+
+
+KVCacheManager.trim_prefix = _trim_prefix
+
+
+_orig_free = KVCacheManager.free_resources
+
+
+def _free_resources_vswa(self, request, store_for_reuse=None):
+    chain = self._seq_blocks.get(request.request_id)
+    if chain is not None and any(isinstance(b, _TrimmedBlock)
+                                 for b in chain):
+        # trimmed chains never re-enter the reuse tree (their prefix
+        # content is gone); release remaining real blocks directly
+        self._seq_blocks.pop(request.request_id, None)
+        for b in chain:
+            if not isinstance(b, _TrimmedBlock):
+                self._release_block(b)
+        request.kv_block_ids = []
+        return
+    return _orig_free(self, request, store_for_reuse)
+
+
+KVCacheManager.free_resources = _free_resources_vswa
+
+
+class _SwRequestView:
+    """Adapter letting the sliding-pool manager keep its own block list
+    on the same request (kv_block_ids -> kv_block_ids_sw)."""
+
+    def __init__(self, req):
+        object.__setattr__(self, "_req", req)
+
+    def __getattr__(self, name):
+        if name == "kv_block_ids":
+            return self._req.kv_block_ids_sw
+        return getattr(self._req, name)
+
+    def __setattr__(self, name, value):
+        if name == "kv_block_ids":
+            self._req.kv_block_ids_sw = value
+        elif name == "num_cached_tokens":
+            pass                      # reuse stats belong to the global pool
+        else:
+            setattr(self._req, name, value)
+
+
+class VswaKvManager:
+    """Dual-pool facade: full-attention layers allocate from the global
+    manager, sliding layers from a small pool whose out-of-window blocks
+    are evicted block-granularly every growth step. Unknown attributes
+    delegate to the global manager (scheduler capacity math, events,
+    stats all key off the dominant pool)."""
+
+    def __init__(self, global_mgr: KVCacheManager,
+                 sliding_mgr: KVCacheManager, window: int):
+        self.g = global_mgr
+        self.s = sliding_mgr
+        self.window = window
+        self.tokens_per_block = global_mgr.tokens_per_block
+
+    def __getattr__(self, name):
+        return getattr(self.g, name)
+
+    # -- allocation ----------------------------------------------------- #
+    def _view(self, req):
+        if not hasattr(req, "kv_block_ids_sw"):
+            req.kv_block_ids_sw = []
+        return _SwRequestView(req)
+
+    def _trim(self, req):
+        total = max(req.num_total_tokens, req.num_device_tokens)
+        keep_from = max(0, (total - self.window - 1)
+                        // self.tokens_per_block)
+        self.s.trim_prefix(self._view(req), keep_from)
+
+    def add_sequence(self, req, enable_reuse=None):
+        # prefix reuse is off for VSWA: a globally-reused prefix has no
+        # sliding-pool twin (those positions were never recomputed), so
+        # sliding layers would read garbage for in-window history
+        reused = self.g.add_sequence(req, enable_reuse=False)
+        self.s.add_sequence(self._view(req), enable_reuse=False)
+        self._trim(req)
+        return reused
+
+    def add_token(self, req):
+        self.g.add_token(req)
+        self.s.add_token(self._view(req))
+        self._trim(req)
+
+    def add_tokens(self, req, num_tokens):
+        self.g.add_tokens(req, num_tokens)
+        self.s.add_tokens(self._view(req), num_tokens)
+        self._trim(req)
+
+    def add_draft_tokens(self, req, num_draft):
+        self.g.add_draft_tokens(req, num_draft)
+        self.s.add_draft_tokens(self._view(req), num_draft)
+        self._trim(req)
+
+    def rewind_tokens(self, req, num_tokens):
+        self.g.rewind_tokens(req, num_tokens)
+        # sliding chain may have trimmed blocks at the tail boundary;
+        # rewind only full untrimmed tail blocks
+        self.s.rewind_tokens(self._view(req), num_tokens)
+
+    def free_resources(self, req, store_for_reuse=None):
+        self.g.free_resources(req, store_for_reuse=store_for_reuse)
+        self.s.free_resources(self._view(req), store_for_reuse=False)
+
+    def get_num_free_blocks(self):
+        return self.g.get_num_free_blocks()

@@ -51,6 +51,9 @@ class StepInputs:
     out_slots: np.ndarray          # i32[S] slot to scatter sampled token to (-1 pad)
     num_tokens: int                # actual (unpadded) token count
     num_reqs: int
+    # VSWA sliding-pool tables (None for single-pool models)
+    page_indices_sw: Optional[np.ndarray] = None
+    slot_mapping_sw: Optional[np.ndarray] = None
 
 
 class ModelEngine:
@@ -89,7 +92,19 @@ class ModelEngine:
                 for a in jax.tree.leaves(params))
         except Exception:
             self._param_bytes_hint = None
+        # VSWA (per-window pools): sliding layers get their own small
+        # pool sized ~window tokens per sequence (reference:
+        # resource_manager.py:1878)
+        self._vswa = bool(getattr(model, "vswa_enabled", False))
         self.num_kv_pages = num_kv_pages or self._default_num_pages()
+        if self._vswa:
+            w_pages = -(-(model.vswa_window + self.page_size)
+                        // self.page_size) + 1
+            # + one max-length prompt's transient pages: allocation runs
+            # before the out-of-window trim at admission
+            transient = -(-args.max_input_len // self.page_size)
+            self.num_sw_pages = self.max_batch_size * w_pages \
+                + transient + 1
         logger.info("KV pool: %d pages x %d tokens (%.1f MB/layer)",
                     self.num_kv_pages, self.page_size,
                     self._kv_bytes_per_layer() / 1e6)
@@ -162,7 +177,13 @@ class ModelEngine:
     def _make_kv_pages(self):
         # recurrent-state models size their caches by sequence slots
         self.model._num_slots = self.max_batch_size
-        arr = self.model.make_kv_pages(self.num_kv_pages, self.page_size)
+        if self._vswa:
+            arr = self.model.make_kv_pages(
+                self.num_kv_pages, self.page_size,
+                num_sw_pages=self.num_sw_pages)
+        else:
+            arr = self.model.make_kv_pages(self.num_kv_pages,
+                                           self.page_size)
         if self.mesh is not None and self.mapping.world_size > 1:
             from jax.sharding import NamedSharding, PartitionSpec
             # kv_pspec covers the full cache pytree (array or dict)
@@ -206,6 +227,10 @@ class ModelEngine:
             token_ids, prev_slot, positions, slot_mapping = \
                 (ints_t[0], ints_t[1], ints_t[2], ints_t[3])
             lora_slots = ints_t[4]
+            pt_sw = sm_sw = None
+            if self._vswa:
+                sm_sw = ints_t[5]
+                page_indices, pt_sw = page_indices[0], page_indices[1]
             o = 0
             kv_lens = ints_s[o:o + S]; o += S
             cu_q_lens = ints_s[o:o + S + 1]; o += S + 1
@@ -221,7 +246,8 @@ class ModelEngine:
                 kv_lens=kv_lens, page_indices=page_indices,
                 cu_q_lens=cu_q_lens, num_seqs=num_seqs,
                 slot_mapping=slot_mapping, positions=positions,
-                logits_indices=logits_indices, seq_slots=out_slots)
+                logits_indices=logits_indices, seq_slots=out_slots,
+                page_indices_sw=pt_sw, slot_mapping_sw=sm_sw)
             sampling = SamplingTensors(
                 temperature=floats[0], top_k=top_k, top_p=floats[1],
                 min_p=floats[2], greedy=greedy,
@@ -618,6 +644,8 @@ class ModelEngine:
         lora_list: List[int] = []
         kv_lens = np.zeros(S, np.int32)
         page_indices = np.zeros((S, P), np.int32)
+        page_indices_sw = np.zeros((S, P), np.int32) if self._vswa else None
+        slot_map_sw: List[int] = []
         cu_q = np.zeros(S + 1, np.int32)
         logits_idx = np.zeros(S * G, np.int32)
         out_slots = np.full(S, -1, np.int32)
@@ -625,6 +653,9 @@ class ModelEngine:
         for i, req in enumerate(reqs):
             blocks = req.kv_block_ids
             page_indices[i, :len(blocks)] = blocks
+            if self._vswa:
+                blocks_sw = getattr(req, "kv_block_ids_sw", [])
+                page_indices_sw[i, :len(blocks_sw)] = blocks_sw
             lslot = -1
             if self.lora_manager is not None and req.lora_task_id is not None:
                 lslot = self.lora_manager.slot_for(req.lora_task_id)
@@ -639,6 +670,10 @@ class ModelEngine:
                 pos_list.extend(range(start, end))
                 for p in range(start, end):
                     slot_map.append(blocks[p // ps] * ps + p % ps)
+                if self._vswa:
+                    bs = getattr(req, "kv_block_ids_sw", [])
+                    for p in range(start, end):
+                        slot_map_sw.append(bs[p // ps] * ps + p % ps)
                 lora_list.extend([lslot] * len(chunk))
                 kv_lens[i] = end
                 logits_idx[i * G:(i + 1) * G] = len(tok_list) - 1
@@ -655,6 +690,9 @@ class ModelEngine:
                     prev_list.append(req.seq_slot)
                 pos_list.append(pos)
                 slot_map.append(blocks[pos // ps] * ps + pos % ps)
+                if self._vswa:
+                    bs = getattr(req, "kv_block_ids_sw", [])
+                    slot_map_sw.append(bs[pos // ps] * ps + pos % ps)
                 drafts = req.draft_tokens[:self.max_draft_len]
                 for j, d in enumerate(drafts):
                     tok_list.append(d)
@@ -662,6 +700,8 @@ class ModelEngine:
                     p = pos + 1 + j
                     pos_list.append(p)
                     slot_map.append(blocks[p // ps] * ps + p % ps)
+                    if self._vswa:
+                        slot_map_sw.append(bs[p // ps] * ps + p % ps)
                 lora_list.extend([lslot] * (1 + len(drafts)))
                 kv_lens[i] = pos + 1 + len(drafts)
                 # one logits row per fed token; pad by repeating the last
@@ -687,7 +727,10 @@ class ModelEngine:
             slot_mapping=np.asarray(slot_map, np.int32),
             lora_slots=np.asarray(lora_list, np.int32),
             logits_indices=logits_idx, out_slots=out_slots,
-            num_tokens=len(tok_list), num_reqs=len(reqs))
+            num_tokens=len(tok_list), num_reqs=len(reqs),
+            page_indices_sw=page_indices_sw,
+            slot_mapping_sw=(np.asarray(slot_map_sw, np.int32)
+                             if self._vswa else None))
 
     # ------------------------------------------------------------------ #
     # Sleep / wake (RL-style weight offload) + live weight update
@@ -735,9 +778,11 @@ class ModelEngine:
             # within one page (reads page 0; writes are dropped)
             n_seqs = min(S, -(-T // ps))
             per = -(-T // n_seqs)
-            ints_t = np.zeros((4, T), np.int32)
+            ints_t = np.zeros((6 if self._vswa else 4, T), np.int32)
             ints_t[1] = -1
             ints_t[3] = num_slots
+            if self._vswa:
+                ints_t[5] = self.num_sw_pages * self.page_size
             kv_lens = np.zeros(S, np.int32)
             cu = np.zeros(S + 1, np.int32)
             pos = 0
@@ -754,6 +799,8 @@ class ModelEngine:
                 np.asarray([0], np.int32), np.zeros(S, np.int32),
                 np.full(S * G, -1, np.int32)])
             page_indices = np.zeros((S, self.pages_per_seq), np.int32)
+            if self._vswa:
+                page_indices = np.stack([page_indices, page_indices])
             floats = np.ones((6, S), np.float32)
             out = step_fn(self.params, self.kv_pages, self.prev_tokens,
                           jnp.zeros((1, 1), jnp.int32),
@@ -900,7 +947,8 @@ class ModelEngine:
         S, G = self.max_batch_size, self.max_draft_len + 1
         self.iter_counter += 1
 
-        ints_t = np.zeros((5, T), np.int32)
+        rows = 6 if self._vswa else 5
+        ints_t = np.zeros((rows, T), np.int32)
         ints_t[0, :inp.num_tokens] = inp.token_ids
         ints_t[1, :] = -1
         ints_t[1, :inp.num_tokens] = inp.prev_slot
@@ -910,6 +958,9 @@ class ModelEngine:
         ints_t[3, :inp.num_tokens] = inp.slot_mapping
         ints_t[4, :] = -1
         ints_t[4, :inp.num_tokens] = inp.lora_slots
+        if self._vswa:
+            ints_t[5, :] = self.num_sw_pages * self.page_size
+            ints_t[5, :inp.num_tokens] = inp.slot_mapping_sw
 
         reqs = batch.context_requests + batch.generation_requests
         top_k = np.zeros(S, np.int32)
@@ -984,7 +1035,10 @@ class ModelEngine:
         out = step_fn(self.params, self.kv_pages, self.prev_tokens,
                       counts if use_penalties else jnp.zeros((1, 1), jnp.int32),
                       jnp.asarray(ints_t), jnp.asarray(ints_s),
-                      jnp.asarray(inp.page_indices), jnp.asarray(floats),
+                      jnp.asarray(np.stack([inp.page_indices,
+                                            inp.page_indices_sw])
+                                  if self._vswa else inp.page_indices),
+                      jnp.asarray(floats),
                       mask_arr, embeds_arr, lora_arg)
         (tokens, logprobs, tl_vals, tl_ids, self.prev_tokens, new_counts,
          self.kv_pages, hidden) = out
