@@ -70,6 +70,15 @@ class LnFamilyModel(DecoderModelForCausalLM):
         self.m_attn = self._method("attn")
         self.m_mlp = self._method("mlp")
         self.m_lm_head = self._method("lm_head")
+        # per-layer sliding alternation + rope variants (Cohere2-style);
+        # same hook contract as the Llama base
+        self.sliding_spec = None
+
+    def _rope_variants(self, positions, cos_sin):
+        return cos_sin
+
+    def _layer_rope(self, layer, variants):
+        return variants
 
     # ---- subclass hooks ------------------------------------------------
     def _inner_size(self) -> int:
@@ -152,14 +161,28 @@ class LnFamilyModel(DecoderModelForCausalLM):
                         .astype(jnp.float32)).astype(self.dtype)
             return self.m_mlp.apply(layer["proj"], a)
 
+        rope_variants = self._rope_variants(metadata.positions, cos_sin)
+
         def layer_body(h, xs):
             layer, layer_kv = xs
             x1 = ln(h, layer["ln1"])
-            attn_out, new_pages = attention_block(
-                layer, x1, layer_kv, metadata, spec,
-                self.m_attn, self.m_attn, attn_backend=self.attn_backend,
-                kv_scale=self.config.kv_scale, rope_cos_sin=cos_sin,
-                mesh=shard_mesh, tp_axis=shard_axis)
+            cs = self._layer_rope(layer, rope_variants)
+
+            def run_attn(which_spec):
+                return attention_block(
+                    layer, x1, layer_kv, metadata, which_spec,
+                    self.m_attn, self.m_attn,
+                    attn_backend=self.attn_backend,
+                    kv_scale=self.config.kv_scale, rope_cos_sin=cs,
+                    mesh=shard_mesh, tp_axis=shard_axis)
+
+            if self.sliding_spec is not None:
+                attn_out, new_pages = jax.lax.cond(
+                    layer["is_sliding"],
+                    lambda _: run_attn(self.sliding_spec),
+                    lambda _: run_attn(spec), None)
+            else:
+                attn_out, new_pages = run_attn(spec)
             if self.parallel_block:
                 x2 = x1 if self.shared_ln else ln(h, layer["ln2"])
                 h = h + attn_out + mlp(layer, x2)
@@ -615,4 +638,106 @@ class NemotronForCausalLM(LnFamilyModel):
             "lm_head": quantize_linear(
                 self.m_lm_head, hf_transpose(sd["lm_head.weight"]),
                 dtype=self.dtype),
+        }
+
+
+@register_model("cohere2")
+class Cohere2ForCausalLM(CohereForCausalLM):
+    """Cohere2 (Command-R7B): the Cohere parallel block plus 3:1
+    sliding/global alternation where RoPE applies ONLY on sliding
+    layers (global layers are NoPE). Reference:
+    tensorrt_llm/_torch/models/modeling_cohere2.py."""
+    architectures = ("Cohere2ForCausalLM",)
+
+    def __init__(self, model_config):
+        super().__init__(model_config)
+        import dataclasses as _dc
+        hf = self.hf
+        sw = getattr(hf, "sliding_window", None)
+        self._layer_sliding = [
+            lt == "sliding_attention"
+            for lt in (getattr(hf, "layer_types", None) or
+                       ["full_attention"] * self.num_layers)]
+        if sw and any(self._layer_sliding):
+            self.sliding_spec = _dc.replace(self.attn_spec,
+                                            sliding_window=sw)
+
+    def _rope_variants(self, positions, cos_sin):
+        cos, sin = cos_sin
+        return (cos, sin, jnp.ones_like(cos), jnp.zeros_like(sin))
+
+    def _layer_rope(self, layer, variants):
+        cos, sin, one, zero = variants
+        if self.sliding_spec is None:
+            return cos, sin
+        use = layer["is_sliding"]
+        return jnp.where(use, cos, one), jnp.where(use, sin, zero)
+
+    def load_hf_state_dict(self, sd):
+        params = super().load_hf_state_dict(sd)
+        params["layers"]["is_sliding"] = jnp.asarray(
+            self._layer_sliding[:self.num_layers], jnp.bool_)
+        return params
+
+    def param_pspecs(self, params):
+        from jax.sharding import PartitionSpec as P
+        layers = dict(params["layers"])
+        flag = layers.pop("is_sliding", None)
+        spec = super().param_pspecs({**params, "layers": layers})
+        if flag is not None:
+            spec["layers"]["is_sliding"] = P(None)
+        return spec
+
+
+@register_model("stablelm")
+class StableLmForCausalLM(LnFamilyModel):
+    """StableLM-2: LayerNorm (biased), gated silu MLP, partial rotary
+    (factor 0.25 default)."""
+    architectures = ("StableLmForCausalLM",)
+    gated_mlp = True
+    act_name = "silu"
+
+    def _rope_config(self):
+        hf = self.hf
+        return RopeConfig(
+            head_dim=self.head_dim,
+            rope_theta=getattr(hf, "rope_theta", 10000.0),
+            max_position_embeddings=hf.max_position_embeddings,
+            partial_rotary_factor=getattr(hf, "partial_rotary_factor",
+                                          0.25))
+
+    def load_hf_state_dict(self, sd):
+        L = self.num_layers
+        pre = "model.layers.{}."
+        layers = {
+            "ln1": self._stack_ln(sd, pre + "input_layernorm.weight", L,
+                                  pre + "input_layernorm.bias"),
+            "ln2": self._stack_ln(sd, pre + "post_attention_layernorm.weight",
+                                  L, pre + "post_attention_layernorm.bias"),
+            "q": self._stack_lin(self.m_attn, sd,
+                                 pre + "self_attn.q_proj.weight", L),
+            "k": self._stack_lin(self.m_attn, sd,
+                                 pre + "self_attn.k_proj.weight", L),
+            "v": self._stack_lin(self.m_attn, sd,
+                                 pre + "self_attn.v_proj.weight", L),
+            "o": self._stack_lin(self.m_attn, sd,
+                                 pre + "self_attn.o_proj.weight", L),
+            "fc": self._stack_lin(self.m_mlp, sd,
+                                  pre + "mlp.gate_proj.weight", L),
+            "fc2": self._stack_lin(self.m_mlp, sd,
+                                   pre + "mlp.up_proj.weight", L),
+            "proj": self._stack_lin(self.m_mlp, sd,
+                                    pre + "mlp.down_proj.weight", L),
+        }
+        from .modeling_utils import hf_transpose
+        fn = {"w": jnp.asarray(sd["model.norm.weight"], self.dtype),
+              "b": jnp.asarray(sd["model.norm.bias"], self.dtype)}
+        lm_w = sd.get("lm_head.weight", sd["model.embed_tokens.weight"])
+        return {
+            "embed": {"weight": jnp.asarray(
+                sd["model.embed_tokens.weight"], self.dtype)},
+            "layers": layers,
+            "final_norm": fn,
+            "lm_head": quantize_linear(self.m_lm_head, hf_transpose(lm_w),
+                                       dtype=self.dtype),
         }

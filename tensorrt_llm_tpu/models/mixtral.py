@@ -130,6 +130,9 @@ class MixtralForCausalLM(LlamaForCausalLM):
     def forward(self, params, token_ids, kv_pages, metadata,
                 input_embeds=None):
         h = self._embed(params, token_ids, input_embeds)
+        if self.embedding_multiplier != 1.0:   # granite-moe
+            h = h * self.embedding_multiplier
+        rm = self.residual_multiplier
         spec = self.attn_spec
         eps = self.rms_eps
         cos_sin = rope_cos_sin(spec.rope, metadata.positions)
@@ -137,7 +140,18 @@ class MixtralForCausalLM(LlamaForCausalLM):
 
         shard_mesh, shard_axis = self.attn_shard_args()
 
-        if self.use_qk_norm:
+        if self.use_qk_norm and getattr(self, "qk_norm_full", False):
+            # OLMoE-style: RMS over the whole flattened projection
+            def _full(x, w):
+                T = x.shape[0]
+                return rms_norm(x.reshape(T, -1), w, eps).reshape(x.shape)
+
+            def q_norm(layer, q):
+                return _full(q, layer["q_norm"])
+
+            def k_norm(layer, k):
+                return _full(k, layer["k_norm"])
+        elif self.use_qk_norm:
             def q_norm(layer, q):
                 return rms_norm(q, layer["q_norm"], eps)
 
@@ -155,7 +169,7 @@ class MixtralForCausalLM(LlamaForCausalLM):
                 kv_scale=self.config.kv_scale, rope_cos_sin=cos_sin,
                 q_norm=q_norm, k_norm=k_norm,
                 mesh=shard_mesh, tp_axis=shard_axis)
-            h = h + attn_out
+            h = h + (attn_out if rm == 1.0 else rm * attn_out)
             normed = rms_norm(h, layer["post_norm"], eps)
             moe_out = moe_mlp(normed, layer["w_gate"], layer["w_up"],
                               layer["w_down"], layer["router"],
@@ -174,7 +188,7 @@ class MixtralForCausalLM(LlamaForCausalLM):
                     jnp.dot(normed, layer["se_gate_w"],
                             preferred_element_type=jnp.float32))
                 moe_out = moe_out + gate.astype(self.dtype) * se
-            h = h + moe_out
+            h = h + (moe_out if rm == 1.0 else rm * moe_out)
             return h, new_pages
 
         h, kv_pages = jax.lax.scan(
@@ -182,7 +196,10 @@ class MixtralForCausalLM(LlamaForCausalLM):
         h = rms_norm(h, params["final_norm"], eps)
         last = self._gather_logits(h, metadata)
         logits = self.m_lm_head.apply(params["lm_head"], last)
-        return logits.astype(jnp.float32), kv_pages
+        logits = logits.astype(jnp.float32)
+        if self.logits_scaling != 1.0:
+            logits = logits / self.logits_scaling
+        return logits, kv_pages
 
     # ------------------------------------------------------------------ #
     def param_pspecs(self, params) -> Any:

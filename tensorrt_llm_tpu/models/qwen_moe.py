@@ -170,3 +170,64 @@ class Qwen3MoeForCausalLM(_QwenMoeBase):
         self.num_experts = hf.num_experts
         self.renormalize = getattr(hf, "norm_topk_prob", True)
         self.use_qk_norm = True
+
+
+@register_model("olmoe")
+class OlmoeForCausalLM(_QwenMoeBase):
+    """OLMoE: qwen-moe weight naming, FULL-projection qk RMS norms,
+    softmax-then-topk routing WITHOUT renormalization
+    (norm_topk_prob=False default). Reference serves it via the
+    AutoModel fallback; here it is a first-class family."""
+    architectures = ("OlmoeForCausalLM",)
+
+    def __init__(self, model_config):
+        super().__init__(model_config)
+        self.use_qk_norm = True
+        self.qk_norm_full = True
+        self.renormalize = bool(getattr(self.hf, "norm_topk_prob", False))
+        self.has_shared_expert = False
+
+    @property
+    def moe_intermediate(self) -> int:
+        return self.hf.intermediate_size
+
+    def init_params(self, rng):
+        # base writes per-head-dim qk norm dummies; OLMoE norms span the
+        # full projections
+        import numpy as _np
+        sd_build = super().init_params
+        # easiest: build the dummy state dict by calling the base's
+        # generator with patched shapes — replicate minimal logic here
+        hf = self.hf
+        H, E, L = self.hidden_size, self.num_experts, self.num_layers
+        I = self.moe_intermediate
+        V = self.vocab_size
+        nq, nkv, hd = self.num_heads, self.num_kv_heads, self.head_dim
+        r = _np.random.default_rng(0)
+
+        def mat(shape):
+            return r.standard_normal(shape, _np.float32) * 0.02
+
+        sd = {"model.embed_tokens.weight": mat((V, H)),
+              "model.norm.weight": _np.ones(H, _np.float32),
+              "lm_head.weight": mat((V, H))}
+        for i in range(L):
+            p = f"model.layers.{i}."
+            sd[p + "self_attn.q_proj.weight"] = mat((nq * hd, H))
+            sd[p + "self_attn.k_proj.weight"] = mat((nkv * hd, H))
+            sd[p + "self_attn.v_proj.weight"] = mat((nkv * hd, H))
+            sd[p + "self_attn.o_proj.weight"] = mat((H, nq * hd))
+            sd[p + "self_attn.q_norm.weight"] = _np.ones(nq * hd,
+                                                         _np.float32)
+            sd[p + "self_attn.k_norm.weight"] = _np.ones(nkv * hd,
+                                                         _np.float32)
+            sd[p + "mlp.gate.weight"] = mat((E, H))
+            for e in range(E):
+                for n2, shape in [("gate_proj", (I, H)),
+                                  ("up_proj", (I, H)),
+                                  ("down_proj", (H, I))]:
+                    sd[p + f"mlp.experts.{e}.{n2}.weight"] = mat(shape)
+            sd[p + "input_layernorm.weight"] = _np.ones(H, _np.float32)
+            sd[p + "post_attention_layernorm.weight"] = \
+                _np.ones(H, _np.float32)
+        return self.load_hf_state_dict(sd)

@@ -93,3 +93,66 @@ def test_arcee():
                       max_position_embeddings=256,
                       tie_word_embeddings=False)
     _roundtrip(cfg, ArceeForCausalLM)
+
+
+def test_olmoe():
+    from transformers import OlmoeConfig, OlmoeForCausalLM
+    cfg = OlmoeConfig(vocab_size=128, pad_token_id=0, eos_token_id=1,
+                      bos_token_id=2, hidden_size=64, intermediate_size=96,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, num_experts=4,
+                      num_experts_per_tok=2, norm_topk_prob=False,
+                      max_position_embeddings=256,
+                      tie_word_embeddings=False)
+    _roundtrip(cfg, OlmoeForCausalLM, rtol=5e-3)
+
+
+def test_olmoe_norm_topk():
+    from transformers import OlmoeConfig, OlmoeForCausalLM
+    cfg = OlmoeConfig(vocab_size=128, pad_token_id=0, eos_token_id=1,
+                      bos_token_id=2, hidden_size=64, intermediate_size=96,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, num_experts=4,
+                      num_experts_per_tok=2, norm_topk_prob=True,
+                      max_position_embeddings=256,
+                      tie_word_embeddings=False)
+    _roundtrip(cfg, OlmoeForCausalLM, rtol=5e-3)
+
+
+def test_granitemoe():
+    from transformers import GraniteMoeConfig, GraniteMoeForCausalLM
+    cfg = GraniteMoeConfig(vocab_size=128, pad_token_id=0, eos_token_id=1,
+                           bos_token_id=2, hidden_size=64,
+                           intermediate_size=96, num_hidden_layers=2,
+                           num_attention_heads=4, num_key_value_heads=2,
+                           num_local_experts=4, num_experts_per_tok=2,
+                           embedding_multiplier=6.0,
+                           attention_multiplier=0.3,
+                           residual_multiplier=0.22, logits_scaling=4.0,
+                           max_position_embeddings=256,
+                           tie_word_embeddings=False)
+    _roundtrip(cfg, GraniteMoeForCausalLM, rtol=5e-3)
+
+
+def test_cohere2():
+    from transformers import Cohere2Config, Cohere2ForCausalLM
+    cfg = Cohere2Config(vocab_size=128, pad_token_id=0, eos_token_id=1,
+                        bos_token_id=2, hidden_size=64,
+                        intermediate_size=128, num_hidden_layers=4,
+                        num_attention_heads=4, num_key_value_heads=4,
+                        head_dim=16, sliding_window=8,
+                        sliding_window_pattern=4, logit_scale=0.25,
+                        max_position_embeddings=256)
+    _roundtrip(cfg, Cohere2ForCausalLM, rtol=5e-3)
+
+
+def test_stablelm():
+    from transformers import StableLmConfig, StableLmForCausalLM
+    cfg = StableLmConfig(vocab_size=128, pad_token_id=0, eos_token_id=1,
+                         bos_token_id=2, hidden_size=64,
+                         intermediate_size=128, num_hidden_layers=2,
+                         num_attention_heads=4, num_key_value_heads=2,
+                         partial_rotary_factor=0.25,
+                         max_position_embeddings=256,
+                         tie_word_embeddings=False)
+    _roundtrip(cfg, StableLmForCausalLM)
