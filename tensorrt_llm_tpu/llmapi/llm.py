@@ -197,13 +197,12 @@ class LLM:
                 logger.warning("tokenizer load failed: %s", e)
         if self.args.load_format == "dummy":
             return hf_config, None
-        sd = {}
-        from safetensors import numpy as st_numpy
-        files = sorted(path.glob("*.safetensors"))
-        if not files:
-            raise FileNotFoundError(f"no safetensors under {path}")
-        for f in files:
-            sd.update(st_numpy.load_file(str(f)))
+        # lazy mmap'd (sharded) safetensors: tensors materialize one at a
+        # time while the loaders stack/quantize, so peak host memory is
+        # one tensor, not the checkpoint (reference: mmap weight_loader;
+        # supports model.safetensors.index.json sharded layouts)
+        from ..quantization.lazy_state_dict import LazyStateDict
+        sd = LazyStateDict(path)
         # prequantized checkpoints (AWQ / GPTQ / ModelOpt): adopt the
         # checkpoint's own quant recipe and unpack its integer weights
         # (reference flow: quantize_by_modelopt.py hf_quant_config.json +

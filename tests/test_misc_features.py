@@ -244,3 +244,59 @@ def test_postprocess_workers_stream(model_fixture_or_none=None):
     assert ids0 == ids2
     assert t0 == t2 and t0 != ""
     assert c0 == c2
+
+
+def test_sharded_checkpoint_lazy_load(tmp_path):
+    """HF sharded safetensors (index.json + shards) load lazily (mmap'd,
+    per-tensor materialization) and match the inline model exactly
+    (reference: streamed weight_loader)."""
+    import json
+    import numpy as np
+    import torch
+    from safetensors import numpy as st_numpy
+    from transformers import LlamaConfig, LlamaForCausalLM
+    from tensorrt_llm_tpu import LLM, KvCacheConfig, SamplingParams
+    from tensorrt_llm_tpu.quantization.lazy_state_dict import LazyStateDict
+
+    torch.manual_seed(0)
+    cfg = LlamaConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, max_position_embeddings=512)
+    hf = LlamaForCausalLM(cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+
+    # split into two shards with an index
+    names = sorted(sd)
+    half = len(names) // 2
+    shards = {"model-00001-of-00002.safetensors": names[:half],
+              "model-00002-of-00002.safetensors": names[half:]}
+    weight_map = {}
+    for fname, keys in shards.items():
+        st_numpy.save_file({k: sd[k] for k in keys}, str(tmp_path / fname))
+        weight_map.update({k: fname for k in keys})
+    (tmp_path / "model.safetensors.index.json").write_text(
+        json.dumps({"weight_map": weight_map}))
+    cfg.save_pretrained(tmp_path)
+
+    lazy = LazyStateDict(tmp_path)
+    assert len(lazy) == len(sd)
+    np.testing.assert_array_equal(lazy["model.embed_tokens.weight"],
+                                  sd["model.embed_tokens.weight"])
+
+    base = LLM(model=hf, skip_tokenizer_init=True, dtype="float32",
+               max_batch_size=4, max_input_len=64, max_seq_len=128,
+               max_num_tokens=256,
+               kv_cache_config=KvCacheConfig(tokens_per_block=16,
+                                             max_tokens=1024))
+    sp = SamplingParams(max_tokens=8, top_k=1)
+    ref = base.generate([5, 9, 23, 44], sp).outputs[0].token_ids
+    base.shutdown()
+
+    disk = LLM(model=str(tmp_path), skip_tokenizer_init=True,
+               dtype="float32", max_batch_size=4, max_input_len=64,
+               max_seq_len=128, max_num_tokens=256,
+               kv_cache_config=KvCacheConfig(tokens_per_block=16,
+                                             max_tokens=1024))
+    got = disk.generate([5, 9, 23, 44], sp).outputs[0].token_ids
+    disk.shutdown()
+    assert got == ref
