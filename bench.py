@@ -103,7 +103,8 @@ def main():
               max_seq_len=max_seq, max_num_tokens=max(2048, isl * 4),
               quant_config=qc, load_format="dummy",
               decode_multi_step=multi_step,
-              kv_cache_config=KvCacheConfig(tokens_per_block=32))
+              kv_cache_config=KvCacheConfig(tokens_per_block=int(
+                  os.environ.get("BENCH_PAGE", "32"))))
 
     rng = np.random.default_rng(0)
     vocab = cfg.vocab_size

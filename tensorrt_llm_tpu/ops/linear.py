@@ -202,6 +202,56 @@ class Fp8BlockwiseMethod(LinearMethod):
         return out
 
 
+class W4A8QServeMethod(LinearMethod):
+    """W4A8 (QServe / W4A8_AWQ role, reference: qserve int4xint8 GEMM,
+    w4a8_awq mode.py entry): weights quantize to int4 with GROUP scales
+    expressed on the int8 grid, activations to per-token int8; the MXU
+    runs an int8xint8->int32 dot on the unpacked weights, and the
+    epilogue applies (act_scale x group_scale x channel_scale). TPU has
+    no native int4 lanes, so int4 storage halves HBM traffic and the
+    unpack rides the dot's operand preparation."""
+    name = "w4a8"
+
+    def __init__(self, quant_config=None):
+        super().__init__(quant_config)
+        self.group_size = quant_config.group_size if quant_config else 128
+
+    def quantize_weights(self, w, dtype=jnp.bfloat16):
+        G = self.group_size
+        K, N = w.shape
+        Gk = max(1, K // max(1, G))
+        wg = w.reshape(Gk, -1, N).astype(jnp.float32)
+        # two-level scaling (QServe): per-channel int8-range scale, then
+        # per-group int4 scale on the int8 grid
+        ch_scale = jnp.max(jnp.abs(wg), axis=(0, 1)) / 127.0 + 1e-12
+        w8 = wg / ch_scale                       # on the int8 grid
+        g_scale = jnp.max(jnp.abs(w8), axis=1, keepdims=True) / 7.0 + 1e-12
+        q = jnp.clip(jnp.round(w8 / g_scale), -8, 7).astype(jnp.int8)
+        return {"weight": q.reshape(K, N),
+                "weight_scale": g_scale[:, 0, :].astype(jnp.float32),
+                "channel_scale": ch_scale.astype(jnp.float32)}
+
+    def apply(self, params, x):
+        if "smooth" in params:
+            x = (x.astype(jnp.float32) / params["smooth"]).astype(x.dtype)
+        xq, x_scale = Q.quantize_activation_per_token_int8(x)
+        K, N = params["weight"].shape
+        Gk = params["weight_scale"].shape[0]
+        # int4-grid weights -> int8 grid per group, then one int8 dot
+        w8 = (params["weight"].reshape(Gk, -1, N).astype(jnp.float32)
+              * params["weight_scale"][:, None, :])
+        w8 = jnp.clip(jnp.round(w8), -127, 127).astype(jnp.int8) \
+            .reshape(K, N)
+        acc = jax.lax.dot_general(
+            xq, w8, (((xq.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        out = acc.astype(jnp.float32) * x_scale * params["channel_scale"]
+        out = out.astype(x.dtype)
+        if "bias" in params:
+            out = out + params["bias"]
+        return out
+
+
 def make_linear_method(quant_config, layer_name: str = "") -> LinearMethod:
     """Factory mirroring the reference per-layer method selection
     (linear.py get_quant_method), honoring ``exclude_modules``."""
@@ -219,6 +269,8 @@ def make_linear_method(quant_config, layer_name: str = "") -> LinearMethod:
         return WeightOnlyGroupwiseMethod(quant_config, bits=4, asymmetric=False)
     if algo == QuantAlgo.W4A16_GPTQ:
         return WeightOnlyGroupwiseMethod(quant_config, bits=4, asymmetric=True)
+    if algo == QuantAlgo.W4A8_AWQ:
+        return W4A8QServeMethod(quant_config)
     if algo in (QuantAlgo.W8A8_SQ_PER_CHANNEL,
                 QuantAlgo.W8A8_SQ_PER_CHANNEL_PER_TOKEN_PLUGIN):
         return SmoothQuantMethod(quant_config)

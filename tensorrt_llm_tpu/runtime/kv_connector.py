@@ -266,3 +266,45 @@ class HostMemoryKvConnector(KvCacheConnectorWorker,
             kv = np.concatenate(parts, axis=1)   # [L, n*page, 2nkv, hd]
             self.engine.inject_kv(block_ids, kv)
             self.stats["loaded_blocks"] += len(want)
+
+
+class DiskKvConnector(HostMemoryKvConnector):
+    """Disk-tier prefix store (reference: the KV manager v2 disk tier /
+    LMCache-style connectors): block payloads live as memory-mapped
+    files under ``cache_dir`` keyed by stable block hash; the in-memory
+    index holds only paths. Survives engine restarts — a new LLM over
+    the same cache_dir re-serves saved prefixes."""
+
+    def __init__(self, tokens_per_block: int, cache_dir: str,
+                 max_blocks: int = 1 << 20):
+        super().__init__(tokens_per_block, max_blocks)
+        import os
+        from pathlib import Path
+        self.cache_dir = Path(cache_dir)
+        self.cache_dir.mkdir(parents=True, exist_ok=True)
+        # restart recovery: adopt existing block files
+        self._store = _DiskStore(self.cache_dir)
+
+
+class _DiskStore(dict):
+    """dict façade over <hash>.npy files (np.load mmap on read)."""
+
+    def __init__(self, root):
+        super().__init__()
+        self.root = root
+        for f in root.glob("*.npy"):
+            try:
+                super().__setitem__(int(f.stem), f)
+            except ValueError:
+                continue
+
+    def __setitem__(self, h, arr):
+        import numpy as _np
+        path = self.root / f"{h}.npy"
+        _np.save(path, _np.asarray(arr))
+        super().__setitem__(h, path)
+
+    def __getitem__(self, h):
+        import numpy as _np
+        v = super().__getitem__(h)
+        return _np.load(v, mmap_mode="r")

@@ -91,3 +91,26 @@ def test_scheduler_output_plumbed(tmodel):
     llm.generate([1, 2, 3, 4, 5], SamplingParams(max_tokens=4, top_k=1))
     llm.shutdown()
     assert len(seen) == 1 and seen[0][1] >= 1
+
+
+def test_disk_connector_survives_restart(tmodel, tmp_path):
+    """Disk-tier connector: prefixes saved by one engine re-serve from
+    a FRESH engine over the same cache dir (restart recovery)."""
+    from tensorrt_llm_tpu.runtime.kv_connector import DiskKvConnector
+
+    prompt = list(range(2, 36))
+    sp = SamplingParams(max_tokens=8, top_k=1)
+
+    c1 = DiskKvConnector(tokens_per_block=16, cache_dir=str(tmp_path))
+    llm1 = _llm(tmodel, connector=c1)
+    ref = llm1.generate(prompt, sp).outputs[0].token_ids
+    assert c1.stats["saved_blocks"] > 0
+    llm1.shutdown()
+
+    c2 = DiskKvConnector(tokens_per_block=16, cache_dir=str(tmp_path))
+    assert len(c2._store) > 0          # adopted the saved blocks
+    llm2 = _llm(tmodel, connector=c2)
+    got = llm2.generate(prompt, sp).outputs[0].token_ids
+    llm2.shutdown()
+    assert got == ref
+    assert c2.stats["loaded_blocks"] >= 2

@@ -108,3 +108,38 @@ def test_unsmoothed_vs_smoothed_weight_error(outlier_model):
     err_plain = np.abs(plain - exact).mean()
     err_smooth = np.abs(smoothed - exact).mean()
     assert err_smooth < err_plain * 0.7, (err_plain, err_smooth)
+
+
+def test_w4a8_qserve_roundtrip(outlier_model):
+    """W4A8 (QServe two-level scaling): int4 weights on the int8 grid,
+    per-token int8 activations — greedy stream survives on a tiny
+    model and the method reconstructs W within int4 group error."""
+    import jax.numpy as jnp
+    from tensorrt_llm_tpu import (LLM, KvCacheConfig, QuantConfig,
+                                  SamplingParams)
+    from tensorrt_llm_tpu.quantization.mode import QuantAlgo
+    from tensorrt_llm_tpu.ops.linear import W4A8QServeMethod
+
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((64, 32)).astype(np.float32) * 0.1
+    x = rng.standard_normal((4, 64)).astype(np.float32)
+    m = W4A8QServeMethod(QuantConfig(group_size=32,
+                                     quant_algo=QuantAlgo.W4A8_AWQ))
+    m.group_size = 32
+    params = m.quantize_weights(jnp.asarray(w))
+    assert params["weight"].dtype == jnp.int8
+    got = np.asarray(m.apply(params, jnp.asarray(x)))
+    rel = np.abs(got - x @ w).mean() / np.abs(x @ w).mean()
+    assert rel < 0.12, rel    # int4 group-32 noise floor on N(0,.1)
+
+    llm = LLM(model=outlier_model, skip_tokenizer_init=True,
+              dtype="float32", max_batch_size=4, max_input_len=64,
+              max_seq_len=128, max_num_tokens=256,
+              quant_config=QuantConfig(quant_algo=QuantAlgo.W4A8_AWQ,
+                                       group_size=32),
+              kv_cache_config=KvCacheConfig(tokens_per_block=16,
+                                            max_tokens=1024))
+    out = llm.generate([5, 9, 23, 44], SamplingParams(max_tokens=6,
+                                                      top_k=1))
+    assert len(out.outputs[0].token_ids) == 6
+    llm.shutdown()

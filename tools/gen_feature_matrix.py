@@ -64,6 +64,31 @@ FEATURES = [
     ("Orchestration / broadcast serialization", ["test_orchestration"], ""),
     ("Model zoo parity vs HF", ["test_models"], ""),
     ("Multimodal prompt embeddings", ["test_misc_features"], ""),
+    ("Speculative: EAGLE3 one-model head",
+     ["test_speculative.py::test_e2e_eagle3"], ""),
+    ("Disagg router + OpenAI front door", ["test_disagg_server"], ""),
+    ("gRPC frontend", ["test_grpc"], ""),
+    ("KV connector API (external stores)", ["test_kv_connector"], ""),
+    ("Usage telemetry (opt-out, schema-validated)", ["test_usage"], ""),
+    ("Scheduler v2 (waiting queue + ADP router)",
+     ["test_scheduler_v2"], ""),
+    ("Guided decoding: EBNF grammars", ["test_guided.py::test_ebnf"], ""),
+    ("Guided decoding: structural tags",
+     ["test_guided.py::test_structural"], ""),
+    ("Tool-call parsers + /v1/responses",
+     ["test_tool_parser", "test_server.py::test_responses"], ""),
+    ("SmoothQuant (calibrated smoothing)", ["test_smoothquant"], ""),
+    ("Postprocess worker pool", [
+        "test_misc_features.py::test_postprocess_workers"], ""),
+    ("Determinism (golden seeded tokens)", ["test_determinism"], ""),
+    ("DWDP (dp-sharded weights)",
+     ["test_parallel.py::test_dwdp"], ""),
+    ("VSWA (per-window KV pools)", ["test_vswa"], ""),
+    ("Vision encoders + LLaVA (mm-hash reuse)", ["test_multimodal"], ""),
+    ("Ragged prefill attention kernel (hd%64)",
+     ["test_prefill_kernel"], ""),
+    ("Sharded/lazy checkpoint loading",
+     ["test_misc_features.py::test_sharded_checkpoint"], ""),
 ]
 
 
