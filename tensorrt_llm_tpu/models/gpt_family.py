@@ -37,6 +37,7 @@ _ACTS: Dict[str, Callable] = {
     "gelu": jax.nn.gelu,
     "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
     "gelu_pytorch_tanh": lambda x: jax.nn.gelu(x, approximate=True),
+    "relu": jax.nn.relu,
     "relu2": lambda x: jnp.square(jax.nn.relu(x)),
     "silu": jax.nn.silu,
 }
@@ -73,6 +74,8 @@ class LnFamilyModel(DecoderModelForCausalLM):
         # per-layer sliding alternation + rope variants (Cohere2-style);
         # same hook contract as the Llama base
         self.sliding_spec = None
+        # learned-position offset (OPT stores positions at index pos+2)
+        self.pos_offset = 0
 
     def _rope_variants(self, positions, cos_sin):
         return cos_sin
@@ -144,6 +147,12 @@ class LnFamilyModel(DecoderModelForCausalLM):
         spec = self.attn_spec
         eps = self.ln_eps
         act = _ACTS[self.act_name]
+        if "wpe" in params:      # learned positions (OPT stores at +2)
+            h = h + params["wpe"][metadata.positions
+                                  + self.pos_offset].astype(self.dtype)
+        if "embed_ln" in params:   # bloom word_embeddings_layernorm
+            h = layer_norm(h, params["embed_ln"]["w"],
+                           params["embed_ln"].get("b"), eps)
         cos_sin = rope_cos_sin(spec.rope, metadata.positions) \
             if spec.rope is not None else None
         shard_mesh, shard_axis = self.attn_shard_args()
@@ -741,3 +750,241 @@ class StableLmForCausalLM(LnFamilyModel):
             "lm_head": quantize_linear(self.m_lm_head, hf_transpose(lm_w),
                                        dtype=self.dtype),
         }
+
+
+@register_model("bloom")
+class BloomForCausalLM(LnFamilyModel):
+    """BLOOM: ALiBi attention (no rope/positions), embedding LayerNorm,
+    per-head-interleaved fused QKV, biased projections, gelu MLP.
+    Reference role: the reference's bloom family support."""
+    architectures = ("BloomForCausalLM",)
+    act_name = "gelu_pytorch_tanh"
+
+    def __init__(self, model_config):
+        super().__init__(model_config)
+        import dataclasses as _dc
+        from .modeling_utils import alibi_slopes
+        self.attn_spec = _dc.replace(
+            self.attn_spec, rope=None,
+            alibi_slopes=alibi_slopes(self.num_heads))
+
+    def _rope_config(self):
+        return None
+
+    def load_hf_state_dict(self, sd):
+        L, H = self.num_layers, self.hidden_size
+        nq, hd = self.num_heads, self.head_dim
+        pre = "transformer.h.{}."
+        sd = {k[len("transformer."):] if False else k: v
+              for k, v in sd.items()}
+        split = dict(sd)
+        for i in range(L):
+            w = np.asarray(
+                sd[pre.format(i) + "self_attention.query_key_value.weight"])
+            b = np.asarray(
+                sd[pre.format(i) + "self_attention.query_key_value.bias"])
+            # bloom fuses per head: [heads, 3, hd, H]
+            w = w.reshape(nq, 3, hd, H)
+            b = b.reshape(nq, 3, hd)
+            for j, n in enumerate("qkv"):
+                split[pre.format(i) + f"self_attention.{n}.weight"] = \
+                    w[:, j].reshape(nq * hd, H)
+                split[pre.format(i) + f"self_attention.{n}.bias"] = \
+                    b[:, j].reshape(nq * hd)
+        sd = split
+        layers = {
+            "ln1": self._stack_ln(sd, pre + "input_layernorm.weight", L,
+                                  pre + "input_layernorm.bias"),
+            "ln2": self._stack_ln(sd,
+                                  pre + "post_attention_layernorm.weight",
+                                  L, pre + "post_attention_layernorm.bias"),
+            "q": self._stack_lin(self.m_attn, sd,
+                                 pre + "self_attention.q.weight", L),
+            "k": self._stack_lin(self.m_attn, sd,
+                                 pre + "self_attention.k.weight", L),
+            "v": self._stack_lin(self.m_attn, sd,
+                                 pre + "self_attention.v.weight", L),
+            "o": self._stack_lin(self.m_attn, sd,
+                                 pre + "self_attention.dense.weight", L),
+            "fc": self._stack_lin(self.m_mlp, sd,
+                                  pre + "mlp.dense_h_to_4h.weight", L),
+            "proj": self._stack_lin(self.m_mlp, sd,
+                                    pre + "mlp.dense_4h_to_h.weight", L),
+        }
+        from .modeling_utils import hf_transpose
+        wte = sd["transformer.word_embeddings.weight"]
+        return {
+            "embed": {"weight": jnp.asarray(wte, self.dtype)},
+            "embed_ln": {
+                "w": jnp.asarray(
+                    sd["transformer.word_embeddings_layernorm.weight"],
+                    self.dtype),
+                "b": jnp.asarray(
+                    sd["transformer.word_embeddings_layernorm.bias"],
+                    self.dtype)},
+            "layers": layers,
+            "final_norm": {
+                "w": jnp.asarray(sd["transformer.ln_f.weight"], self.dtype),
+                "b": jnp.asarray(sd["transformer.ln_f.bias"], self.dtype)},
+            "lm_head": quantize_linear(
+                self.m_lm_head,
+                hf_transpose(sd.get("lm_head.weight", wte)),
+                dtype=self.dtype),
+        }
+
+    def param_pspecs(self, params):
+        from jax.sharding import PartitionSpec as P
+        trimmed = {k: v for k, v in params.items() if k != "embed_ln"}
+        spec = super().param_pspecs(trimmed)
+        spec["embed_ln"] = {"w": P(None), "b": P(None)}
+        return spec
+
+
+@register_model("mpt")
+class MptForCausalLM(LnFamilyModel):
+    """MPT: ALiBi, bias-free LayerNorm and projections, fused Wqkv,
+    gelu MLP."""
+    architectures = ("MptForCausalLM", "MPTForCausalLM")
+    act_name = "gelu"
+    attn_bias = False
+    mlp_bias = False
+
+    def __init__(self, model_config):
+        super().__init__(model_config)
+        import dataclasses as _dc
+        from .modeling_utils import alibi_slopes
+        self.attn_spec = _dc.replace(
+            self.attn_spec, rope=None,
+            alibi_slopes=alibi_slopes(self.num_heads))
+
+    def _inner_size(self):
+        hf = self.hf
+        return getattr(hf, "expansion_ratio", 4) * hf.hidden_size
+
+    @property
+    def num_kv_heads(self):
+        # MPT attn_config may set kv_n_heads (grouped); default MHA
+        ac = getattr(self.hf, "attn_config", None)
+        kv = None
+        if isinstance(ac, dict):
+            kv = ac.get("kv_n_heads")
+        elif ac is not None:
+            kv = getattr(ac, "kv_n_heads", None)
+        return kv or self.hf.num_attention_heads
+
+    def _ln_eps(self):
+        return getattr(self.hf, "layer_norm_epsilon", 1e-5)
+
+    def _rope_config(self):
+        return None
+
+    def load_hf_state_dict(self, sd):
+        L, H = self.num_layers, self.hidden_size
+        nq, nkv, hd = self.num_heads, self.num_kv_heads, self.head_dim
+        pre = "transformer.blocks.{}."
+        split = dict(sd)
+        for i in range(L):
+            w = np.asarray(sd[pre.format(i) + "attn.Wqkv.weight"])
+            split[pre.format(i) + "attn.q.weight"] = w[:nq * hd]
+            split[pre.format(i) + "attn.k.weight"] = \
+                w[nq * hd:nq * hd + nkv * hd]
+            split[pre.format(i) + "attn.v.weight"] = w[nq * hd + nkv * hd:]
+        sd = split
+        layers = {
+            "ln1": self._stack_ln(sd, pre + "norm_1.weight", L),
+            "ln2": self._stack_ln(sd, pre + "norm_2.weight", L),
+            "q": self._stack_lin(self.m_attn, sd,
+                                 pre + "attn.q.weight", L),
+            "k": self._stack_lin(self.m_attn, sd,
+                                 pre + "attn.k.weight", L),
+            "v": self._stack_lin(self.m_attn, sd,
+                                 pre + "attn.v.weight", L),
+            "o": self._stack_lin(self.m_attn, sd,
+                                 pre + "attn.out_proj.weight", L),
+            "fc": self._stack_lin(self.m_mlp, sd,
+                                  pre + "ffn.up_proj.weight", L),
+            "proj": self._stack_lin(self.m_mlp, sd,
+                                    pre + "ffn.down_proj.weight", L),
+        }
+        from .modeling_utils import hf_transpose
+        wte = sd["transformer.wte.weight"]
+        return {
+            "embed": {"weight": jnp.asarray(wte, self.dtype)},
+            "layers": layers,
+            "final_norm": {"w": jnp.asarray(sd["transformer.norm_f.weight"],
+                                            self.dtype)},
+            "lm_head": quantize_linear(
+                self.m_lm_head,
+                hf_transpose(sd.get("lm_head.weight", wte)),
+                dtype=self.dtype),
+        }
+
+
+@register_model("opt")
+class OPTForCausalLM(LnFamilyModel):
+    """OPT: learned positions at offset +2, biased projections, ReLU
+    MLP, pre-LN."""
+    architectures = ("OPTForCausalLM",)
+    act_name = "relu"
+
+    def __init__(self, model_config):
+        super().__init__(model_config)
+        self.pos_offset = 2
+
+    def _inner_size(self):
+        return self.hf.ffn_dim
+
+    def _ln_eps(self):
+        return 1e-5
+
+    def _rope_config(self):
+        return None
+
+    def load_hf_state_dict(self, sd):
+        L = self.num_layers
+        # strip optional "model." prefix
+        sd = {k[len("model."):] if k.startswith("model.") else k: v
+              for k, v in sd.items()}
+        pre = "decoder.layers.{}."
+        layers = {
+            "ln1": self._stack_ln(sd, pre + "self_attn_layer_norm.weight",
+                                  L, pre + "self_attn_layer_norm.bias"),
+            "ln2": self._stack_ln(sd, pre + "final_layer_norm.weight", L,
+                                  pre + "final_layer_norm.bias"),
+            "q": self._stack_lin(self.m_attn, sd,
+                                 pre + "self_attn.q_proj.weight", L),
+            "k": self._stack_lin(self.m_attn, sd,
+                                 pre + "self_attn.k_proj.weight", L),
+            "v": self._stack_lin(self.m_attn, sd,
+                                 pre + "self_attn.v_proj.weight", L),
+            "o": self._stack_lin(self.m_attn, sd,
+                                 pre + "self_attn.out_proj.weight", L),
+            "fc": self._stack_lin(self.m_mlp, sd, pre + "fc1.weight", L),
+            "proj": self._stack_lin(self.m_mlp, sd, pre + "fc2.weight", L),
+        }
+        from .modeling_utils import hf_transpose
+        wte = sd["decoder.embed_tokens.weight"]
+        out = {
+            "embed": {"weight": jnp.asarray(wte, self.dtype)},
+            "wpe": jnp.asarray(sd["decoder.embed_positions.weight"],
+                               self.dtype),
+            "layers": layers,
+            "lm_head": quantize_linear(
+                self.m_lm_head,
+                hf_transpose(sd.get("lm_head.weight", wte)),
+                dtype=self.dtype),
+        }
+        if "decoder.final_layer_norm.weight" in sd:
+            out["final_norm"] = {
+                "w": jnp.asarray(sd["decoder.final_layer_norm.weight"],
+                                 self.dtype),
+                "b": jnp.asarray(sd["decoder.final_layer_norm.bias"],
+                                 self.dtype)}
+        return out
+
+    def param_pspecs(self, params):
+        from jax.sharding import PartitionSpec as P
+        trimmed = {k: v for k, v in params.items() if k != "wpe"}
+        spec = super().param_pspecs(trimmed)
+        spec["wpe"] = P(None, None)
+        return spec

@@ -90,6 +90,27 @@ class AttentionSpec:
     sliding_window: Optional[int] = None
     soft_cap: Optional[float] = None
     is_neox: bool = True
+    # ALiBi (Bloom/MPT): per-q-head slopes, static tuple; scores get
+    # -slope * (q_pos - kv_pos) added before softmax
+    alibi_slopes: Optional[tuple] = None
+
+
+def alibi_slopes(num_heads: int) -> tuple:
+    """Canonical ALiBi slope schedule (press et al.; HF build_alibi):
+    powers of 2^(-8/n) for the nearest power-of-two head count, with
+    interleaved extras for non-power-of-two."""
+    import math
+
+    def pow2_slopes(n):
+        start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+        return [start * (start ** i) for i in range(n)]
+
+    n2 = 2 ** int(math.floor(math.log2(num_heads)))
+    slopes = pow2_slopes(n2)
+    if n2 != num_heads:
+        extra = pow2_slopes(2 * n2)
+        slopes += extra[0::2][: num_heads - n2]
+    return tuple(slopes)
 
 
 def attention_block(params: Dict[str, Any],
@@ -147,6 +168,7 @@ def attention_block(params: Dict[str, Any],
     attn = ragged_paged_attention(
         q, kv_pages, metadata, sm_scale=spec.sm_scale,
         sliding_window=spec.sliding_window, soft_cap=spec.soft_cap,
+        alibi_slopes=spec.alibi_slopes,
         k_scale=ks, v_scale=ks, backend=attn_backend,
         mesh=mesh, tp_axis=tp_axis)
     attn_flat = attn.reshape(T, nq * hd)

@@ -123,6 +123,7 @@ def ragged_paged_attention(
         sm_scale: float,
         sliding_window: Optional[int] = None,
         soft_cap: Optional[float] = None,
+        alibi_slopes: Optional[tuple] = None,
         k_scale: Optional[float] = None,
         v_scale: Optional[float] = None,
         backend: str = "auto",
@@ -156,9 +157,21 @@ def ragged_paged_attention(
                 from jax.experimental.shard_map import shard_map
 
             def local_attn(q_l, kv_l):
+                local_slopes = alibi_slopes
+                if alibi_slopes is not None:
+                    # slice this shard's q-head slopes
+                    nloc = q_l.shape[1]
+                    idx = 0
+                    for a in axes:
+                        idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+                    arr = jax.lax.dynamic_slice(
+                        jnp.asarray(alibi_slopes, jnp.float32),
+                        (idx * nloc,), (nloc,))
+                    local_slopes = arr
                 return ragged_paged_attention(
                     q_l, kv_l, metadata, sm_scale=sm_scale,
                     sliding_window=sliding_window, soft_cap=soft_cap,
+                    alibi_slopes=local_slopes,
                     k_scale=k_scale, v_scale=v_scale, backend=backend)
 
             return shard_map(
@@ -167,6 +180,15 @@ def ragged_paged_attention(
                           P(None, None, axes, None)),
                 out_specs=P(None, axes, None))(q, kv_pages)
 
+    if alibi_slopes is not None:
+        # ALiBi rides the XLA reference path for now (the Pallas kernels
+        # and library RPA have no score-bias hook yet); Bloom/MPT-class
+        # models pay the dense cost — tracked in TODO.md
+        return _reference_attention(
+            q, kv_pages, metadata, sm_scale=sm_scale,
+            sliding_window=sliding_window, soft_cap=soft_cap,
+            k_scale=k_scale, v_scale=v_scale,
+            alibi_slopes=alibi_slopes)
     if backend == "auto":
         # the library RPA kernel requires lane-aligned head_dim (128);
         # other geometries use the in-repo decode kernel for decode-only
@@ -234,7 +256,8 @@ def ragged_paged_attention(
 
 
 def _reference_attention(q, kv_pages, metadata, *, sm_scale,
-                         sliding_window, soft_cap, k_scale, v_scale):
+                         sliding_window, soft_cap, k_scale, v_scale,
+                         alibi_slopes=None):
     """Dense gather-based paged attention, vectorized over sequences.
 
     Semantics match ref_ragged_paged_attention (jax.experimental RPA
@@ -278,6 +301,14 @@ def _reference_attention(q, kv_pages, metadata, *, sm_scale,
     qg = q.reshape(T, num_kv_heads, group, head_dim)
     scores = jnp.einsum("tkgd,tskd->tkgs", qg.astype(jnp.float32),
                         k_tok.astype(jnp.float32)) * sm_scale
+    if alibi_slopes is not None:
+        slopes = jnp.asarray(alibi_slopes, jnp.float32) \
+            .reshape(num_kv_heads, group)
+        kv_pos_b = jnp.arange(max_kv, dtype=jnp.int32)
+        # bias = slope * (kv_pos - q_pos)  (≤ 0 for the causal past)
+        dist = (kv_pos_b[None, :] -
+                tok_kv_pos[:, None]).astype(jnp.float32)
+        scores = scores + slopes[None, :, :, None] * dist[:, None, None, :]
     if soft_cap is not None:
         scores = soft_cap * jnp.tanh(scores / soft_cap)
     kv_pos = jnp.arange(max_kv, dtype=jnp.int32)

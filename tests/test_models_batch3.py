@@ -156,3 +156,28 @@ def test_stablelm():
                          max_position_embeddings=256,
                          tie_word_embeddings=False)
     _roundtrip(cfg, StableLmForCausalLM)
+
+
+def test_bloom():
+    from transformers import BloomConfig, BloomForCausalLM
+    cfg = BloomConfig(vocab_size=128, hidden_size=64, n_head=4,
+                      n_layer=2, pad_token_id=0, eos_token_id=1,
+                      bos_token_id=2)
+    _roundtrip(cfg, BloomForCausalLM, rtol=5e-3)
+
+
+def test_mpt():
+    from transformers import MptConfig, MptForCausalLM
+    cfg = MptConfig(vocab_size=128, d_model=64, n_heads=4, n_layers=2,
+                    expansion_ratio=2, max_seq_len=256)
+    _roundtrip(cfg, MptForCausalLM, rtol=5e-3)
+
+
+def test_opt():
+    from transformers import OPTConfig, OPTForCausalLM
+    cfg = OPTConfig(vocab_size=128, hidden_size=64, ffn_dim=128,
+                    num_hidden_layers=2, num_attention_heads=4,
+                    max_position_embeddings=256, word_embed_proj_dim=64,
+                    pad_token_id=0, eos_token_id=1, bos_token_id=2,
+                    do_layer_norm_before=True)
+    _roundtrip(cfg, OPTForCausalLM)
