@@ -129,8 +129,22 @@ class RequestBroadcaster:
                 c.sendall(payload)
 
     # follower --------------------------------------------------------- #
-    def connect(self, host: str, port: int, timeout: float = 60.0) -> None:
-        self._sock = socket.create_connection((host, port), timeout)
+    def connect(self, host: str, port: int, timeout: float = 120.0) -> None:
+        """Dial the leader, retrying until ``timeout`` — follower
+        processes routinely come up before the leader finishes its
+        engine build and binds (reference: MGMN workers poll the
+        rank-0 endpoint the same way)."""
+        import time as _time
+        deadline = _time.monotonic() + timeout
+        while True:
+            try:
+                self._sock = socket.create_connection((host, port),
+                                                      timeout=10.0)
+                break
+            except OSError:
+                if _time.monotonic() >= deadline:
+                    raise
+                _time.sleep(0.5)
         self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
 
     def recv(self) -> SerializableBatch:

@@ -47,14 +47,14 @@ _WORKER = textwrap.dedent("""
                SamplingParams(max_tokens=12, top_k=1)]
         prompts = [[1, 2, 3, 4], [9, 8, 7], [40] * 12]
         futs = [llm.generate_async(p, sp) for p, sp in zip(prompts, sps)]
-        outs = [f.result(timeout=300) for f in futs]
+        outs = [f.result(timeout=560) for f in futs]
         result = {{o.request_id: o.outputs[0].token_ids for o in outs}}
         llm.shutdown()
         print("RESULT " + json.dumps(result), flush=True)
     else:
         # follower loop ends when the leader broadcasts shutdown
         ex = llm.executor
-        ex._thread.join(timeout=300)
+        ex._thread.join(timeout=560)
         result = {{str(k): v for k, v in ex.completed_tokens.items()}}
         llm.shutdown()
         print("RESULT " + json.dumps(result), flush=True)
@@ -80,8 +80,8 @@ def test_two_process_leader_follower_identical_tokens():
         [sys.executable, "-u", "-c", _WORKER, "follower", str(port)],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
     try:
-        lout, lerr = leader.communicate(timeout=600)
-        fout, ferr = follower.communicate(timeout=600)
+        lout, lerr = leader.communicate(timeout=900)
+        fout, ferr = follower.communicate(timeout=900)
     except subprocess.TimeoutExpired:
         leader.kill()
         follower.kill()
