@@ -180,10 +180,9 @@ def ragged_paged_attention(
                           P(None, None, axes, None)),
                 out_specs=P(None, axes, None))(q, kv_pages)
 
-    if alibi_slopes is not None:
-        # ALiBi rides the XLA reference path for now (the Pallas kernels
-        # and library RPA have no score-bias hook yet); Bloom/MPT-class
-        # models pay the dense cost — tracked in TODO.md
+    if alibi_slopes is not None and not isinstance(alibi_slopes, tuple):
+        # shard_map slices hand slopes in as a traced array; the Pallas
+        # kernels need a static tuple — fall back to the XLA path there
         return _reference_attention(
             q, kv_pages, metadata, sm_scale=sm_scale,
             sliding_window=sliding_window, soft_cap=soft_cap,
@@ -194,7 +193,8 @@ def ragged_paged_attention(
         # other geometries use the in-repo decode kernel for decode-only
         # batches and the XLA reference path for prefill
         on_tpu = jax.default_backend() == "tpu"
-        if on_tpu and q.shape[-1] % 128 == 0 and _RPA_AVAILABLE:
+        if (on_tpu and q.shape[-1] % 128 == 0 and _RPA_AVAILABLE
+                and alibi_slopes is None):   # library kernel: no alibi
             backend = "rpa"
         elif on_tpu:
             backend = "hybrid_decode"
@@ -213,7 +213,8 @@ def ragged_paged_attention(
             out_s = paged_decode_attention(
                 q_s, kv_pages, metadata.kv_lens, metadata.page_indices,
                 sm_scale=sm_scale, sliding_window=sliding_window,
-                soft_cap=soft_cap, k_scale=k_scale, v_scale=v_scale)
+                soft_cap=soft_cap, alibi_slopes=alibi_slopes,
+                k_scale=k_scale, v_scale=v_scale)
             return jnp.zeros_like(q).at[:m].set(out_s[:m].astype(q.dtype))
 
         def prefill_path(_):
@@ -230,12 +231,14 @@ def ragged_paged_attention(
                     q, kv_pages, metadata.kv_lens, metadata.page_indices,
                     metadata.cu_q_lens, sm_scale=sm_scale,
                     sliding_window=sliding_window, soft_cap=soft_cap,
+                    alibi_slopes=alibi_slopes,
                     k_scale=k_scale, v_scale=v_scale, max_q_len=maxq)
 
             def dense_path(_):
                 return _reference_attention(
                     q, kv_pages, metadata, sm_scale=sm_scale,
                     sliding_window=sliding_window, soft_cap=soft_cap,
+                    alibi_slopes=alibi_slopes,
                     k_scale=k_scale, v_scale=v_scale)
 
             if (2 * q.shape[-1]) % 128 != 0:   # kernel can't serve hd
@@ -252,6 +255,7 @@ def ragged_paged_attention(
     return _reference_attention(
         q, kv_pages, metadata, sm_scale=sm_scale,
         sliding_window=sliding_window, soft_cap=soft_cap,
+        alibi_slopes=alibi_slopes,
         k_scale=k_scale, v_scale=v_scale)
 
 

@@ -35,7 +35,7 @@ def _kernel(kv_lens_ref, page_tbl_ref, cu_tiles_ref, tile_seq_ref,
             q_ref, pages_hbm, o_ref,            # blocks
             kbuf, m_scr, l_scr, acc_scr, sem,   # scratch
             *, ps, tile_pages, num_kv, group, hd, qb, sm_scale,
-            sliding_window, soft_cap, k_scale, v_scale):
+            sliding_window, soft_cap, alibi_slopes, k_scale, v_scale):
     b = pl.program_id(0)
     TILE = tile_pages * ps
     f_lo = cu_tiles_ref[b * qb]
@@ -114,6 +114,17 @@ def _kernel(kv_lens_ref, page_tbl_ref, cu_tiles_ref, tile_seq_ref,
                 qg.astype(jnp.float32), k.astype(jnp.float32),
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * sm_scale
+            if alibi_slopes is not None:
+                # rows: qb seqs x group heads (head = row % group); bias
+                # = slope * (kv_pos - q_pos); python-scalar slopes via a
+                # per-head select cascade (no const arrays in Pallas)
+                dist = (kv_pos - (kv_len - 1)).astype(jnp.float32)
+                head_idx = jax.lax.broadcasted_iota(
+                    jnp.int32, (rows, TILE), 0) % group
+                for i in range(group):
+                    scores = scores + jnp.where(
+                        head_idx == i,
+                        float(alibi_slopes[h * group + i]) * dist, 0.0)
             if soft_cap is not None:
                 scores = soft_cap * jnp.tanh(scores / soft_cap)
             scores = jnp.where(valid, scores, MASK)
@@ -144,8 +155,8 @@ def _kernel(kv_lens_ref, page_tbl_ref, cu_tiles_ref, tile_seq_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "sm_scale", "sliding_window", "soft_cap", "k_scale", "v_scale",
-    "interpret"))
+    "sm_scale", "sliding_window", "soft_cap", "alibi_slopes", "k_scale",
+    "v_scale", "interpret"))
 def paged_decode_attention(q: jax.Array,           # [S, qh, hd]
                            kv_pages: jax.Array,    # [P, ps, 2kvh, hd]
                            kv_lens: jax.Array,     # i32[S]
@@ -154,6 +165,7 @@ def paged_decode_attention(q: jax.Array,           # [S, qh, hd]
                            sm_scale: float,
                            sliding_window=None,
                            soft_cap=None,
+                           alibi_slopes=None,
                            k_scale=None,
                            v_scale=None,
                            interpret: bool = False) -> jax.Array:
@@ -216,7 +228,8 @@ def paged_decode_attention(q: jax.Array,           # [S, qh, hd]
     kernel = functools.partial(
         _kernel, ps=ps, tile_pages=tile_pages, num_kv=num_kv, group=group,
         hd=hd, qb=qb, sm_scale=sm_scale, sliding_window=sliding_window,
-        soft_cap=soft_cap, k_scale=k_scale, v_scale=v_scale)
+        soft_cap=soft_cap, alibi_slopes=alibi_slopes,
+        k_scale=k_scale, v_scale=v_scale)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

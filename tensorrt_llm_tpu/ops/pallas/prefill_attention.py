@@ -39,7 +39,8 @@ def _kernel(cu_q_ref, kv_lens_ref, page_tbl_ref,      # scalar prefetch
             qbuf, kbuf, obuf, m_scr, l_scr, acc_scr,  # VMEM scratch
             sem_q, sem_kv, sem_o, sem_r,
             *, ps, tile_pages, num_kv, group, hd, maxq, qb_rows,
-            sm_scale, sliding_window, soft_cap, k_scale, v_scale):
+            sm_scale, sliding_window, soft_cap, alibi_slopes, k_scale,
+            v_scale):
     s = pl.program_id(0)
     q_start = cu_q_ref[s]
     q_len = cu_q_ref[s + 1] - q_start
@@ -155,18 +156,33 @@ def _kernel(cu_q_ref, kv_lens_ref, page_tbl_ref,      # scalar prefetch
                     # are relayout-normalized — concat the offset-0
                     # score tiles instead
                     kf = k.astype(jnp.float32)
-                    scores = jnp.concatenate([
-                        jax.lax.dot_general(
+                    q_row = row_iota + qb * qb_rows - delta
+                    q_pos = kv_len - q_len + q_row
+
+                    def head_scores(i):
+                        s = jax.lax.dot_general(
                             qbuf[rows, (h * group + i) * hd:
                                  (h * group + i + 1) * hd]
                             .astype(jnp.float32), kf,
                             (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-                        for i in range(group)], axis=0) * sm_scale
+                            preferred_element_type=jnp.float32) * sm_scale
+                        if alibi_slopes is not None:
+                            # python-scalar slope per head (Pallas
+                            # forbids closed-over const arrays)
+                            pr = jax.lax.broadcasted_iota(
+                                jnp.int32, (qb_rows, TILE), 0)
+                            qp = kv_len - q_len + pr \
+                                + qb * qb_rows - delta
+                            dist = (pos_iota[:qb_rows]
+                                    - qp).astype(jnp.float32)
+                            s = s + float(
+                                alibi_slopes[h * group + i]) * dist
+                        return s
+
+                    scores = jnp.concatenate(
+                        [head_scores(i) for i in range(group)], axis=0)
                     if soft_cap is not None:
                         scores = soft_cap * jnp.tanh(scores / soft_cap)
-                    q_row = row_iota + qb * qb_rows - delta
-                    q_pos = kv_len - q_len + q_row
                     valid = (pos_iota <= q_pos) & (pos_iota < kv_len) \
                         & (q_row >= 0) & (q_row < q_len)
                     if sliding_window is not None:
@@ -226,8 +242,8 @@ def _kernel(cu_q_ref, kv_lens_ref, page_tbl_ref,      # scalar prefetch
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "sm_scale", "sliding_window", "soft_cap", "k_scale", "v_scale",
-    "max_q_len", "interpret"))
+    "sm_scale", "sliding_window", "soft_cap", "alibi_slopes", "k_scale",
+    "v_scale", "max_q_len", "interpret"))
 def ragged_prefill_attention(q: jax.Array,            # [T, qh, hd] packed
                              kv_pages: jax.Array,     # [P, ps, 2kvh, hd]
                              kv_lens: jax.Array,      # i32[S]
@@ -237,6 +253,7 @@ def ragged_prefill_attention(q: jax.Array,            # [T, qh, hd] packed
                              sm_scale: float,
                              sliding_window=None,
                              soft_cap=None,
+                             alibi_slopes=None,
                              k_scale=None,
                              v_scale=None,
                              max_q_len: int = 256,
@@ -298,7 +315,8 @@ def ragged_prefill_attention(q: jax.Array,            # [T, qh, hd] packed
         _kernel, ps=ps, tile_pages=tile_pages, num_kv=num_kv,
         group=group, hd=hd, maxq=maxq, qb_rows=qb_rows,
         sm_scale=sm_scale, sliding_window=sliding_window,
-        soft_cap=soft_cap, k_scale=k_scale, v_scale=v_scale)
+        soft_cap=soft_cap, alibi_slopes=alibi_slopes,
+        k_scale=k_scale, v_scale=v_scale)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
