@@ -661,6 +661,48 @@ class LLM:
     def get_kv_cache_events(self) -> list:
         return self.kv_cache_manager.get_latest_events()
 
+    def rebalance_moe(self, expert_loads) -> None:
+        """Wide-EP online rebalance (reference: MoeLoadBalancer +
+        fused_moe_wide_ep.py): recompute the EPLB placement from
+        observed per-expert loads and install replica-slot weight
+        tables; hot experts replicate across the ep shards. One GSPMD
+        gather per MoE weight — call sparingly (every N thousand
+        iterations), not per step."""
+        import jax as _jax
+        import jax.numpy as _jnp
+        import numpy as _np
+        from ..ops.moe_balancer import build_replica_tables, eplb_placement
+        layers = self.engine.params.get("layers", {})
+        if "w_gate" not in layers:
+            raise ValueError("model has no MoE expert weights")
+        E = layers["w_gate"].shape[1]
+        nshards = max(1, self.mapping.cp_size * self.mapping.tp_size)
+        num_slots = max(E, nshards * (-(-E // nshards)))
+        # round slots up so the hot experts can replicate
+        num_slots = max(num_slots, 2 * nshards * (num_slots // nshards)
+                        // 2)
+        placement = eplb_placement(_np.asarray(expert_loads, _np.float64),
+                                   num_slots=num_slots,
+                                   num_shards=nshards)
+        rep_count, rep_slots = build_replica_tables(placement, E)
+        pl = _jnp.asarray(placement)
+        gather = _jax.jit(lambda w: w[:, pl])
+        new = dict(layers)
+        new["w_gate_slots"] = gather(layers["w_gate"])
+        new["w_up_slots"] = gather(layers["w_up"])
+        new["w_down_slots"] = gather(layers["w_down"])
+        # layer entries ride the scan (sliced on the leading L dim):
+        # broadcast the shared placement tables per layer
+        L = layers["w_gate"].shape[0]
+        new["moe_rep_count"] = _jnp.tile(
+            _jnp.asarray(rep_count)[None], (L, 1))
+        new["moe_rep_slots"] = _jnp.tile(
+            _jnp.asarray(rep_slots)[None], (L, 1, 1))
+        self.engine.params = {**self.engine.params, "layers": new}
+        logger.info("wide-EP rebalance: %d slots over %d shards, max "
+                    "replicas %d", num_slots, nshards,
+                    int(rep_count.max()))
+
     def shutdown(self):
         if hasattr(self, "_usage"):
             self._usage.shutdown(self)

@@ -171,11 +171,26 @@ class MixtralForCausalLM(LlamaForCausalLM):
                 mesh=shard_mesh, tp_axis=shard_axis)
             h = h + (attn_out if rm == 1.0 else rm * attn_out)
             normed = rms_norm(h, layer["post_norm"], eps)
-            moe_out = moe_mlp(normed, layer["w_gate"], layer["w_up"],
-                              layer["w_down"], layer["router"],
-                              top_k=self.top_k, backend=self.moe_backend,
-                              mapping=mapping, mesh=self.mesh,
-                              renormalize=self.renormalize)
+            if "w_gate_slots" in layer:
+                # wide-EP: replica-slot weights installed by
+                # rebalance_moe (reference: fused_moe_wide_ep.py)
+                from ..ops.moe import moe_mlp_wide_ep, topk_routing
+                logits_r = jnp.dot(normed, layer["router"],
+                                   preferred_element_type=jnp.float32)
+                probs, eidx = topk_routing(logits_r, self.top_k,
+                                           renormalize=self.renormalize)
+                moe_out = moe_mlp_wide_ep(
+                    normed, layer["w_gate_slots"], layer["w_up_slots"],
+                    layer["w_down_slots"], probs, eidx,
+                    layer["moe_rep_count"], layer["moe_rep_slots"],
+                    self.mesh)
+            else:
+                moe_out = moe_mlp(normed, layer["w_gate"], layer["w_up"],
+                                  layer["w_down"], layer["router"],
+                                  top_k=self.top_k,
+                                  backend=self.moe_backend,
+                                  mapping=mapping, mesh=self.mesh,
+                                  renormalize=self.renormalize)
             if self.has_shared_expert:
                 # always-on shared expert scaled by a sigmoid gate
                 # (Qwen2-MoE shared_expert + shared_expert_gate)

@@ -151,6 +151,66 @@ def moe_mlp_ep(x: jax.Array,              # [T, H] (replicated)
         out_specs=P())(x, w_gate, w_up, w_down, probs, expert_idx)
 
 
+def moe_mlp_wide_ep(x, w_gate_slots, w_up_slots, w_down_slots,
+                    probs, expert_idx, rep_count, rep_slots,
+                    mesh, ep_axes=("cp", "tp")):
+    """Wide-EP MoE (reference: fused_moe_wide_ep.py): weights live as
+    REPLICA SLOTS ``W[placement]`` sharded over the ep axes; each
+    (token, expert) pick round-robins across the expert's replicas so a
+    hot expert's traffic splits across shards. Compute is the same
+    shard_map grouped-GEMM as moe_mlp_ep, keyed by slot ids."""
+    if isinstance(ep_axes, str):
+        ep_axes = (ep_axes,)
+    ep_axes = () if mesh is None else tuple(
+        a for a in ep_axes if mesh.shape.get(a, 1) > 1)
+    T, k = expert_idx.shape
+    # replica pick: deterministic round-robin on token index
+    tok = jnp.arange(T, dtype=jnp.int32)[:, None]
+    rc = rep_count[expert_idx]                       # [T, k]
+    pick = (tok + jnp.arange(k, dtype=jnp.int32)[None]) % jnp.maximum(rc, 1)
+    slot_idx = rep_slots[expert_idx, pick]           # [T, k] slot ids
+    if not ep_axes:
+        # single shard: slots ARE the (replicated) expert table
+        return moe_mlp_ragged(x, w_gate_slots, w_up_slots, w_down_slots,
+                              probs, slot_idx)
+
+    def local_moe(x, w_gate, w_up, w_down, probs, slot_idx):
+        S_local = w_gate.shape[0]
+        shard = jax.lax.axis_index(ep_axes)
+        T, H = x.shape
+        k = slot_idx.shape[1]
+        M = T * k
+        flat = slot_idx.reshape(M) - shard * S_local
+        is_local = (flat >= 0) & (flat < S_local)
+        key = jnp.where(is_local, flat, S_local)
+        order = jnp.argsort(key)
+        tok_of = order // k
+        xs = x[tok_of]
+        group_sizes = jnp.bincount(
+            jnp.where(is_local, flat, S_local), length=S_local + 1
+        )[:S_local].astype(jnp.int32)
+        m_local = jnp.sum(group_sizes)
+        h_gate = jax.lax.ragged_dot(xs, w_gate, group_sizes)
+        h_up = jax.lax.ragged_dot(xs, w_up, group_sizes)
+        h = (jax.nn.silu(h_gate.astype(jnp.float32)).astype(x.dtype) * h_up)
+        y = jax.lax.ragged_dot(h, w_down, group_sizes)
+        row_ok = jnp.arange(M, dtype=jnp.int32) < m_local
+        w = jnp.where(is_local, probs.reshape(M), 0.0)[order]
+        w = jnp.where(row_ok, w, 0.0).astype(jnp.float32)
+        out = jnp.zeros((T, H), jnp.float32).at[tok_of].add(
+            jnp.where(row_ok[:, None], y, 0).astype(jnp.float32)
+            * w[:, None])
+        out = jax.lax.psum(out, ep_axes)
+        return out.astype(x.dtype)
+
+    espec = P(tuple(ep_axes), None, None)
+    return _shard_map(
+        local_moe, mesh=mesh,
+        in_specs=(P(), espec, espec, espec, P(), P()),
+        out_specs=P())(x, w_gate_slots, w_up_slots, w_down_slots,
+                       probs, slot_idx)
+
+
 def moe_mlp_dense(x: jax.Array, w_gate: jax.Array, w_up: jax.Array,
                   w_down: jax.Array, probs: jax.Array,
                   expert_idx: jax.Array) -> jax.Array:

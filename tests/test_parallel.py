@@ -334,3 +334,80 @@ def test_dwdp_weight_sharding_parity():
             sharded, jnp.asarray(tokens, jnp.int32), kv2, md)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(base_logits),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_wide_ep_balancer_and_parity():
+    """Wide-EP (reference: fused_moe_wide_ep.py + EPLB): hot experts
+    get replica slots across shards; routed outputs stay numerically
+    identical to the single-copy expert table."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tensorrt_llm_tpu.mapping import Mapping
+    from tensorrt_llm_tpu.ops.moe import (moe_mlp_ragged, moe_mlp_wide_ep,
+                                          topk_routing)
+    from tensorrt_llm_tpu.ops.moe_balancer import (build_replica_tables,
+                                                   eplb_placement)
+
+    # ---- balancer math ----
+    loads = [100.0, 1.0, 1.0, 1.0]          # expert 0 is hot
+    placement = eplb_placement(loads, num_slots=8, num_shards=4)
+    rep_count, rep_slots = build_replica_tables(placement, 4)
+    assert sorted(set(placement.tolist())) == [0, 1, 2, 3]  # all present
+    assert rep_count[0] == 5                # hot expert replicated most
+    # every shard holds 2 slots and the hot expert is spread out
+    holders = {s for s, e in enumerate(placement) if e == 0}
+    assert len({h // 2 for h in holders}) >= 4  # on all 4 shards
+
+    # ---- numerical parity on an 8-way mesh (ep over cp*tp=4) ----
+    rng = np.random.default_rng(0)
+    E, H, I, T, k = 4, 32, 64, 16, 2
+    x = jnp.asarray(rng.standard_normal((T, H)), jnp.float32)
+    wg = jnp.asarray(rng.standard_normal((E, H, I)) * 0.1, jnp.float32)
+    wu = jnp.asarray(rng.standard_normal((E, H, I)) * 0.1, jnp.float32)
+    wd = jnp.asarray(rng.standard_normal((E, I, H)) * 0.1, jnp.float32)
+    router = jnp.asarray(rng.standard_normal((H, E)), jnp.float32)
+    logits = jnp.dot(x, router)
+    probs, eidx = topk_routing(logits, k)
+
+    ref = moe_mlp_ragged(x, wg, wu, wd, probs, eidx)
+
+    mapping = Mapping.from_sizes(tp=2, cp=2, dp=2)
+    mesh = mapping.build_mesh()
+    pl_ = jnp.asarray(placement)
+    slots = (wg[pl_], wu[pl_], wd[pl_])
+    rc = jnp.asarray(rep_count)
+    rs = jnp.asarray(rep_slots)
+    with mesh:
+        got = jax.jit(lambda x, a, b, c: moe_mlp_wide_ep(
+            x, a, b, c, probs, eidx, rc, rs, mesh))(x, *slots)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_wide_ep_e2e_rebalance(tmp_path):
+    """LLM.rebalance_moe installs replica-slot tables; greedy outputs
+    are unchanged (placement is numerically transparent)."""
+    import torch
+    from transformers import MixtralConfig, MixtralForCausalLM
+    from tensorrt_llm_tpu import LLM, KvCacheConfig, SamplingParams
+    torch.manual_seed(0)
+    cfg = MixtralConfig(vocab_size=128, hidden_size=64,
+                        intermediate_size=96, num_hidden_layers=2,
+                        num_attention_heads=4, num_key_value_heads=2,
+                        num_local_experts=4, num_experts_per_tok=2,
+                        max_position_embeddings=256,
+                        tie_word_embeddings=False)
+    tmodel = MixtralForCausalLM(cfg).eval()
+    llm = LLM(model=tmodel, skip_tokenizer_init=True, dtype="float32",
+              max_batch_size=4, max_input_len=64, max_seq_len=128,
+              max_num_tokens=256,
+              kv_cache_config=KvCacheConfig(tokens_per_block=16,
+                                            max_tokens=1024))
+    sp = SamplingParams(max_tokens=8, top_k=1)
+    ref = llm.generate([5, 9, 23, 44], sp).outputs[0].token_ids
+    llm.rebalance_moe([10.0, 1.0, 1.0, 1.0])
+    assert "w_gate_slots" in llm.engine.params["layers"]
+    got = llm.generate([5, 9, 23, 44], sp).outputs[0].token_ids
+    llm.shutdown()
+    assert got == ref
