@@ -138,9 +138,9 @@ class LLM:
             for m in vars(self.model).values():
                 if hasattr(m, "use_pallas"):
                     m.use_pallas = False
-        if hf_config.model_type == "mamba":
+        if hf_config.model_type in ("mamba", "jamba"):
             # recurrent state is not block-addressable: no chunked prefill,
-            # no prefix reuse (reference: mamba_cache_manager constraints)
+            # no prefix reuse (reference: mamba/hybrid cache constraints)
             self.args.enable_chunked_prefill = False
             self.args.kv_cache_config.enable_block_reuse = False
         if getattr(self, "_checkpoint_kv_scales", None) is not None:
