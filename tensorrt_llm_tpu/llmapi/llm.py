@@ -290,8 +290,7 @@ class LLM:
                     max_matching_ngram_size=sc.ngram_max_matching_ngram_size)
             elif sc.mode == "DRAFT_TARGET":
                 drafter = self._build_two_model_drafter(sc, max_draft_len)
-            elif sc.mode == "EAGLE3":
-                from ..speculative.eagle import Eagle3Drafter
+            elif sc.mode in ("EAGLE3", "MTP"):
                 head_sd = None
                 if sc.draft_model is not None and \
                         isinstance(sc.draft_model, (str, Path)):
@@ -300,7 +299,18 @@ class LLM:
                     for f in sorted(Path(sc.draft_model)
                                     .glob("*.safetensors")):
                         head_sd.update(st_numpy.load_file(str(f)))
-                drafter = Eagle3Drafter(
+                elif sc.draft_model is not None and \
+                        hasattr(sc.draft_model, "state_dict"):
+                    head_sd = {k: v.detach().cpu().float().numpy()
+                               for k, v in sc.draft_model
+                               .state_dict().items()}
+                if sc.mode == "EAGLE3":
+                    from ..speculative.eagle import Eagle3Drafter
+                    cls = Eagle3Drafter
+                else:
+                    from ..speculative.mtp import MtpDrafter
+                    cls = MtpDrafter
+                drafter = cls(
                     self.model, self._params,
                     max_draft_len=max_draft_len,
                     max_slots=min(32, args.max_batch_size),

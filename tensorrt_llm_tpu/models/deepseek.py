@@ -94,83 +94,92 @@ class DeepseekV3ForCausalLM(DecoderModelForCausalLM):
         sd = {k: v.detach().float().numpy() for k, v in m.state_dict().items()}
         return self.load_hf_state_dict(sd)
 
+    @staticmethod
+    def _t(sd, name):
+        return np.ascontiguousarray(np.transpose(np.asarray(sd[name])))
+
+    def _attn_layer_from_sd(self, sd: Dict[str, np.ndarray], i: int):
+        """One decoder layer's MLA tensors (reused by the MTP drafter,
+        whose module at index num_hidden_layers is a full layer;
+        reference: modeling_deepseekv3.py DeepseekV3MTP)."""
+        dtype = self.dtype
+        t = lambda n: self._t(sd, n)
+        p = f"model.layers.{i}.self_attn"
+        out = {
+            "kv_a": quantize_linear(self.m_lin,
+                                    t(f"{p}.kv_a_proj_with_mqa.weight"),
+                                    dtype=dtype),
+            "kv_a_norm": jnp.asarray(sd[f"{p}.kv_a_layernorm.weight"],
+                                     dtype=dtype),
+            "kv_b": quantize_linear(self.m_lin, t(f"{p}.kv_b_proj.weight"),
+                                    dtype=dtype),
+            "o": quantize_linear(self.m_lin, t(f"{p}.o_proj.weight"),
+                                 dtype=dtype),
+            "input_norm": jnp.asarray(
+                sd[f"model.layers.{i}.input_layernorm.weight"],
+                dtype=dtype),
+            "post_norm": jnp.asarray(
+                sd[f"model.layers.{i}.post_attention_layernorm.weight"],
+                dtype=dtype),
+        }
+        if self.q_lora_rank:
+            out["q_a"] = quantize_linear(self.m_lin,
+                                         t(f"{p}.q_a_proj.weight"),
+                                         dtype=dtype)
+            out["q_a_norm"] = jnp.asarray(
+                sd[f"{p}.q_a_layernorm.weight"], dtype=dtype)
+            out["q_b"] = quantize_linear(self.m_lin,
+                                         t(f"{p}.q_b_proj.weight"),
+                                         dtype=dtype)
+        else:
+            out["q"] = quantize_linear(self.m_lin,
+                                       t(f"{p}.q_proj.weight"),
+                                       dtype=dtype)
+        return out
+
+    def _dense_layer_from_sd(self, sd, i: int):
+        dtype = self.dtype
+        t = lambda n: self._t(sd, n)
+        out = self._attn_layer_from_sd(sd, i)
+        p = f"model.layers.{i}.mlp"
+        out["gate"] = quantize_linear(self.m_mlp,
+                                      t(f"{p}.gate_proj.weight"),
+                                      dtype=dtype)
+        out["up"] = quantize_linear(self.m_mlp, t(f"{p}.up_proj.weight"),
+                                    dtype=dtype)
+        out["down"] = quantize_linear(self.m_mlp,
+                                      t(f"{p}.down_proj.weight"),
+                                      dtype=dtype)
+        return out
+
+    def _moe_layer_from_sd(self, sd, i: int):
+        dtype = self.dtype
+        t = lambda n: self._t(sd, n)
+        out = self._attn_layer_from_sd(sd, i)
+        p = f"model.layers.{i}.mlp"
+        E = self.n_experts
+        out["router"] = jnp.asarray(t(f"{p}.gate.weight"), dtype=dtype)
+        bias_name = f"{p}.gate.e_score_correction_bias"
+        out["router_bias"] = jnp.asarray(
+            sd.get(bias_name, np.zeros(E, np.float32)), jnp.float32)
+        for mod, hf_name in (("w_gate", "gate_proj"), ("w_up", "up_proj"),
+                             ("w_down", "down_proj")):
+            out[mod] = jnp.stack([
+                jnp.asarray(t(f"{p}.experts.{e}.{hf_name}.weight"),
+                            dtype=dtype) for e in range(E)])
+        for mod, hf_name in (("s_gate", "gate_proj"), ("s_up", "up_proj"),
+                             ("s_down", "down_proj")):
+            out[mod] = quantize_linear(
+                self.m_mlp, t(f"{p}.shared_experts.{hf_name}.weight"),
+                dtype=dtype)
+        return out
+
     def load_hf_state_dict(self, sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
         L = self.num_layers
         dtype = self.dtype
-
-        def t(name):
-            return np.ascontiguousarray(np.transpose(np.asarray(sd[name])))
-
-        def attn_layer(i):
-            p = f"model.layers.{i}.self_attn"
-            out = {
-                "kv_a": quantize_linear(self.m_lin,
-                                        t(f"{p}.kv_a_proj_with_mqa.weight"),
-                                        dtype=dtype),
-                "kv_a_norm": jnp.asarray(sd[f"{p}.kv_a_layernorm.weight"],
-                                         dtype=dtype),
-                "kv_b": quantize_linear(self.m_lin, t(f"{p}.kv_b_proj.weight"),
-                                        dtype=dtype),
-                "o": quantize_linear(self.m_lin, t(f"{p}.o_proj.weight"),
-                                     dtype=dtype),
-                "input_norm": jnp.asarray(
-                    sd[f"model.layers.{i}.input_layernorm.weight"],
-                    dtype=dtype),
-                "post_norm": jnp.asarray(
-                    sd[f"model.layers.{i}.post_attention_layernorm.weight"],
-                    dtype=dtype),
-            }
-            if self.q_lora_rank:
-                out["q_a"] = quantize_linear(self.m_lin,
-                                             t(f"{p}.q_a_proj.weight"),
-                                             dtype=dtype)
-                out["q_a_norm"] = jnp.asarray(
-                    sd[f"{p}.q_a_layernorm.weight"], dtype=dtype)
-                out["q_b"] = quantize_linear(self.m_lin,
-                                             t(f"{p}.q_b_proj.weight"),
-                                             dtype=dtype)
-            else:
-                out["q"] = quantize_linear(self.m_lin,
-                                           t(f"{p}.q_proj.weight"),
-                                           dtype=dtype)
-            return out
-
-        def dense_layer(i):
-            out = attn_layer(i)
-            p = f"model.layers.{i}.mlp"
-            out["gate"] = quantize_linear(self.m_mlp,
-                                          t(f"{p}.gate_proj.weight"),
-                                          dtype=dtype)
-            out["up"] = quantize_linear(self.m_mlp, t(f"{p}.up_proj.weight"),
-                                        dtype=dtype)
-            out["down"] = quantize_linear(self.m_mlp,
-                                          t(f"{p}.down_proj.weight"),
-                                          dtype=dtype)
-            return out
-
-        def moe_layer(i):
-            out = attn_layer(i)
-            p = f"model.layers.{i}.mlp"
-            E = self.n_experts
-            out["router"] = jnp.asarray(t(f"{p}.gate.weight"), dtype=dtype)
-            bias_name = f"{p}.gate.e_score_correction_bias"
-            out["router_bias"] = jnp.asarray(
-                sd.get(bias_name, np.zeros(E, np.float32)), jnp.float32)
-            for mod, hf_name in (("w_gate", "gate_proj"), ("w_up", "up_proj"),
-                                 ("w_down", "down_proj")):
-                out[mod] = jnp.stack([
-                    jnp.asarray(t(f"{p}.experts.{e}.{hf_name}.weight"),
-                                dtype=dtype) for e in range(E)])
-            for mod, hf_name in (("s_gate", "gate_proj"), ("s_up", "up_proj"),
-                                 ("s_down", "down_proj")):
-                out[mod] = quantize_linear(
-                    self.m_mlp, t(f"{p}.shared_experts.{hf_name}.weight"),
-                    dtype=dtype)
-            return out
-
         k = self.first_dense
-        dense = [dense_layer(i) for i in range(k)]
-        moe = [moe_layer(i) for i in range(k, L)]
+        dense = [self._dense_layer_from_sd(sd, i) for i in range(k)]
+        moe = [self._moe_layer_from_sd(sd, i) for i in range(k, L)]
         stack = lambda ls: jax.tree.map(lambda *xs: jnp.stack(xs), *ls) \
             if ls else None
         wte = np.asarray(sd["model.embed_tokens.weight"])
@@ -287,7 +296,8 @@ class DeepseekV3ForCausalLM(DecoderModelForCausalLM):
 
     # ------------------------------------------------------------------ #
     def forward(self, params, token_ids, kv_pages, metadata,
-                input_embeds=None, lora=None, lora_slots=None):
+                input_embeds=None, lora=None, lora_slots=None,
+                collect_hidden: bool = False):
         h = self._embed(params, token_ids, input_embeds)
         eps = self.rms_eps
         cos_sin = rope_cos_sin(self.rope_cfg, metadata.positions)
@@ -325,7 +335,14 @@ class DeepseekV3ForCausalLM(DecoderModelForCausalLM):
             h, moe_pool = jax.lax.scan(
                 moe_body, h, (params["moe_layers"], moe_pool))
         kv_pages = jnp.concatenate([dense_pool, moe_pool], axis=0)
+        # MTP draft features: pre-final-norm hidden rows at logits
+        # positions (reference: speculative/mtp.py MTPWorker captures the
+        # target's last hidden state to seed the MTP module)
+        hidden_rows = self._gather_logits(h, metadata) \
+            if collect_hidden else None
         h = rms_norm(h, params["final_norm"], eps)
         last = self._gather_logits(h, metadata)
         logits = self.m_lm_head.apply(params["lm_head"], last)
+        if collect_hidden:
+            return logits.astype(jnp.float32), kv_pages, hidden_rows
         return logits.astype(jnp.float32), kv_pages

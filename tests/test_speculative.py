@@ -233,3 +233,68 @@ def test_e2e_eagle3_lossless(repeat_model):
     got = [o.outputs[0].token_ids for o in spec.generate(prompts, sp)]
     spec.shutdown()
     assert got == ref
+
+
+def test_e2e_mtp_lossless():
+    """DeepSeek-V3 MTP one-model module (random weights: ~zero
+    acceptance, but feature capture, latent KV, verify, rewind must be
+    lossless vs baseline greedy). (reference: speculative/mtp.py
+    MTPEagleWorker + modeling_deepseekv3.py DeepseekV3MTP)."""
+    import torch
+    from tensorrt_llm_tpu import LLM, KvCacheConfig
+    from tensorrt_llm_tpu.llmapi.llm_args import SpeculativeConfig
+    from tests.test_deepseek import tiny_cfg
+
+    torch.manual_seed(0)
+    from transformers import DeepseekV3ForCausalLM
+    tmodel = DeepseekV3ForCausalLM(tiny_cfg()).eval()
+
+    prompts = [[5, 9, 23, 44, 17], [3, 3, 7, 3, 3, 7, 3, 3]]
+    sp = SamplingParams(max_tokens=10, top_k=1)
+    kw = dict(model=tmodel, skip_tokenizer_init=True, dtype="float32",
+              max_batch_size=4, max_input_len=64, max_seq_len=128,
+              max_num_tokens=256,
+              kv_cache_config=KvCacheConfig(tokens_per_block=16,
+                                            max_tokens=2048))
+    base = LLM(**kw)
+    ref = [o.outputs[0].token_ids for o in base.generate(prompts, sp)]
+    base.shutdown()
+
+    spec = LLM(speculative_config=SpeculativeConfig(mode="MTP",
+                                                    max_draft_len=2), **kw)
+    got = [o.outputs[0].token_ids for o in spec.generate(prompts, sp)]
+    spec.shutdown()
+    assert got == ref
+
+
+def test_mtp_drafter_unit():
+    """Drafter mechanics: drafts produced per feature stream, slot
+    lifecycle, feature queue drain."""
+    import jax.numpy as jnp
+    import numpy as np
+    from tensorrt_llm_tpu.models import ModelConfig, get_model_class
+    from tensorrt_llm_tpu.speculative.mtp import MtpDrafter
+    from tests.test_deepseek import tiny_cfg
+
+    cfg = tiny_cfg()
+    mc = ModelConfig(hf_config=cfg, dtype=jnp.float32)
+    model = get_model_class("deepseek_v3")(mc)
+    import jax
+    params = model.init_params(jax.random.PRNGKey(0))
+    d = MtpDrafter(model, params, max_draft_len=3, max_slots=4,
+                   page_size=16, max_seq_len=64, token_buckets=(16,))
+    reqs = [make_req([1, 2, 3]), make_req([4, 5])]
+    rng = np.random.default_rng(0)
+    for r, n in zip(reqs, (2, 1)):
+        r.eagle_feats = [(int(i + 7),
+                          rng.standard_normal(cfg.hidden_size,
+                                              np.float32))
+                         for i in range(n)]
+    d.prepare_draft_tokens(reqs)
+    for r in reqs:
+        assert len(r.draft_tokens) == 3
+        assert all(0 <= t < cfg.vocab_size for t in r.draft_tokens)
+        assert r.eagle_feats == []
+    assert len(d._state) == 2
+    d.drop_request(reqs[0].request_id)
+    assert len(d._free) == 3
