@@ -138,7 +138,7 @@ class LLM:
             for m in vars(self.model).values():
                 if hasattr(m, "use_pallas"):
                     m.use_pallas = False
-        if hf_config.model_type in ("mamba", "jamba"):
+        if getattr(type(self.model), "has_recurrent_state", False):
             # recurrent state is not block-addressable: no chunked prefill,
             # no prefix reuse (reference: mamba/hybrid cache constraints)
             self.args.enable_chunked_prefill = False

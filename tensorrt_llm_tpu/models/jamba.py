@@ -36,6 +36,7 @@ from .modeling_utils import (AttentionSpec, DecoderModelForCausalLM,
 
 @register_model("jamba")
 class JambaForCausalLM(DecoderModelForCausalLM):
+    has_recurrent_state = True
     architectures = ("JambaForCausalLM",)
 
     def __init__(self, model_config):

@@ -26,6 +26,7 @@ from .modeling_utils import (DecoderModelForCausalLM, ModelConfig,
 @register_model("mamba")
 class MambaForCausalLM(DecoderModelForCausalLM):
     architectures = ("MambaForCausalLM",)
+    has_recurrent_state = True
 
     def __init__(self, model_config: ModelConfig):
         super().__init__(model_config)

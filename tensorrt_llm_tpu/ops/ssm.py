@@ -139,3 +139,66 @@ def selective_scan(x: jax.Array,          # [T, I] (post-conv activation)
     new_state = ssm_state.at[tgt].set(final_h.astype(ssm_state.dtype),
                                       mode="drop")
     return y.astype(x.dtype), new_state
+
+
+def ssd_scan(x: jax.Array,          # [T, nh, hd] (post-conv activation)
+             dt: jax.Array,         # [T, nh] (post softplus + clamp)
+             A: jax.Array,          # [nh] (negative)
+             B: jax.Array,          # [T, G, N]
+             C: jax.Array,          # [T, G, N]
+             D: jax.Array,          # [nh]
+             ssm_state: jax.Array,  # [slots, nh, hd, N]
+             metadata) -> Tuple[jax.Array, jax.Array]:
+    """Mamba2 SSD recurrence (scalar decay per head, grouped B/C):
+    h_t = exp(dt_t A_h) h_{t-1} + dt_t x_t ⊗ B_t ;  y_t = h_t · C_t + D x_t.
+
+    Reference: the SSD/chunked-scan kernels (cpp kernels chunkScan/ +
+    _torch mamba2 metadata); HF Mamba2Mixer.torch_forward is the
+    behavioral spec. Segment-aware over the flattened ragged batch like
+    ``selective_scan``; the chunked dual (matmul) form for long prefill
+    is a later MXU optimization.
+    """
+    T, nh, hd = x.shape
+    G, N = B.shape[1], B.shape[2]
+    S = metadata.kv_lens.shape[0]
+    seq_of, pos_in_seg, is_start, _ = _token_segments(
+        metadata.cu_q_lens, metadata.num_seqs, metadata.positions, T, S)
+    slots = jnp.clip(metadata.seq_slots, 0)
+    slot_of = slots[seq_of]
+
+    rep = nh // G
+    Bh = jnp.repeat(B.astype(jnp.float32), rep, axis=1)     # [T, nh, N]
+    Ch = jnp.repeat(C.astype(jnp.float32), rep, axis=1)
+    xf = x.astype(jnp.float32)
+    dtf = dt.astype(jnp.float32)
+    dA = jnp.exp(dtf * A[None, :].astype(jnp.float32))      # [T, nh]
+    dBx = (dtf[:, :, None] * xf)[..., None] * Bh[:, :, None, :]
+
+    continuing = is_start & (metadata.positions > 0)
+    h_init = ssm_state[slot_of].astype(jnp.float32)          # [T, nh, hd, N]
+    a_full = dA[:, :, None, None]
+    b0 = jnp.where(continuing[:, None, None, None],
+                   a_full * h_init + dBx, dBx)
+    # a stays [T, nh, 1, 1] — broadcasting inside combine keeps the
+    # decay operand 1/(hd*N)th the size of the state operand
+    a0 = jnp.where(is_start[:, None, None, None],
+                   jnp.zeros_like(a_full), a_full)
+
+    def combine(l, r):
+        al, bl = l
+        ar, br = r
+        return al * ar, ar * bl + br
+
+    _, h = jax.lax.associative_scan(combine, (a0, b0), axis=0)
+
+    y = jnp.einsum("thdn,thn->thd", h, Ch)
+    y = y + D.astype(jnp.float32)[None, :, None] * xf
+
+    last_tok = jnp.clip(metadata.cu_q_lens[1:S + 1] - 1, 0)
+    final_h = h[last_tok]                                    # [S, nh, hd, N]
+    active = jnp.arange(S) < metadata.num_seqs[0]
+    tgt = jnp.where(active & (metadata.seq_slots >= 0),
+                    metadata.seq_slots, ssm_state.shape[0])
+    new_state = ssm_state.at[tgt].set(final_h.astype(ssm_state.dtype),
+                                      mode="drop")
+    return y.astype(x.dtype), new_state
