@@ -40,6 +40,8 @@ class MambaForCausalLM(DecoderModelForCausalLM):
             -(-hf.hidden_size // 16)
         self.eps = getattr(hf, "layer_norm_epsilon", 1e-5)
         self.num_heads = 1  # no attention sharding
+        # FalconMamba: weightless RMS on dt/B/C (subclass sets the eps)
+        self.bcdt_rms_eps = None
         self.m_lin = self._method("mixer")
         self.m_lm_head = self._method("lm_head")
 
@@ -140,13 +142,14 @@ class MambaForCausalLM(DecoderModelForCausalLM):
         layers = jax.tree.map(lambda *xs: jnp.stack(xs),
                               *[per_layer(i) for i in range(L)])
         wte = g("backbone.embeddings.weight")
+        lm_w = np.asarray(sd.get("lm_head.weight", wte))
         return {
             "embed": {"weight": jnp.asarray(wte, dtype=dtype)},
             "layers": layers,
             "final_norm": jnp.asarray(g("backbone.norm_f.weight"),
                                       dtype=dtype),
             "lm_head": quantize_linear(
-                self.m_lm_head, np.ascontiguousarray(wte.T), dtype=dtype),
+                self.m_lm_head, np.ascontiguousarray(lm_w.T), dtype=dtype),
         }
 
     # ------------------------------------------------------------------ #
@@ -165,6 +168,13 @@ class MambaForCausalLM(DecoderModelForCausalLM):
             x_act = jax.nn.silu(x_conv).astype(self.dtype)
             dbc = self.m_lin.apply(layer["x_proj"], x_act)
             dt_r, B, C = dbc[:, :R], dbc[:, R:R + N], dbc[:, R + N:]
+            if self.bcdt_rms_eps is not None:
+                def _rms(v):
+                    vf = v.astype(jnp.float32)
+                    var = jnp.mean(jnp.square(vf), -1, keepdims=True)
+                    return (vf * jax.lax.rsqrt(
+                        var + self.bcdt_rms_eps)).astype(v.dtype)
+                dt_r, B, C = _rms(dt_r), _rms(B), _rms(C)
             dt = jax.nn.softplus(
                 self.m_lin.apply(layer["dt_proj"], dt_r)
                 .astype(jnp.float32))
@@ -184,3 +194,16 @@ class MambaForCausalLM(DecoderModelForCausalLM):
         logits = self.m_lm_head.apply(params["lm_head"], last)
         return logits.astype(jnp.float32), {
             "conv_state": conv_states, "ssm_state": ssm_states}
+
+
+@register_model("falcon_mamba")
+class FalconMambaForCausalLM(MambaForCausalLM):
+    """FalconMamba: Mamba1 with WEIGHTLESS RMS normalization applied to
+    dt/B/C after x_proj (HF FalconMambaMixer rms_forward,
+    eps=config.mixer_rms_eps). Reference role: the falcon-mamba row of
+    the reference model matrix."""
+    architectures = ("FalconMambaForCausalLM",)
+
+    def __init__(self, model_config: ModelConfig):
+        super().__init__(model_config)
+        self.bcdt_rms_eps = getattr(self.hf, "mixer_rms_eps", 1e-6)
