@@ -9,6 +9,7 @@ from . import mamba2 as _mamba2  # noqa: F401
 from . import bamba as _bamba  # noqa: F401
 from . import granite_hybrid as _granite_hybrid  # noqa: F401
 from . import zamba2 as _zamba2  # noqa: F401
+from . import gpt_oss as _gpt_oss  # noqa: F401
 from . import mixtral as _mixtral  # noqa: F401
 from . import phi as _phi  # noqa: F401
 from . import qwen as _qwen  # noqa: F401

@@ -93,6 +93,9 @@ class AttentionSpec:
     # ALiBi (Bloom/MPT): per-q-head slopes, static tuple; scores get
     # -slope * (q_pos - kv_pos) added before softmax
     alibi_slopes: Optional[tuple] = None
+    # attention sinks (gpt-oss): layer params carry a per-q-head sink
+    # logit under the "sinks" key when True
+    use_sinks: bool = False
 
 
 def alibi_slopes(num_heads: int) -> tuple:
@@ -169,6 +172,7 @@ def attention_block(params: Dict[str, Any],
         q, kv_pages, metadata, sm_scale=spec.sm_scale,
         sliding_window=spec.sliding_window, soft_cap=spec.soft_cap,
         alibi_slopes=spec.alibi_slopes,
+        sinks=params["sinks"] if spec.use_sinks else None,
         k_scale=ks, v_scale=ks, backend=attn_backend,
         mesh=mesh, tp_axis=tp_axis)
     attn_flat = attn.reshape(T, nq * hd)

@@ -124,6 +124,7 @@ def ragged_paged_attention(
         sliding_window: Optional[int] = None,
         soft_cap: Optional[float] = None,
         alibi_slopes: Optional[tuple] = None,
+        sinks: Optional[jax.Array] = None,
         k_scale: Optional[float] = None,
         v_scale: Optional[float] = None,
         backend: str = "auto",
@@ -168,10 +169,18 @@ def ragged_paged_attention(
                         jnp.asarray(alibi_slopes, jnp.float32),
                         (idx * nloc,), (nloc,))
                     local_slopes = arr
+                local_sinks = sinks
+                if sinks is not None:
+                    nloc = q_l.shape[1]
+                    idx = 0
+                    for a in axes:
+                        idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+                    local_sinks = jax.lax.dynamic_slice(
+                        sinks.astype(jnp.float32), (idx * nloc,), (nloc,))
                 return ragged_paged_attention(
                     q_l, kv_l, metadata, sm_scale=sm_scale,
                     sliding_window=sliding_window, soft_cap=soft_cap,
-                    alibi_slopes=local_slopes,
+                    alibi_slopes=local_slopes, sinks=local_sinks,
                     k_scale=k_scale, v_scale=v_scale, backend=backend)
 
             return shard_map(
@@ -180,6 +189,15 @@ def ragged_paged_attention(
                           P(None, None, axes, None)),
                 out_specs=P(None, axes, None))(q, kv_pages)
 
+    if sinks is not None:
+        # attention sinks (gpt-oss): extra per-head softmax logit, dropped
+        # after normalization — reference path only for now (the decode
+        # kernel's online softmax can seed m/l with the sink later)
+        return _reference_attention(
+            q, kv_pages, metadata, sm_scale=sm_scale,
+            sliding_window=sliding_window, soft_cap=soft_cap,
+            k_scale=k_scale, v_scale=v_scale,
+            alibi_slopes=alibi_slopes, sinks=sinks)
     if alibi_slopes is not None and not isinstance(alibi_slopes, tuple):
         # shard_map slices hand slopes in as a traced array; the Pallas
         # kernels need a static tuple — fall back to the XLA path there
@@ -261,7 +279,7 @@ def ragged_paged_attention(
 
 def _reference_attention(q, kv_pages, metadata, *, sm_scale,
                          sliding_window, soft_cap, k_scale, v_scale,
-                         alibi_slopes=None):
+                         alibi_slopes=None, sinks=None):
     """Dense gather-based paged attention, vectorized over sequences.
 
     Semantics match ref_ragged_paged_attention (jax.experimental RPA
@@ -323,6 +341,15 @@ def _reference_attention(q, kv_pages, metadata, *, sm_scale,
     mask = valid[:, None, None, :]
     neg = jnp.finfo(jnp.float32).min
     scores = jnp.where(mask, scores, neg)
-    probs = jax.nn.softmax(scores, axis=-1)
+    if sinks is not None:
+        # per-q-head sink logit joins the softmax then is dropped
+        # (reference: gpt-oss attention; HF eager_attention_forward)
+        sk = jnp.asarray(sinks, jnp.float32).reshape(num_kv_heads, group)
+        m = jnp.maximum(jnp.max(scores, axis=-1), sk[None, :, :])
+        e = jnp.exp(scores - m[..., None])
+        denom = jnp.sum(e, axis=-1) + jnp.exp(sk[None, :, :] - m)
+        probs = e / denom[..., None]
+    else:
+        probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("tkgs,tskd->tkgd", probs, v_tok.astype(jnp.float32))
     return out.reshape(T, num_q_heads, head_dim).astype(q.dtype)

@@ -60,6 +60,10 @@ class RopeConfig:
             original_max_position_embeddings=rs.get(
                 "original_max_position_embeddings",
                 getattr(cfg, "max_position_embeddings", 8192)),
+            beta_fast=rs.get("beta_fast", 32.0),
+            beta_slow=rs.get("beta_slow", 1.0),
+            mscale=rs.get("mscale", 1.0),
+            mscale_all_dim=rs.get("mscale_all_dim", 0.0),
             partial_rotary_factor=getattr(cfg, "partial_rotary_factor", 1.0),
         )
 

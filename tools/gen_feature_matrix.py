@@ -89,6 +89,12 @@ FEATURES = [
      ["test_prefill_kernel"], ""),
     ("Sharded/lazy checkpoint loading",
      ["test_misc_features.py::test_sharded_checkpoint"], ""),
+    ("Speculative: DeepSeek-V3 MTP module",
+     ["test_speculative.py::test_e2e_mtp", "test_speculative.py::"
+      "test_mtp_drafter_unit"], ""),
+    ("Mamba2 (SSD) models", ["test_mamba2"], ""),
+    ("Hybrid SSM+attention (Jamba/Bamba/Zamba2/Granite-4.0)",
+     ["test_jamba", "test_bamba", "test_hybrid_models"], ""),
 ]
 
 
