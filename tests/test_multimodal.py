@@ -1,5 +1,6 @@
 """Multimodal: CLIP tower parity, LLaVA e2e vs HF greedy, mm-hash reuse
 keys (reference: tests/unittest/_torch/multimodal/)."""
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -111,3 +112,59 @@ def test_mm_hash_distinguishes_images(llava_pair):
     b = np.ones((3, 16, 16), np.float32)
     assert mm_hash([a]) != mm_hash([b])
     assert mm_hash([a]) == mm_hash([a.copy()])
+
+
+def test_llava_next_anyres_parity():
+    """Anyres tiling: tile features reassembled, unpadded, newline
+    columns added; token expansion matches HF's expected count and
+    logits match exactly (reference: modeling_llava_next.py
+    pack_image_features)."""
+    import torch
+    from transformers import (CLIPVisionConfig, LlamaConfig,
+                              LlavaNextConfig,
+                              LlavaNextForConditionalGeneration)
+    from tensorrt_llm_tpu.models import ModelConfig, get_model_class
+    from tensorrt_llm_tpu.multimodal.processor import create_input_processor
+    from tests.test_models import make_prefill_metadata
+
+    torch.manual_seed(0)
+    vis = CLIPVisionConfig(hidden_size=32, intermediate_size=64,
+                           num_hidden_layers=2, num_attention_heads=4,
+                           image_size=16, patch_size=8, projection_dim=32)
+    txt = LlamaConfig(vocab_size=64, hidden_size=48, intermediate_size=96,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, max_position_embeddings=512)
+    cfg = LlavaNextConfig(vision_config=vis.to_dict(),
+                          text_config=txt.to_dict(), image_token_index=63,
+                          image_grid_pinpoints=[[16, 32], [32, 16],
+                                                [32, 32]],
+                          vision_feature_layer=-2,
+                          vision_feature_select_strategy="default")
+    tmodel = LlavaNextForConditionalGeneration(cfg).eval()
+    from transformers.models.llava_next.modeling_llava_next import (
+        image_size_to_num_patches)
+    img_size = (20, 28)
+    n_tiles = image_size_to_num_patches(img_size, cfg.image_grid_pinpoints,
+                                        vis.image_size)
+    px = torch.randn(1, n_tiles, 3, 16, 16)
+
+    sd = {k: v.detach().float().numpy()
+          for k, v in tmodel.state_dict().items()}
+    model = get_model_class("llava_next")(
+        ModelConfig(hf_config=cfg, dtype=jnp.float32))
+    params = model.load_hf_state_dict(sd)
+    proc = create_input_processor(model)
+    ids, embeds, salt = proc([1, 2, 63, 3, 4],
+                             {"image": [px[0].numpy()],
+                              "image_sizes": [img_size]})
+    assert salt.startswith("mm-")
+    with torch.no_grad():
+        ref = tmodel(input_ids=torch.tensor([ids]), pixel_values=px,
+                     image_sizes=torch.tensor([img_size])
+                     ).logits[0, -1].numpy()
+    kv = model.make_kv_pages(32, 16)
+    md = make_prefill_metadata(model, len(ids))
+    logits, _ = model.forward(params, jnp.asarray(ids, jnp.int32), kv, md,
+                              input_embeds=jnp.asarray(embeds))
+    np.testing.assert_allclose(np.asarray(logits)[0], ref,
+                               rtol=3e-3, atol=3e-3)
