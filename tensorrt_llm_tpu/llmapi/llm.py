@@ -602,7 +602,11 @@ class LLM:
                 raise ValueError(
                     f"model {type(self.model).__name__} has no multimodal "
                     "input processor")
-            token_ids, prompt_embeds, salt = proc(token_ids, mm_data)
+            out = proc(token_ids, mm_data)
+            token_ids, prompt_embeds, salt = out[:3]
+            # processors may attach extras (e.g. qwen2-vl M-RoPE
+            # positions + delta) applied onto the request below
+            mm_extra = out[3] if len(out) > 3 else None
             # image content keys the KV-reuse prefix (mm-hash): identical
             # text around different images must not share cache blocks
             cache_salt = (cache_salt or "") + salt
@@ -616,6 +620,9 @@ class LLM:
                          request_type=rtype,
                          lora_task_id=lora_task_id,
                          prompt_embeds=prompt_embeds)
+        if mm_data is not None and mm_extra:
+            for k, v in mm_extra.items():
+                setattr(req, k, v)
         if rtype == LlmRequestType.REQUEST_TYPE_GENERATION_ONLY:
             first = disaggregated_params.first_gen_tokens[0]
             req.host_token_override = first

@@ -176,6 +176,12 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
                 "o": (nq * hd, H), "gate": (H, I), "up": (H, I),
                 "down": (I, H)}
 
+    def _base_cos_sin(self, metadata):
+        """Rope tables for this batch; Qwen2-VL overrides with M-RoPE
+        (3-axis positions from metadata.positions_mrope)."""
+        from ..ops.rope import rope_cos_sin
+        return rope_cos_sin(self.attn_spec.rope, metadata.positions)
+
     def _rope_variants(self, positions, cos_sin):
         """Hook: build the per-layer rope alternatives (default: one)."""
         return cos_sin
@@ -195,8 +201,7 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
         rm = self.residual_multiplier
         spec = self.attn_spec
         eps = self.rms_eps
-        from ..ops.rope import rope_cos_sin
-        cos_sin = rope_cos_sin(spec.rope, metadata.positions)
+        cos_sin = self._base_cos_sin(metadata)
         # per-layer rope variants (Gemma3 local/global thetas, SmolLM3
         # NoPE layers, Exaone4 rope-on-sliding-only): subclasses
         # precompute alternates and select per layer via scan flags

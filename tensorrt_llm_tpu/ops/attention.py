@@ -72,6 +72,9 @@ class AttentionMetadata:
     # sequence slot per batch row (recurrent-state models index their
     # SSM/conv caches by slot; -1 = padding row). Optional for attention.
     seq_slots: Optional[jax.Array] = None
+    # M-RoPE (qwen2-vl): 3-axis rope positions i32[3, T]
+    # (temporal/height/width); None for 1-D rope models
+    positions_mrope: Optional[jax.Array] = None
     # VSWA (per-window KV pools, reference: resource_manager.py:1878):
     # sliding-window layers address their own smaller pool through these
     # tables; None for single-pool models.

@@ -144,3 +144,21 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
     if x_pass.shape[-1]:
         out = jnp.concatenate([out, x_pass], axis=-1)
     return out
+
+
+def mrope_cos_sin(cfg: RopeConfig, positions3: jnp.ndarray,
+                  sections: tuple) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """M-RoPE (Qwen2-VL) tables: ``positions3`` i32[3, T] carries
+    temporal/height/width positions; frequency dims are split into
+    ``sections`` (summing to rot/2) and section j takes its angles from
+    axis j (reference: apply_multimodal_rotary_pos_emb — the half-size
+    layout here folds HF's doubled-section split)."""
+    inv_freq = compute_inv_freq(cfg)
+    angles3 = positions3.astype(jnp.float32)[:, :, None] * \
+        inv_freq[None, None, :]                       # [3, T, rot/2]
+    parts, off = [], 0
+    for j, s in enumerate(sections):
+        parts.append(angles3[j % 3, :, off:off + s])
+        off += s
+    angles = jnp.concatenate(parts, axis=-1)
+    return jnp.cos(angles), jnp.sin(angles)

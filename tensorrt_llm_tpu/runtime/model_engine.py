@@ -54,6 +54,8 @@ class StepInputs:
     # VSWA sliding-pool tables (None for single-pool models)
     page_indices_sw: Optional[np.ndarray] = None
     slot_mapping_sw: Optional[np.ndarray] = None
+    # M-RoPE 3-axis positions (None unless the model uses_mrope)
+    positions_mrope: Optional[np.ndarray] = None
 
 
 class ModelEngine:
@@ -96,6 +98,8 @@ class ModelEngine:
         # pool sized ~window tokens per sequence (reference:
         # resource_manager.py:1878)
         self._vswa = bool(getattr(model, "vswa_enabled", False))
+        # M-RoPE (qwen2-vl): 3-axis positions ride three extra ints_t rows
+        self._mrope = bool(getattr(model, "uses_mrope", False))
         self.num_kv_pages = num_kv_pages or self._default_num_pages()
         if self._vswa:
             w_pages = -(-(model.vswa_window + self.page_size)
@@ -231,6 +235,7 @@ class ModelEngine:
             if self._vswa:
                 sm_sw = ints_t[5]
                 page_indices, pt_sw = page_indices[0], page_indices[1]
+            pos_mrope = ints_t[-3:] if self._mrope else None
             o = 0
             kv_lens = ints_s[o:o + S]; o += S
             cu_q_lens = ints_s[o:o + S + 1]; o += S + 1
@@ -247,7 +252,8 @@ class ModelEngine:
                 cu_q_lens=cu_q_lens, num_seqs=num_seqs,
                 slot_mapping=slot_mapping, positions=positions,
                 logits_indices=logits_indices, seq_slots=out_slots,
-                page_indices_sw=pt_sw, slot_mapping_sw=sm_sw)
+                page_indices_sw=pt_sw, slot_mapping_sw=sm_sw,
+                positions_mrope=pos_mrope)
             sampling = SamplingTensors(
                 temperature=floats[0], top_k=top_k, top_p=floats[1],
                 min_p=floats[2], greedy=greedy,
@@ -718,6 +724,23 @@ class ModelEngine:
                 out_slots[i] = req.seq_slot
         cu_q[len(reqs) + 1:] = len(tok_list)
 
+        positions_mrope = None
+        if self._mrope:
+            # per-token 3-axis rope positions: multimodal prompts carry
+            # a precomputed [3, prompt_len] grid (reference:
+            # Qwen2-VL get_rope_index); past it, all axes advance
+            # together from the request's delta
+            positions_mrope = np.zeros((3, len(pos_list)), np.int32)
+            for i, req in enumerate(reqs):
+                mp = getattr(req, "mrope_positions", None)
+                delta = int(getattr(req, "mrope_delta", 0) or 0)
+                for t in range(cu_q[i], cu_q[i + 1]):
+                    p = pos_list[t]
+                    if mp is not None and p < mp.shape[1]:
+                        positions_mrope[:, t] = mp[:, p]
+                    else:
+                        positions_mrope[:, t] = p + delta
+
         return StepInputs(
             token_ids=np.asarray(tok_list, np.int32),
             prev_slot=np.asarray(prev_list, np.int32),
@@ -730,7 +753,8 @@ class ModelEngine:
             num_tokens=len(tok_list), num_reqs=len(reqs),
             page_indices_sw=page_indices_sw,
             slot_mapping_sw=(np.asarray(slot_map_sw, np.int32)
-                             if self._vswa else None))
+                             if self._vswa else None),
+            positions_mrope=positions_mrope)
 
     # ------------------------------------------------------------------ #
     # Sleep / wake (RL-style weight offload) + live weight update
@@ -778,7 +802,10 @@ class ModelEngine:
             # within one page (reads page 0; writes are dropped)
             n_seqs = min(S, -(-T // ps))
             per = -(-T // n_seqs)
-            ints_t = np.zeros((6 if self._vswa else 4, T), np.int32)
+            # must match launch()'s row count exactly or the warmup
+            # compile lands in a different (never-used) shape signature
+            ints_t = np.zeros(((6 if self._vswa else 5)
+                               + (3 if self._mrope else 0), T), np.int32)
             ints_t[1] = -1
             ints_t[3] = num_slots
             if self._vswa:
@@ -947,7 +974,7 @@ class ModelEngine:
         S, G = self.max_batch_size, self.max_draft_len + 1
         self.iter_counter += 1
 
-        rows = 6 if self._vswa else 5
+        rows = (6 if self._vswa else 5) + (3 if self._mrope else 0)
         ints_t = np.zeros((rows, T), np.int32)
         ints_t[0, :inp.num_tokens] = inp.token_ids
         ints_t[1, :] = -1
@@ -961,6 +988,8 @@ class ModelEngine:
         if self._vswa:
             ints_t[5, :] = self.num_sw_pages * self.page_size
             ints_t[5, :inp.num_tokens] = inp.slot_mapping_sw
+        if self._mrope:
+            ints_t[-3:, :inp.num_tokens] = inp.positions_mrope
 
         reqs = batch.context_requests + batch.generation_requests
         top_k = np.zeros(S, np.int32)
