@@ -186,6 +186,7 @@ class Qwen2VLForConditionalGeneration(Qwen2ForCausalLM):
     architectures = ("Qwen2VLForConditionalGeneration",)
     processor_type = "qwen2_vl"
     uses_mrope = True
+    tower_cls = Qwen2VisionTower
 
     def __init__(self, model_config: ModelConfig):
         self.vlm_config = model_config.hf_config
@@ -199,8 +200,8 @@ class Qwen2VLForConditionalGeneration(Qwen2ForCausalLM):
         self.image_token_id = self.vlm_config.image_token_id
         self.vision_start_token_id = getattr(
             self.vlm_config, "vision_start_token_id", None)
-        self.tower = Qwen2VisionTower(self.vlm_config.vision_config,
-                                      self.dtype)
+        self.tower = self.tower_cls(self.vlm_config.vision_config,
+                                    self.dtype)
         self._vision_params = None
 
     def _base_cos_sin(self, metadata):
@@ -322,3 +323,183 @@ class Qwen2VLInputProcessor:
                                        self.merge)
         return out_ids, embeds, mm_hash([np.asarray(i) for i in images]), \
             {"mrope_positions": mp, "mrope_delta": delta}
+
+
+# ---------------------------------------------------------------------- #
+# Qwen2.5-VL: window attention + RMSNorm + silu-gate MLP in the tower
+# (reference: modeling_qwen2_5_vl.py; LM/M-RoPE unchanged for images)
+# ---------------------------------------------------------------------- #
+class Qwen25VisionTower(Qwen2VisionTower):
+    def __init__(self, vc, dtype):
+        vc.embed_dim = vc.hidden_size          # 2.5 renames the width
+        super().__init__(vc, dtype)
+        self.out_dim = vc.out_hidden_size
+        self.window = vc.window_size
+        self.full_idx = set(vc.fullatt_block_indexes)
+
+    def load_hf_state_dict(self, sd):
+        dt = self.dtype
+        t = lambda n: jnp.asarray(
+            np.ascontiguousarray(np.asarray(sd[n]).T), dt)
+        a = lambda n, d=None: jnp.asarray(np.asarray(sd[n]), d or dt)
+
+        def block(i):
+            p = f"blocks.{i}."
+            return {
+                "ln1_w": a(p + "norm1.weight"),
+                "ln2_w": a(p + "norm2.weight"),
+                "qkv_w": t(p + "attn.qkv.weight"),
+                "qkv_b": a(p + "attn.qkv.bias"),
+                "proj_w": t(p + "attn.proj.weight"),
+                "proj_b": a(p + "attn.proj.bias"),
+                "gate_w": t(p + "mlp.gate_proj.weight"),
+                "gate_b": a(p + "mlp.gate_proj.bias"),
+                "up_w": t(p + "mlp.up_proj.weight"),
+                "up_b": a(p + "mlp.up_proj.bias"),
+                "down_w": t(p + "mlp.down_proj.weight"),
+                "down_b": a(p + "mlp.down_proj.bias"),
+                "is_full": jnp.asarray(i in self.full_idx),
+            }
+
+        pe = np.asarray(sd["patch_embed.proj.weight"])
+        return {
+            "patch_w": jnp.asarray(pe.reshape(pe.shape[0], -1).T, dt),
+            "blocks": jax.tree.map(lambda *xs: jnp.stack(xs),
+                                   *[block(i) for i in range(self.depth)]),
+            "ln_q_w": a("merger.ln_q.weight"),
+            "m0_w": t("merger.mlp.0.weight"), "m0_b": a("merger.mlp.0.bias"),
+            "m2_w": t("merger.mlp.2.weight"), "m2_b": a("merger.mlp.2.bias"),
+        }
+
+    def _rms(self, x, w):
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(jnp.square(xf), -1, keepdims=True)
+        return (xf * jax.lax.rsqrt(var + 1e-6) * w.astype(jnp.float32)) \
+            .astype(x.dtype)
+
+    def get_window_index(self, grid_thw):
+        """numpy port of HF get_window_index: window-major permutation of
+        merge groups + per-window cumulative lengths."""
+        m = self.merge
+        vmw = self.window // m // self.patch
+        unit = m * m
+        win_idx, cu = [], [0]
+        base = 0
+        for t, h, w in grid_thw:
+            gh, gw = h // m, w // m
+            idx = np.arange(t * gh * gw).reshape(t, gh, gw)
+            ph = (-gh) % vmw
+            pw = (-gw) % vmw
+            idxp = np.full((t, gh + ph, gw + pw), -100, np.int64)
+            idxp[:, :gh, :gw] = idx
+            nh, nw = (gh + ph) // vmw, (gw + pw) // vmw
+            idxp = idxp.reshape(t, nh, vmw, nw, vmw) \
+                .transpose(0, 1, 3, 2, 4).reshape(t, nh * nw, vmw, vmw)
+            seqlens = (idxp != -100).sum((2, 3)).reshape(-1)
+            flat = idxp.reshape(-1)
+            keep = flat[flat != -100]
+            win_idx.append(keep + base)
+            cu.extend((np.cumsum(seqlens) * unit + cu[-1]).tolist())
+            base += t * gh * gw
+        cu = np.asarray(cu, np.int64)
+        cu = cu[np.concatenate([[True], np.diff(cu) != 0])]
+        return np.concatenate(win_idx), cu
+
+    def _forward(self, params, patches, cos, sin, seg_full, seg_win):
+        x = jnp.dot(patches.astype(self.dtype), params["patch_w"],
+                    preferred_element_type=jnp.float32).astype(self.dtype)
+        L = x.shape[0]
+        mask_full = seg_full[:, None] == seg_full[None, :]
+        mask_win = seg_win[:, None] == seg_win[None, :]
+
+        def body(x, blk):
+            mask = jnp.where(blk["is_full"], mask_full, mask_win)
+            h = self._rms(x, blk["ln1_w"])
+            qkv = jnp.dot(h, blk["qkv_w"],
+                          preferred_element_type=jnp.float32) \
+                .astype(self.dtype) + blk["qkv_b"]
+            q, kk, v = jnp.split(qkv.reshape(L, 3, self.heads, self.hd)
+                                 .transpose(1, 0, 2, 3), 3, axis=0)
+            q, kk, v = q[0], kk[0], v[0]
+
+            def rot(u):
+                uf = u.astype(jnp.float32)
+                u1, u2 = uf[..., :self.hd // 2], uf[..., self.hd // 2:]
+                return jnp.concatenate(
+                    [u1 * cos[:, None] - u2 * sin[:, None],
+                     u2 * cos[:, None] + u1 * sin[:, None]], -1)
+            qf, kf = rot(q), rot(kk)
+            scores = jnp.einsum("thd,shd->hts", qf, kf) / \
+                math.sqrt(self.hd)
+            scores = jnp.where(mask[None], scores,
+                               jnp.finfo(jnp.float32).min)
+            probs = jax.nn.softmax(scores, -1)
+            o = jnp.einsum("hts,shd->thd", probs,
+                           v.astype(jnp.float32)).reshape(L, self.embed)
+            o = jnp.dot(o.astype(self.dtype), blk["proj_w"],
+                        preferred_element_type=jnp.float32) \
+                .astype(self.dtype) + blk["proj_b"]
+            x = x + o
+            h = self._rms(x, blk["ln2_w"])
+            g = jnp.dot(h, blk["gate_w"],
+                        preferred_element_type=jnp.float32) + blk["gate_b"]
+            u = (jnp.dot(h, blk["up_w"],
+                         preferred_element_type=jnp.float32)
+                 + blk["up_b"]).astype(self.dtype)
+            f = (jax.nn.silu(g).astype(self.dtype) * u)
+            f = jnp.dot(f, blk["down_w"],
+                        preferred_element_type=jnp.float32) \
+                .astype(self.dtype) + blk["down_b"]
+            return x + f, None
+
+        x, _ = jax.lax.scan(body, x, params["blocks"])
+        x = self._rms(x, params["ln_q_w"])
+        x = x.reshape(-1, self.merge * self.merge * self.embed)
+        x = jnp.dot(x, params["m0_w"],
+                    preferred_element_type=jnp.float32) + params["m0_b"]
+        x = jax.nn.gelu(x, approximate=False)
+        x = jnp.dot(x.astype(self.dtype), params["m2_w"],
+                    preferred_element_type=jnp.float32) + params["m2_b"]
+        return x.astype(self.dtype)
+
+    def encode(self, params, pixel_values: np.ndarray, grid_thw):
+        L = pixel_values.shape[0]
+        unit = self.merge * self.merge
+        pos = self.rot_pos_ids(grid_thw)
+        inv = 1.0 / (10000.0 ** (np.arange(0, self.hd // 2, 2,
+                                           dtype=np.float32)
+                                 / (self.hd // 2)))
+        freqs = pos[:, :, None] * inv[None, None, :]
+        emb = freqs.reshape(L, -1)
+        win_idx, cu_win = self.get_window_index(grid_thw)
+        # permute merge-groups into window-major order
+        perm = (win_idx[:, None] * unit +
+                np.arange(unit)[None, :]).reshape(-1)
+        px = np.asarray(pixel_values, np.float32)[perm]
+        emb = emb[perm]
+        cos, sin = np.cos(emb), np.sin(emb)
+        seg_full = np.zeros(L, np.int32)
+        off = 0
+        for i, (t, h, w) in enumerate(grid_thw):
+            n = int(t * h * w)
+            seg_full[off:off + n] = i
+            off += n
+        seg_full = seg_full[perm]
+        seg_win = np.zeros(L, np.int32)
+        for i in range(len(cu_win) - 1):
+            seg_win[cu_win[i]:cu_win[i + 1]] = i
+        key = (L, "w25")
+        if key not in self._fns:
+            self._fns[key] = jax.jit(self._forward)
+        out = self._fns[key](params, jnp.asarray(px), jnp.asarray(cos),
+                             jnp.asarray(sin), jnp.asarray(seg_full),
+                             jnp.asarray(seg_win))
+        inv_perm = np.argsort(win_idx)
+        return np.asarray(out)[inv_perm]
+
+
+@register_model("qwen2_5_vl")
+class Qwen25VLForConditionalGeneration(Qwen2VLForConditionalGeneration):
+    architectures = ("Qwen2_5_VLForConditionalGeneration",)
+    processor_type = "qwen2_vl"       # same placeholder/M-RoPE handling
+    tower_cls = Qwen25VisionTower

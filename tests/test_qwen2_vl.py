@@ -127,3 +127,57 @@ def test_qwen2_vl_e2e_greedy(pair):
             cur = torch.cat([cur, torch.tensor([[nxt]])], dim=1)
     llm.shutdown()
     assert got == ref_ids
+
+
+def test_qwen25_vl_window_tower_parity():
+    """Qwen2.5-VL: window-major reordering + window/full attention mix +
+    RMSNorm/silu-gate tower; exact parity incl. the inverse
+    permutation (reference: modeling_qwen2_5_vl.py get_window_index)."""
+    import torch
+    from transformers import (Qwen2_5_VLConfig,
+                              Qwen2_5_VLForConditionalGeneration)
+    torch.manual_seed(0)
+    cfg = Qwen2_5_VLConfig(
+        text_config=dict(vocab_size=160, hidden_size=64,
+                         intermediate_size=128, num_hidden_layers=2,
+                         num_attention_heads=4, num_key_value_heads=2,
+                         max_position_embeddings=512,
+                         rope_scaling={"rope_type": "default",
+                                       "mrope_section": [2, 3, 3]},
+                         rope_theta=10000.0),
+        vision_config=dict(depth=2, hidden_size=32, out_hidden_size=64,
+                           num_heads=4, intermediate_size=48, patch_size=4,
+                           temporal_patch_size=2, spatial_merge_size=2,
+                           window_size=16, fullatt_block_indexes=[1],
+                           in_channels=3),
+        image_token_id=151, video_token_id=152,
+        vision_start_token_id=153, vision_end_token_id=154)
+    tmodel = Qwen2_5_VLForConditionalGeneration(cfg).eval()
+    sd = {k: v.detach().float().numpy()
+          for k, v in tmodel.state_dict().items()}
+    model = get_model_class("qwen2_5_vl")(
+        ModelConfig(hf_config=cfg, dtype=jnp.float32))
+    params = model.load_hf_state_dict(sd)
+    grid = (1, 8, 8)
+    px = torch.randn(64, 3 * 2 * 4 * 4)
+    with torch.no_grad():
+        ref = tmodel.model.visual(px, grid_thw=torch.tensor([grid])).numpy()
+    mine = np.asarray(model.encode_images(px.numpy(), [grid]))
+    np.testing.assert_allclose(mine, ref, rtol=2e-4, atol=2e-4)
+
+    proc = create_input_processor(model)
+    ids, embeds, _, extra = proc([1, 2, 153, 151, 154, 3, 4],
+                                 {"image": [px.numpy()],
+                                  "image_grid_thw": [grid]})
+    with torch.no_grad():
+        ref_l = tmodel(input_ids=torch.tensor([ids]), pixel_values=px,
+                       image_grid_thw=torch.tensor([grid])
+                       ).logits[0, -1].numpy()
+    kv = model.make_kv_pages(16, 16)
+    md = dataclasses.replace(
+        make_prefill_metadata(model, len(ids)),
+        positions_mrope=jnp.asarray(extra["mrope_positions"]))
+    logits, _ = model.forward(params, jnp.asarray(ids, jnp.int32), kv, md,
+                              input_embeds=jnp.asarray(embeds))
+    np.testing.assert_allclose(np.asarray(logits)[0], ref_l,
+                               rtol=3e-3, atol=3e-3)
