@@ -31,7 +31,7 @@ class MixtralForCausalLM(LlamaForCausalLM):
         super().__init__(model_config)
         self.num_experts = getattr(self.hf, "num_local_experts", None) or \
             getattr(self.hf, "num_experts", 0)
-        self.top_k = self.hf.num_experts_per_tok
+        self.top_k = getattr(self.hf, "num_experts_per_tok", 1)
         self.moe_backend = "auto"
         # routing renormalization (Mixtral yes; Qwen2-MoE no by default)
         self.renormalize = True
@@ -192,17 +192,19 @@ class MixtralForCausalLM(LlamaForCausalLM):
                                   mapping=mapping, mesh=self.mesh,
                                   renormalize=self.renormalize)
             if self.has_shared_expert:
-                # always-on shared expert scaled by a sigmoid gate
-                # (Qwen2-MoE shared_expert + shared_expert_gate)
+                # always-on shared expert, sigmoid-gated for Qwen2-MoE
+                # (shared_expert_gate); added directly for HunYuan-MoE
                 g = self.m_mlp.apply(layer["se_gate"], normed)
                 u = self.m_mlp.apply(layer["se_up"], normed)
                 a = jax.nn.silu(g.astype(jnp.float32)) \
                     .astype(self.dtype) * u
                 se = self.m_mlp.apply(layer["se_down"], a)
-                gate = jax.nn.sigmoid(
-                    jnp.dot(normed, layer["se_gate_w"],
-                            preferred_element_type=jnp.float32))
-                moe_out = moe_out + gate.astype(self.dtype) * se
+                if getattr(self, "shared_expert_gated", True):
+                    gate = jax.nn.sigmoid(
+                        jnp.dot(normed, layer["se_gate_w"],
+                                preferred_element_type=jnp.float32))
+                    se = gate.astype(self.dtype) * se
+                moe_out = moe_out + se
             h = h + (moe_out if rm == 1.0 else rm * moe_out)
             return h, new_pages
 

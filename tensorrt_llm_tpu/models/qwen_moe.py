@@ -111,9 +111,11 @@ class _QwenMoeBase(MixtralForCausalLM):
                 self.m_mlp, "model.layers.{}.mlp.shared_expert.up_proj.weight")
             layers["se_down"] = stack(
                 self.m_mlp, "model.layers.{}.mlp.shared_expert.down_proj.weight")
-            layers["se_gate_w"] = jnp.stack([
-                jnp.asarray(t(f"model.layers.{i}.mlp.shared_expert_gate.weight"),
-                            dtype=dtype) for i in range(L)])
+            if getattr(self, "shared_expert_gated", True):
+                layers["se_gate_w"] = jnp.stack([
+                    jnp.asarray(
+                        t(f"model.layers.{i}.mlp.shared_expert_gate.weight"),
+                        dtype=dtype) for i in range(L)])
         if self.use_qk_norm:
             layers = params["layers"]
             layers["q_norm"] = jnp.stack([
