@@ -6,6 +6,7 @@ from .processor import (INPUT_PROCESSOR_REGISTRY, create_input_processor,
 from . import llava as _llava  # noqa: F401  (registers model + processor)
 from . import llava_next as _llava_next  # noqa: F401
 from . import qwen2_vl as _qwen2_vl  # noqa: F401
+from . import pixtral as _pixtral  # noqa: F401
 
 __all__ = ["VisionTower", "create_input_processor", "mm_hash",
            "register_input_processor", "INPUT_PROCESSOR_REGISTRY"]

@@ -168,3 +168,46 @@ def test_llava_next_anyres_parity():
                               input_embeds=jnp.asarray(embeds))
     np.testing.assert_allclose(np.asarray(logits)[0], ref,
                                rtol=3e-3, atol=3e-3)
+
+
+def test_mistral3_pixtral_parity():
+    """Pixtral tower (variable-size 2D-rope ViT) + Mistral3 patch-merge
+    projector; exact HF logits parity (reference:
+    modeling_pixtral.py / modeling_mistral.py Mistral3 path)."""
+    import torch
+    from transformers import Mistral3Config, Mistral3ForConditionalGeneration
+    from tensorrt_llm_tpu.models import ModelConfig, get_model_class
+    from tensorrt_llm_tpu.multimodal.processor import create_input_processor
+    from tests.test_models import make_prefill_metadata
+
+    torch.manual_seed(0)
+    cfg = Mistral3Config(
+        vision_config=dict(hidden_size=32, intermediate_size=64,
+                           num_hidden_layers=2, num_attention_heads=4,
+                           image_size=32, patch_size=8, num_channels=3,
+                           head_dim=8, rope_theta=10000.0),
+        text_config=dict(vocab_size=96, hidden_size=48,
+                         intermediate_size=96, num_hidden_layers=2,
+                         num_attention_heads=4, num_key_value_heads=2,
+                         max_position_embeddings=256),
+        image_token_index=95, spatial_merge_size=2,
+        vision_feature_layer=-1, multimodal_projector_bias=False)
+    tmodel = Mistral3ForConditionalGeneration(cfg).eval()
+    sd = {k: v.detach().float().numpy()
+          for k, v in tmodel.state_dict().items()}
+    model = get_model_class("mistral3")(
+        ModelConfig(hf_config=cfg, dtype=jnp.float32))
+    params = model.load_hf_state_dict(sd)
+    img = torch.randn(3, 32, 16)       # non-square: exercises 2D rope
+    proc = create_input_processor(model)
+    ids, embeds, salt = proc([1, 2, 95, 3, 4], {"image": [img.numpy()]})
+    with torch.no_grad():
+        ref = tmodel(input_ids=torch.tensor([ids]), pixel_values=img[None],
+                     image_sizes=torch.tensor([[32, 16]])
+                     ).logits[0, -1].numpy()
+    kv = model.make_kv_pages(16, 16)
+    md = make_prefill_metadata(model, len(ids))
+    logits, _ = model.forward(params, jnp.asarray(ids, jnp.int32), kv, md,
+                              input_embeds=jnp.asarray(embeds))
+    np.testing.assert_allclose(np.asarray(logits)[0], ref,
+                               rtol=3e-3, atol=3e-3)
