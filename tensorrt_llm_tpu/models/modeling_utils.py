@@ -132,6 +132,7 @@ def attention_block(params: Dict[str, Any],
                     mesh=None,
                     tp_axis: Optional[str] = None,
                     lora_fn: Optional[Callable] = None,
+                    pre_o: Optional[Callable] = None,
                     collect_kv_stats: bool = False
                     ) -> Tuple[jax.Array, jax.Array]:
     """Attention with paged KV (reference: modules/attention.py:314
@@ -176,6 +177,9 @@ def attention_block(params: Dict[str, Any],
         k_scale=ks, v_scale=ks, backend=attn_backend,
         mesh=mesh, tp_axis=tp_axis)
     attn_flat = attn.reshape(T, nq * hd)
+    if pre_o is not None:
+        # output gate hook (Qwen3-Next gated attention: attn · σ(gate))
+        attn_flat = pre_o(params, x, attn_flat)
     out = o_method.apply(params["o"], attn_flat)
     if lora_fn is not None:
         out = lora_fn("o", attn_flat, out)

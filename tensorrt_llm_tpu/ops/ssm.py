@@ -202,3 +202,52 @@ def ssd_scan(x: jax.Array,          # [T, nh, hd] (post-conv activation)
     new_state = ssm_state.at[tgt].set(final_h.astype(ssm_state.dtype),
                                       mode="drop")
     return y.astype(x.dtype), new_state
+
+
+def gated_delta_scan(q: jax.Array,        # [T, vh, dk] (post l2norm+scale)
+                     k: jax.Array,        # [T, vh, dk] (post l2norm)
+                     v: jax.Array,        # [T, vh, dv]
+                     g: jax.Array,        # [T, vh] log-decay (<= 0)
+                     beta: jax.Array,     # [T, vh] in (0, 1)
+                     state: jax.Array,    # [slots, vh, dk, dv]
+                     metadata) -> Tuple[jax.Array, jax.Array]:
+    """Gated delta rule (Qwen3-Next linear attention; HF
+    torch_recurrent_gated_delta_rule is the numeric spec):
+
+        S_t = S_{t-1}·exp(g_t);  Δ = (v_t − k_t·S_t)·β_t
+        S_t += k_t ⊗ Δ;          y_t = q_t·S_t
+
+    The transition is a rank-1 matrix update — not an elementwise decay —
+    so this runs as a SEQUENTIAL segment-aware ``lax.scan`` over the
+    flattened token axis carrying the slot-indexed state array (the
+    chunked parallel form is a later MXU optimization). Segment starts
+    at position 0 reset the state; continuing segments read their slot.
+    """
+    T = q.shape[0]
+    S = metadata.kv_lens.shape[0]
+    seq_of, pos_in_seg, is_start, _ = _token_segments(
+        metadata.cu_q_lens, metadata.num_seqs, metadata.positions, T, S)
+    slots = jnp.clip(metadata.seq_slots, 0)
+    slot_of = slots[seq_of]
+    fresh = is_start & (metadata.positions == 0)
+
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    gf = jnp.exp(g.astype(jnp.float32))
+    bf = beta.astype(jnp.float32)
+
+    def step(state_all, t):
+        s = state_all[slot_of[t]]                        # [vh, dk, dv]
+        s = jnp.where(fresh[t], jnp.zeros_like(s), s)
+        s = s * gf[t][:, None, None]
+        kv_mem = jnp.einsum("hk,hkv->hv", kf[t], s)
+        delta = (vf[t] - kv_mem) * bf[t][:, None]
+        s = s + kf[t][:, :, None] * delta[:, None, :]
+        y = jnp.einsum("hk,hkv->hv", qf[t], s)
+        state_all = state_all.at[slot_of[t]].set(s.astype(state_all.dtype))
+        return state_all, y
+
+    state, ys = jax.lax.scan(step, state.astype(jnp.float32),
+                             jnp.arange(T))
+    return ys.astype(q.dtype), state
