@@ -204,7 +204,7 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
         return base
 
 
-@register_model("gemma3", "gemma3_text")
+@register_model("gemma3_text")
 class Gemma3ForCausalLM(Gemma2ForCausalLM):
     """Gemma 3 (text): Gemma2 conventions minus the soft-caps, plus
     per-head QK gemma-norms and DUAL rotary bases — sliding layers use

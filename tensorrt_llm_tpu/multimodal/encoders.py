@@ -109,7 +109,8 @@ class VisionTower:
 
     # -- forward -----------------------------------------------------------
     def __call__(self, params: Dict[str, Any], pixel_values: jnp.ndarray,
-                 feature_layer: int = -1) -> jnp.ndarray:
+                 feature_layer: int = -1,
+                 apply_post_ln: bool = False) -> jnp.ndarray:
         """pixel_values [B, 3, H, W] → hidden states
         [B, tokens, D] taken after ``feature_layer`` encoder layers
         (−2 = LLaVA's penultimate-layer features; the final post-LN is
@@ -177,7 +178,10 @@ class VisionTower:
             return (h, idx + 1), None
 
         (h, _), _ = jax.lax.scan(layer_body, (h, 0), params["layers"])
-        # NOTE: matches HF hidden_states[feature_layer] — post_layernorm
-        # is applied only to the pooled CLS in current transformers, and
-        # VLM feature extraction reads the raw hidden states
+        # HF hidden_states[feature_layer] are raw (post_layernorm only
+        # touches the pooled CLS); last_hidden_state consumers (gemma3)
+        # pass apply_post_ln=True for the final post-LN
+        if apply_post_ln and feature_layer == -1:
+            h = _ln(h, params["post_ln"]["w"], params["post_ln"]["b"],
+                    self.eps)
         return h

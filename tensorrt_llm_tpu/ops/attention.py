@@ -75,6 +75,12 @@ class AttentionMetadata:
     # M-RoPE (qwen2-vl): 3-axis rope positions i32[3, T]
     # (temporal/height/width); None for 1-D rope models
     positions_mrope: Optional[jax.Array] = None
+    # bidirectional image spans (gemma3/paligemma): per-NEW-token image
+    # group id (-1 = text) and the persistent per-kv-slot group pool the
+    # model scatters alongside KV writes. Same-group q/kv pairs attend
+    # bidirectionally (HF token_type_ids or-mask semantics).
+    mm_groups_q: Optional[jax.Array] = None       # i32[T]
+    mm_group_pool: Optional[jax.Array] = None     # i32[pages*page_size]
     # VSWA (per-window KV pools, reference: resource_manager.py:1878):
     # sliding-window layers address their own smaller pool through these
     # tables; None for single-pool models.
@@ -192,6 +198,15 @@ def ragged_paged_attention(
                           P(None, None, axes, None)),
                 out_specs=P(None, axes, None))(q, kv_pages)
 
+    if metadata.mm_group_pool is not None and \
+            metadata.mm_groups_q is not None:
+        # bidirectional image-span mask: reference path only (kernels
+        # learn the or-mask later)
+        return _reference_attention(
+            q, kv_pages, metadata, sm_scale=sm_scale,
+            sliding_window=sliding_window, soft_cap=soft_cap,
+            k_scale=k_scale, v_scale=v_scale,
+            alibi_slopes=alibi_slopes, sinks=sinks)
     if sinks is not None:
         # attention sinks (gpt-oss): extra per-head softmax logit, dropped
         # after normalization — reference path only for now (the decode
@@ -337,10 +352,21 @@ def _reference_attention(q, kv_pages, metadata, *, sm_scale,
     if soft_cap is not None:
         scores = soft_cap * jnp.tanh(scores / soft_cap)
     kv_pos = jnp.arange(max_kv, dtype=jnp.int32)
-    valid = kv_pos[None, :] <= tok_kv_pos[:, None]
-    valid &= kv_pos[None, :] < metadata.kv_lens[seq_of_tok][:, None]
+    in_len = kv_pos[None, :] < metadata.kv_lens[seq_of_tok][:, None]
+    valid = (kv_pos[None, :] <= tok_kv_pos[:, None]) & in_len
     if sliding_window is not None:
         valid &= kv_pos[None, :] > (tok_kv_pos[:, None] - sliding_window)
+    if metadata.mm_group_pool is not None and \
+            metadata.mm_groups_q is not None:
+        # same-image q/kv pairs attend bidirectionally, overriding the
+        # causal and window constraints (never the length bound)
+        pool2d = metadata.mm_group_pool.reshape(-1, page_size)
+        kv_groups = pool2d[metadata.page_indices.reshape(-1)] \
+            .reshape(S, max_kv)
+        gq = metadata.mm_groups_q
+        bidir = (gq[:, None] >= 0) & \
+            (gq[:, None] == kv_groups[seq_of_tok])
+        valid |= bidir & in_len
     mask = valid[:, None, None, :]
     neg = jnp.finfo(jnp.float32).min
     scores = jnp.where(mask, scores, neg)

@@ -56,6 +56,8 @@ class StepInputs:
     slot_mapping_sw: Optional[np.ndarray] = None
     # M-RoPE 3-axis positions (None unless the model uses_mrope)
     positions_mrope: Optional[np.ndarray] = None
+    # per-token image-group ids (None unless the model uses_mm_groups)
+    mm_groups: Optional[np.ndarray] = None
 
 
 class ModelEngine:
@@ -100,6 +102,9 @@ class ModelEngine:
         self._vswa = bool(getattr(model, "vswa_enabled", False))
         # M-RoPE (qwen2-vl): 3-axis positions ride three extra ints_t rows
         self._mrope = bool(getattr(model, "uses_mrope", False))
+        # bidirectional image groups (gemma3-vl): one extra ints_t row
+        self._mmg = bool(getattr(model, "uses_mm_groups", False))
+        assert not (self._mrope and self._mmg)
         self.num_kv_pages = num_kv_pages or self._default_num_pages()
         if self._vswa:
             w_pages = -(-(model.vswa_window + self.page_size)
@@ -236,6 +241,7 @@ class ModelEngine:
                 sm_sw = ints_t[5]
                 page_indices, pt_sw = page_indices[0], page_indices[1]
             pos_mrope = ints_t[-3:] if self._mrope else None
+            mm_groups_q = ints_t[-1] if self._mmg else None
             o = 0
             kv_lens = ints_s[o:o + S]; o += S
             cu_q_lens = ints_s[o:o + S + 1]; o += S + 1
@@ -253,7 +259,7 @@ class ModelEngine:
                 slot_mapping=slot_mapping, positions=positions,
                 logits_indices=logits_indices, seq_slots=out_slots,
                 page_indices_sw=pt_sw, slot_mapping_sw=sm_sw,
-                positions_mrope=pos_mrope)
+                positions_mrope=pos_mrope, mm_groups_q=mm_groups_q)
             sampling = SamplingTensors(
                 temperature=floats[0], top_k=top_k, top_p=floats[1],
                 min_p=floats[2], greedy=greedy,
@@ -724,6 +730,17 @@ class ModelEngine:
                 out_slots[i] = req.seq_slot
         cu_q[len(reqs) + 1:] = len(tok_list)
 
+        mm_groups = None
+        if self._mmg:
+            mm_groups = np.full(len(pos_list), -1, np.int32)
+            for i, req in enumerate(reqs):
+                gi = getattr(req, "mm_group_ids", None)
+                if gi is None:
+                    continue
+                for t in range(cu_q[i], cu_q[i + 1]):
+                    p = pos_list[t]
+                    if p < len(gi):
+                        mm_groups[t] = gi[p]
         positions_mrope = None
         if self._mrope:
             # per-token 3-axis rope positions: multimodal prompts carry
@@ -754,7 +771,7 @@ class ModelEngine:
             page_indices_sw=page_indices_sw,
             slot_mapping_sw=(np.asarray(slot_map_sw, np.int32)
                              if self._vswa else None),
-            positions_mrope=positions_mrope)
+            positions_mrope=positions_mrope, mm_groups=mm_groups)
 
     # ------------------------------------------------------------------ #
     # Sleep / wake (RL-style weight offload) + live weight update
@@ -805,7 +822,8 @@ class ModelEngine:
             # must match launch()'s row count exactly or the warmup
             # compile lands in a different (never-used) shape signature
             ints_t = np.zeros(((6 if self._vswa else 5)
-                               + (3 if self._mrope else 0), T), np.int32)
+                               + (3 if self._mrope else 0)
+                               + (1 if self._mmg else 0), T), np.int32)
             ints_t[1] = -1
             ints_t[3] = num_slots
             if self._vswa:
@@ -974,7 +992,8 @@ class ModelEngine:
         S, G = self.max_batch_size, self.max_draft_len + 1
         self.iter_counter += 1
 
-        rows = (6 if self._vswa else 5) + (3 if self._mrope else 0)
+        rows = (6 if self._vswa else 5) + (3 if self._mrope else 0) \
+            + (1 if self._mmg else 0)
         ints_t = np.zeros((rows, T), np.int32)
         ints_t[0, :inp.num_tokens] = inp.token_ids
         ints_t[1, :] = -1
@@ -990,6 +1009,9 @@ class ModelEngine:
             ints_t[5, :inp.num_tokens] = inp.slot_mapping_sw
         if self._mrope:
             ints_t[-3:, :inp.num_tokens] = inp.positions_mrope
+        if self._mmg:
+            ints_t[-1, :] = -1
+            ints_t[-1, :inp.num_tokens] = inp.mm_groups
 
         reqs = batch.context_requests + batch.generation_requests
         top_k = np.zeros(S, np.int32)
