@@ -102,6 +102,15 @@ class LLM:
             self.mesh = self.mapping.build_mesh()
 
         self._build_model()
+        if getattr(type(self.model), "is_encoder_only", False):
+            # encoder models (BERT rerankers): no KV, no executor — one
+            # jitted bidirectional pass per classify() call (reference:
+            # modeling_bert.py served for reranking)
+            self._encoder_params = self._params
+            del self._params
+            self.executor = None
+            self.engine = None
+            return
         from ..multimodal import create_input_processor
         self.input_processor = create_input_processor(self.model)
         self._build_executor()
@@ -720,10 +729,20 @@ class LLM:
                     "replicas %d", num_slots, nshards,
                     int(rep_count.max()))
 
+    def classify(self, prompts, token_type_ids=None):
+        """Encoder-only scoring: list of token-id lists → [B, num_labels]
+        logits (reference: BertForSequenceClassification serving)."""
+        if not getattr(type(self.model), "is_encoder_only", False):
+            raise ValueError("classify() requires an encoder-only model")
+        if prompts and isinstance(prompts[0], int):
+            prompts = [prompts]
+        return self.model.classify(self._encoder_params, prompts,
+                                   token_type_ids)
+
     def shutdown(self):
         if hasattr(self, "_usage"):
             self._usage.shutdown(self)
-        if hasattr(self, "executor"):
+        if getattr(self, "executor", None) is not None:
             self.executor.shutdown()
 
     def __enter__(self):
