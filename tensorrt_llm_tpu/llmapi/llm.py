@@ -292,7 +292,13 @@ class LLM:
         sc = args.speculative_config
         if sc is not None and sc.mode != "NONE":
             max_draft_len = sc.max_draft_len or 4
-            if sc.mode == "NGRAM":
+            if sc.mode == "USER_PROVIDED":
+                # reference: UserProvidedDecodingConfig — the user hands
+                # a Drafter instance (drafters may produce TREE drafts
+                # via request.draft_parents; greedy tree verify)
+                drafter = sc.draft_model
+                drafter.max_draft_len = max_draft_len
+            elif sc.mode == "NGRAM":
                 from ..speculative.ngram import NGramDrafter
                 drafter = NGramDrafter(
                     max_draft_len=max_draft_len,

@@ -122,7 +122,8 @@ class MoeConfig(StrictBaseModel):
 
 class SpeculativeConfig(StrictBaseModel):
     """Umbrella for spec-decode modes (reference: llm_args.py decoding configs)."""
-    mode: Literal["NONE", "DRAFT_TARGET", "NGRAM", "EAGLE3", "MTP"] = "NONE"
+    mode: Literal["NONE", "DRAFT_TARGET", "NGRAM", "EAGLE3", "MTP",
+                  "USER_PROVIDED"] = "NONE"
     max_draft_len: int = 0
     # checkpoint dir path, torch module, or PretrainedConfig (dummy)
     draft_model: Optional[Any] = None

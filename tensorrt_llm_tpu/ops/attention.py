@@ -81,6 +81,12 @@ class AttentionMetadata:
     # bidirectionally (HF token_type_ids or-mask semantics).
     mm_groups_q: Optional[jax.Array] = None       # i32[T]
     mm_group_pool: Optional[jax.Array] = None     # i32[pages*page_size]
+    # tree speculation (greedy verify): per-NEW-token ancestry bitmask
+    # over the up-to-31 draft-node kv slots of its sequence, and the
+    # per-seq draft-node count. In the tree region the bitmask REPLACES
+    # the positional causal rule (a node attends its ancestors + itself).
+    tree_masks: Optional[jax.Array] = None        # i32[T]
+    tree_lens: Optional[jax.Array] = None         # i32[S]
     # VSWA (per-window KV pools, reference: resource_manager.py:1878):
     # sliding-window layers address their own smaller pool through these
     # tables; None for single-pool models.
@@ -198,6 +204,13 @@ def ragged_paged_attention(
                           P(None, None, axes, None)),
                 out_specs=P(None, axes, None))(q, kv_pages)
 
+    if metadata.tree_masks is not None:
+        # tree-draft ancestry mask: reference path only
+        return _reference_attention(
+            q, kv_pages, metadata, sm_scale=sm_scale,
+            sliding_window=sliding_window, soft_cap=soft_cap,
+            k_scale=k_scale, v_scale=v_scale,
+            alibi_slopes=alibi_slopes, sinks=sinks)
     if metadata.mm_group_pool is not None and \
             metadata.mm_groups_q is not None:
         # bidirectional image-span mask: reference path only (kernels
@@ -367,6 +380,16 @@ def _reference_attention(q, kv_pages, metadata, *, sm_scale,
         bidir = (gq[:, None] >= 0) & \
             (gq[:, None] == kv_groups[seq_of_tok])
         valid |= bidir & in_len
+    if metadata.tree_masks is not None and metadata.tree_lens is not None:
+        # draft-node region [kv_len - tree_len, kv_len): ancestry bitmask
+        # replaces the positional rule entirely
+        tl = metadata.tree_lens[seq_of_tok]            # [T]
+        base = metadata.kv_lens[seq_of_tok] - tl
+        node = kv_pos[None, :] - base[:, None]
+        in_tree = (node >= 0) & (node < tl[:, None]) & (tl[:, None] > 0)
+        bit = ((metadata.tree_masks[:, None]
+                >> jnp.clip(node, 0, 31)) & 1) == 1
+        valid = jnp.where(in_tree, bit & in_len, valid)
     mask = valid[:, None, None, :]
     neg = jnp.finfo(jnp.float32).min
     scores = jnp.where(mask, scores, neg)

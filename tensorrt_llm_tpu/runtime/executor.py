@@ -154,6 +154,7 @@ class _BatchEntry:
     request: LlmRequest
     samples_output: bool        # row's sampled token is a real output token
     drafts: List[int] = dataclasses.field(default_factory=list)
+    parents: Any = None         # tree-draft parent indices (None = chain)
 
 
 @dataclasses.dataclass
@@ -822,11 +823,15 @@ class PyExecutor:
             entries.append(_BatchEntry(req, samples_output=last_chunk))
         for req in batch.generation_requests:
             drafts = list(req.draft_tokens)
+            parents = getattr(req, "draft_parents", None)
+            if parents is not None:
+                parents = list(parents)[:len(drafts)]
             req.num_device_tokens += 1 + len(drafts)
             req.draft_tokens = []
+            req.draft_parents = None
             req.host_token_override = None
             entries.append(_BatchEntry(req, samples_output=True,
-                                       drafts=drafts))
+                                       drafts=drafts, parents=parents))
         return entries
 
     def _prepare_drafts(self, batch: ScheduledRequests):
@@ -852,6 +857,16 @@ class PyExecutor:
             room = self.engine.max_seq_len - (req.num_device_tokens + 1)
             cap = max(0, min(remaining, room, self.engine.max_draft_len))
             req.draft_tokens = req.draft_tokens[:cap]
+            if getattr(req, "draft_parents", None) is not None:
+                # tree drafts: greedy verification only (sampled tree
+                # acceptance is a later extension); BFS order means a
+                # truncated prefix keeps parent indices valid
+                if not req.sampling_params.greedy:
+                    req.draft_tokens = []
+                    req.draft_parents = None
+                else:
+                    req.draft_parents = \
+                        list(req.draft_parents)[:len(req.draft_tokens)]
 
     def _process_inflight(self):
         if not self._inflight:
@@ -886,34 +901,57 @@ class PyExecutor:
                 continue  # mid-context chunk: logits unused
             # greedy draft verification (reference: speculativeDecoding
             # acceptance-by-logits): accept the longest prefix of drafts
-            # matching the target's own samples, plus one bonus token
-            accepted = 0
-            while accepted < len(entry.drafts) and \
-                    int(tokens[i, accepted]) == entry.drafts[accepted]:
-                accepted += 1
+            # matching the target's own samples, plus one bonus token.
+            # Tree drafts walk the tree instead: at each level accept the
+            # child whose token matches the parent row's target sample.
+            if entry.parents is not None and entry.drafts:
+                path = []
+                cur = -1
+                while True:
+                    row = 0 if cur < 0 else cur + 1
+                    tgt = int(tokens[i, row])
+                    nxt = next(
+                        (j for j, pj in enumerate(entry.parents)
+                         if pj == cur and entry.drafts[j] == tgt), None)
+                    if nxt is None:
+                        break
+                    path.append(nxt)
+                    cur = nxt
+                accepted = len(path)
+                # committed token g is the sample at the row of the node
+                # that PRODUCED it (root row for g=0, node rows after);
+                # the final row doubles as the bonus sample
+                rows = [0] + [j + 1 for j in path]
+            else:
+                accepted = 0
+                while accepted < len(entry.drafts) and \
+                        int(tokens[i, accepted]) == entry.drafts[accepted]:
+                    accepted += 1
+                rows = list(range(accepted + 1))
             rejected = len(entry.drafts) - accepted
             done = False
             G_rows = tokens.shape[1]
             for g in range(accepted + 1):
-                done = req.add_output_token(int(tokens[i, g]),
-                                            float(logprobs[i, g]))
+                r = rows[g]
+                done = req.add_output_token(int(tokens[i, r]),
+                                            float(logprobs[i, r]))
                 if hidden is not None:
                     # EAGLE feature of the position that PRODUCED this
                     # token (reference: eagle3 feature capture)
                     req.eagle_feats.append(
-                        (int(tokens[i, g]), hidden[i * G_rows + g]))
+                        (int(tokens[i, r]), hidden[i * G_rows + r]))
                 if top_lp is not None and req.sampling_params.logprobs:
                     vals, ids = top_lp
-                    row = i * G_rows + g if vals.shape[0] > tokens.shape[0] \
+                    row = i * G_rows + r if vals.shape[0] > tokens.shape[0] \
                         else i
                     k = req.sampling_params.logprobs
                     req.logprobs[-1] = {
                         int(t): float(v)
                         for v, t in zip(vals[row][:k], ids[row][:k])}
-                    req.logprobs[-1].setdefault(int(tokens[i, g]),
-                                                float(logprobs[i, g]))
+                    req.logprobs[-1].setdefault(int(tokens[i, r]),
+                                                float(logprobs[i, r]))
                 if self.guided_decoder is not None:
-                    self.guided_decoder.observe_token(req, int(tokens[i, g]))
+                    self.guided_decoder.observe_token(req, int(tokens[i, r]))
                 if not done and req.sampling_params.stop and \
                         self.tokenizer is not None:
                     done = self._check_stop_strings(req)
@@ -926,10 +964,29 @@ class PyExecutor:
             if rejected:
                 req.num_device_tokens -= rejected
                 self.kv.rewind_tokens(req, 0)
+            if entry.parents is not None and accepted:
+                # accepted tree nodes live at node-indexed kv slots; move
+                # them to their committed positional slots
+                pos0 = req.num_device_tokens - 1 - accepted
+                blocks = req.kv_block_ids
+                ps = self.engine.page_size
+                src, dst = [], []
+                for k2, node in enumerate(path[:accepted], start=1):
+                    si = pos0 + 1 + node
+                    di = pos0 + k2
+                    if si != di:
+                        src.append(blocks[si // ps] * ps + si % ps)
+                        dst.append(blocks[di // ps] * ps + di % ps)
+                if src:
+                    self.engine.fix_tree_kv(src, dst)
             if entry.drafts and self.drafter is not None:
                 # acceptance telemetry for adaptive drafters
-                self.drafter.update(req, entry.drafts[:accepted])
-            tok = int(tokens[i, accepted])
+                acc_toks = [entry.drafts[j] for j in path[:accepted]] \
+                    if entry.parents is not None else \
+                    entry.drafts[:accepted]
+                self.drafter.update(req, acc_toks)
+            tok = int(tokens[i, rows[accepted]]) \
+                if accepted < len(rows) else int(tokens[i, rows[-1]])
             if not self.enable_overlap:
                 req.host_token_override = tok
             res = self._results.get(req.request_id)

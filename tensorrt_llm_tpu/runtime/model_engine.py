@@ -58,6 +58,8 @@ class StepInputs:
     positions_mrope: Optional[np.ndarray] = None
     # per-token image-group ids (None unless the model uses_mm_groups)
     mm_groups: Optional[np.ndarray] = None
+    # tree-draft ancestry bitmasks (None = linear drafts only)
+    tree_masks: Optional[np.ndarray] = None
 
 
 class ModelEngine:
@@ -125,6 +127,7 @@ class ModelEngine:
         self.kv_pages = self._make_kv_pages()
         self.prev_tokens = jnp.zeros((self.max_batch_size,), jnp.int32)
         self._step_fns: Dict[Tuple, Any] = {}
+        self._fix_kv_fn = None
         # multi-adapter LoRA (reference: PeftCacheManager + loraOp)
         self.lora_manager = None
         self.lora_params = None
@@ -217,7 +220,7 @@ class ModelEngine:
     def _build_step(self, use_penalties: bool, use_mask: bool = False,
                     all_greedy: bool = False, num_logprobs: int = 0,
                     use_embeds: bool = False, use_lora: bool = False,
-                    use_hidden: bool = False):
+                    use_hidden: bool = False, use_tree: bool = False):
         model = self.model
         G = self.max_draft_len + 1  # logits gathered per sequence
         S = self.max_batch_size
@@ -240,8 +243,11 @@ class ModelEngine:
             if self._vswa:
                 sm_sw = ints_t[5]
                 page_indices, pt_sw = page_indices[0], page_indices[1]
-            pos_mrope = ints_t[-3:] if self._mrope else None
-            mm_groups_q = ints_t[-1] if self._mmg else None
+            extra = -1 if use_tree else 0
+            pos_mrope = ints_t[extra - 3:extra or None] \
+                if self._mrope else None
+            mm_groups_q = ints_t[extra - 1] if self._mmg else None
+            tree_masks = ints_t[-1] if use_tree else None
             o = 0
             kv_lens = ints_s[o:o + S]; o += S
             cu_q_lens = ints_s[o:o + S + 1]; o += S + 1
@@ -253,13 +259,18 @@ class ModelEngine:
             counter = ints_s[o]; o += 1
             row_seeds = ints_s[o:o + S]; o += S
             draft_ids = ints_s[o:o + S * G]  # -1 = no draft (G>1 only)
+            tree_lens = None
+            if use_tree:
+                _li = logits_indices.reshape(S, G)
+                tree_lens = (_li[:, G - 1] - _li[:, 0]).astype(jnp.int32)
             metadata = AttentionMetadata(
                 kv_lens=kv_lens, page_indices=page_indices,
                 cu_q_lens=cu_q_lens, num_seqs=num_seqs,
                 slot_mapping=slot_mapping, positions=positions,
                 logits_indices=logits_indices, seq_slots=out_slots,
                 page_indices_sw=pt_sw, slot_mapping_sw=sm_sw,
-                positions_mrope=pos_mrope, mm_groups_q=mm_groups_q)
+                positions_mrope=pos_mrope, mm_groups_q=mm_groups_q,
+                tree_masks=tree_masks, tree_lens=tree_lens)
             sampling = SamplingTensors(
                 temperature=floats[0], top_k=top_k, top_p=floats[1],
                 min_p=floats[2], greedy=greedy,
@@ -566,13 +577,13 @@ class ModelEngine:
     def _get_step_fn(self, use_penalties: bool, use_mask: bool = False,
                      all_greedy: bool = False, num_logprobs: int = 0,
                      use_embeds: bool = False, use_lora: bool = False,
-                     use_hidden: bool = False):
+                     use_hidden: bool = False, use_tree: bool = False):
         key = (use_penalties, use_mask, all_greedy, num_logprobs,
-               use_embeds, use_lora, use_hidden)
+               use_embeds, use_lora, use_hidden, use_tree)
         if key not in self._step_fns:
             self._step_fns[key] = self._build_step(
                 use_penalties, use_mask, all_greedy, num_logprobs,
-                use_embeds, use_lora, use_hidden)
+                use_embeds, use_lora, use_hidden, use_tree)
         return self._step_fns[key]
 
     def calibrate_kv_scales(self, token_ids: np.ndarray) -> Optional[np.ndarray]:
@@ -661,6 +672,7 @@ class ModelEngine:
         cu_q = np.zeros(S + 1, np.int32)
         logits_idx = np.zeros(S * G, np.int32)
         out_slots = np.full(S, -1, np.int32)
+        tree_rows: List[Tuple[int, List[int]]] = []
 
         for i, req in enumerate(reqs):
             blocks = req.kv_block_ids
@@ -706,14 +718,35 @@ class ModelEngine:
                     bs = getattr(req, "kv_block_ids_sw", [])
                     slot_map_sw.append(bs[pos // ps] * ps + pos % ps)
                 drafts = req.draft_tokens[:self.max_draft_len]
+                parents = getattr(req, "draft_parents", None)
+                if parents is not None:
+                    parents = list(parents)[:len(drafts)]
+                    depth, masks = [], []
+                    for j in range(len(drafts)):
+                        pj = parents[j]
+                        depth.append(1 if pj < 0 else depth[pj] + 1)
+                        masks.append((1 << j) if pj < 0
+                                     else masks[pj] | (1 << j))
+                    tree_rows.append((len(tok_list), masks, True))
+                elif drafts:
+                    # chain drafts get degenerate prefix masks so they
+                    # stay correct if a TREE request shares the batch
+                    tree_rows.append(
+                        (len(tok_list),
+                         [(1 << (j + 1)) - 1 for j in range(len(drafts))],
+                         False))
                 for j, d in enumerate(drafts):
                     tok_list.append(d)
                     prev_list.append(-1)
-                    p = pos + 1 + j
+                    # kv SLOT is node-indexed (each branch its own slot);
+                    # the rope POSITION is depth-based for trees
+                    sidx = pos + 1 + j
+                    p = sidx if parents is None else pos + depth[j]
                     pos_list.append(p)
-                    slot_map.append(blocks[p // ps] * ps + p % ps)
+                    slot_map.append(blocks[sidx // ps] * ps + sidx % ps)
                     if self._vswa:
-                        slot_map_sw.append(bs[p // ps] * ps + p % ps)
+                        slot_map_sw.append(bs[sidx // ps] * ps
+                                           + sidx % ps)
                 lora_list.extend([lslot] * (1 + len(drafts)))
                 kv_lens[i] = pos + 1 + len(drafts)
                 # one logits row per fed token; pad by repeating the last
@@ -730,6 +763,11 @@ class ModelEngine:
                 out_slots[i] = req.seq_slot
         cu_q[len(reqs) + 1:] = len(tok_list)
 
+        tree_masks = None
+        if any(is_tree for _, _, is_tree in tree_rows):
+            tree_masks = np.zeros(len(tok_list), np.int32)
+            for row0, masks, _ in tree_rows:
+                tree_masks[row0:row0 + len(masks)] = masks
         mm_groups = None
         if self._mmg:
             mm_groups = np.full(len(pos_list), -1, np.int32)
@@ -771,7 +809,34 @@ class ModelEngine:
             page_indices_sw=page_indices_sw,
             slot_mapping_sw=(np.asarray(slot_map_sw, np.int32)
                              if self._vswa else None),
-            positions_mrope=positions_mrope, mm_groups=mm_groups)
+            positions_mrope=positions_mrope, mm_groups=mm_groups,
+            tree_masks=tree_masks)
+
+    # ------------------------------------------------------------------ #
+    def fix_tree_kv(self, src_slots, dst_slots) -> None:
+        """Tree-draft KV compaction: accepted tree nodes were written at
+        node-indexed kv slots; move them to their committed POSITIONAL
+        slots (reference role: the tree-acceptance KV rewind kernels in
+        speculativeDecoding/). dst <= src always, so gather-then-scatter
+        in one program is safe."""
+        import jax as _jax
+        K = self.max_draft_len
+        oob = self.num_kv_pages * self.page_size
+        src = np.full(K, 0, np.int32)
+        dst = np.full(K, oob, np.int32)
+        n = len(src_slots)
+        src[:n] = src_slots
+        dst[:n] = dst_slots
+        if self._fix_kv_fn is None:
+            def fix(kv, s, d):
+                L = kv.shape[0]
+                flat = kv.reshape(L, -1, *kv.shape[3:])
+                rows = flat[:, s]
+                flat = flat.at[:, d].set(rows, mode="drop")
+                return flat.reshape(kv.shape)
+            self._fix_kv_fn = _jax.jit(fix, donate_argnums=(0,))
+        self.kv_pages = self._fix_kv_fn(self.kv_pages, jnp.asarray(src),
+                                        jnp.asarray(dst))
 
     # ------------------------------------------------------------------ #
     # Sleep / wake (RL-style weight offload) + live weight update
@@ -992,8 +1057,9 @@ class ModelEngine:
         S, G = self.max_batch_size, self.max_draft_len + 1
         self.iter_counter += 1
 
+        use_tree = inp.tree_masks is not None
         rows = (6 if self._vswa else 5) + (3 if self._mrope else 0) \
-            + (1 if self._mmg else 0)
+            + (1 if self._mmg else 0) + (1 if use_tree else 0)
         ints_t = np.zeros((rows, T), np.int32)
         ints_t[0, :inp.num_tokens] = inp.token_ids
         ints_t[1, :] = -1
@@ -1007,11 +1073,15 @@ class ModelEngine:
         if self._vswa:
             ints_t[5, :] = self.num_sw_pages * self.page_size
             ints_t[5, :inp.num_tokens] = inp.slot_mapping_sw
+        extra = -1 if use_tree else 0
         if self._mrope:
-            ints_t[-3:, :inp.num_tokens] = inp.positions_mrope
+            ints_t[extra - 3:extra or None, :inp.num_tokens] = \
+                inp.positions_mrope
         if self._mmg:
-            ints_t[-1, :] = -1
-            ints_t[-1, :inp.num_tokens] = inp.mm_groups
+            ints_t[extra - 1, :] = -1
+            ints_t[extra - 1, :inp.num_tokens] = inp.mm_groups
+        if use_tree:
+            ints_t[-1, :inp.num_tokens] = inp.tree_masks
 
         reqs = batch.context_requests + batch.generation_requests
         top_k = np.zeros(S, np.int32)
@@ -1077,7 +1147,7 @@ class ModelEngine:
                     and any(r.lora_task_id is not None for r in reqs))
         step_fn = self._get_step_fn(use_penalties, use_mask, all_greedy,
                                     num_logprobs, use_embeds, use_lora,
-                                    collect_hidden)
+                                    collect_hidden, use_tree)
         mask_arr = jnp.asarray(logits_mask) if use_mask else \
             jnp.zeros((1, 1), bool)
         embeds_arr = jnp.asarray(embeds) if use_embeds else \

@@ -107,6 +107,10 @@ class LlmRequest:
         self.cum_logprob: float = 0.0
         self.logprobs: List[dict] = []          # per generated token: {tok: logprob}
         self.draft_tokens: List[int] = []       # speculative draft for next step
+        # tree drafts: parent index per draft node (-1 = child of the
+        # committed token); None = linear chain (reference: tree verify,
+        # speculativeDecoding kernels / eagle tree)
+        self.draft_parents = None
         self.py_draft_logits = None
 
         # chunked-prefill progress
