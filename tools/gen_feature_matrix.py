@@ -95,6 +95,18 @@ FEATURES = [
     ("Mamba2 (SSD) models", ["test_mamba2"], ""),
     ("Hybrid SSM+attention (Jamba/Bamba/Zamba2/Granite-4.0)",
      ["test_jamba", "test_bamba", "test_hybrid_models"], ""),
+    ("GPT-OSS (attention sinks + clamped-SwiGLU MoE)",
+     ["test_gpt_oss"], ""),
+    ("Qwen2-VL / Qwen2.5-VL (M-RoPE)", ["test_qwen2_vl"], ""),
+    ("Gemma3-VL (bidirectional image spans)", ["test_gemma3_vl"], ""),
+    ("LLaVA-Next anyres + Mistral3/Pixtral",
+     ["test_multimodal.py::test_llava_next",
+      "test_multimodal.py::test_mistral3"], ""),
+    ("Qwen3-Next (gated DeltaNet linear attention)",
+     ["test_qwen3_next"], ""),
+    ("BERT encoder path (LLM.classify)", ["test_bert"], ""),
+    ("Tree-draft speculation (ancestry verify + KV compaction)",
+     ["test_tree_spec"], ""),
 ]
 
 
