@@ -46,6 +46,14 @@ class MiniMaxForCausalLM(DecoderModelForCausalLM):
         self.eps = getattr(hf, "rms_norm_eps", 1e-5)
         self.num_experts = hf.num_local_experts
         self.top_k = hf.num_experts_per_tok
+        # POST-norm residual mixing (deepnorm-style alpha/beta factors;
+        # HF MiniMaxDecoderLayer: residual IS the normed stream)
+        self.lin_a = getattr(hf, "linear_attn_alpha_factor", 1.0)
+        self.lin_b = getattr(hf, "linear_attn_beta_factor", 1.0)
+        self.full_a = getattr(hf, "full_attn_alpha_factor", 1.0)
+        self.full_b = getattr(hf, "full_attn_beta_factor", 1.0)
+        self.mlp_a = getattr(hf, "mlp_alpha_factor", 1.0)
+        self.mlp_b = getattr(hf, "mlp_beta_factor", 1.0)
         self.block_types: List[str] = list(hf.layer_types)
         self._runs: List[Tuple[str, int, int]] = []
         counts = {"linear_attention": 0, "full_attention": 0}
@@ -180,11 +188,12 @@ class MiniMaxForCausalLM(DecoderModelForCausalLM):
 
     # ------------------------------------------------------------------ #
     def _ff(self, layer, h):
-        normed = rms_norm(h, layer["ff_norm"], self.eps)
-        out = moe_mlp(normed, layer["w_gate"], layer["w_up"],
+        # post-norm: the NORMED stream is the residual
+        h = rms_norm(h, layer["ff_norm"], self.eps)
+        out = moe_mlp(h, layer["w_gate"], layer["w_up"],
                       layer["w_down"], layer["router"], top_k=self.top_k,
                       backend="ragged", renormalize=True)
-        return h + out
+        return h * self.mlp_a + out * self.mlp_b
 
     def _lightning(self, layer, normed, ssm_state, metadata):
         T = normed.shape[0]
@@ -202,7 +211,9 @@ class MiniMaxForCausalLM(DecoderModelForCausalLM):
                               jnp.zeros((nh,), jnp.float32),
                               ssm_state, metadata)
         y = y.reshape(T, nh * hd)
-        y = rms_norm(y.astype(self.dtype), layer["attn_norm"], self.eps)
+        # HF constructs the lightning norm WITHOUT the config eps —
+        # MiniMaxRMSNorm's default 1e-6 applies here, not rms_norm_eps
+        y = rms_norm(y.astype(self.dtype), layer["attn_norm"], 1e-6)
         gate = jax.nn.sigmoid(jnp.dot(
             normed, layer["w_gate_out"],
             preferred_element_type=jnp.float32))
@@ -221,18 +232,21 @@ class MiniMaxForCausalLM(DecoderModelForCausalLM):
             layer, ss = xs
             normed = rms_norm(h, layer["norm"], self.eps)
             out, ns = self._lightning(layer, normed, ss, metadata)
-            h = self._ff(layer, h + out)
+            h = normed * self.lin_a + out * self.lin_b
+            h = self._ff(layer, h)
             return h, ns
 
         def attn_body(h, xs):
             layer, pages = xs
+            normed = rms_norm(h, layer["norm"], self.eps)
             attn_out, pages = attention_block(
-                layer, rms_norm(h, layer["norm"], self.eps), pages,
+                layer, normed, pages,
                 metadata, spec, self.m_q, self.m_o,
                 attn_backend=self.attn_backend,
                 kv_scale=self.config.kv_scale,
                 mesh=shard_mesh, tp_axis=shard_axis)
-            h = self._ff(layer, h + attn_out)
+            h = normed * self.full_a + attn_out * self.full_b
+            h = self._ff(layer, h)
             return h, pages
 
         new_kv, new_ssm = [], []
