@@ -100,3 +100,66 @@ def test_gemma3_vl_e2e_greedy(pair):
             cur = torch.cat([cur, torch.tensor([[nxt]])], dim=1)
     llm.shutdown()
     assert got == ref_ids
+
+
+def test_paligemma_prefix_lm_parity():
+    """PaliGemma-2: whole-prompt bidirectional prefix (group 0 on every
+    prompt token) + causal decode; exact HF parity both phases."""
+    import torch
+    from transformers import (Gemma2Config, PaliGemmaConfig,
+                              PaliGemmaForConditionalGeneration,
+                              SiglipVisionConfig)
+    torch.manual_seed(0)
+    vis = SiglipVisionConfig(hidden_size=32, intermediate_size=64,
+                             num_hidden_layers=2, num_attention_heads=4,
+                             image_size=16, patch_size=4,
+                             projection_dim=48)
+    txt = Gemma2Config(vocab_size=260, hidden_size=48,
+                       intermediate_size=96, num_hidden_layers=2,
+                       num_attention_heads=4, num_key_value_heads=2,
+                       head_dim=16, query_pre_attn_scalar=16,
+                       sliding_window=8, max_position_embeddings=256)
+    cfg = PaliGemmaConfig(vision_config=vis.to_dict(),
+                          text_config=txt.to_dict(), image_token_index=255,
+                          projection_dim=48)
+    tmodel = PaliGemmaForConditionalGeneration(cfg).eval()
+    sd = {k: v.detach().float().numpy()
+          for k, v in tmodel.state_dict().items()}
+    model = get_model_class("paligemma")(
+        ModelConfig(hf_config=cfg, dtype=jnp.float32))
+    params = model.load_hf_state_dict(sd)
+    img = torch.randn(1, 3, 16, 16)
+    proc = create_input_processor(model)
+    ids, embeds, _, extra = proc([2, 5, 255, 7, 9],
+                                 {"image": [img[0].numpy()]})
+    with torch.no_grad():
+        ref = tmodel(input_ids=torch.tensor([ids]),
+                     pixel_values=img).logits[0, -1].numpy()
+    cache = model.make_kv_pages(16, 16)
+    md = dataclasses.replace(
+        make_prefill_metadata(model, len(ids)),
+        mm_groups_q=jnp.asarray(extra["mm_group_ids"]))
+    logits, cache = model.forward(params, jnp.asarray(ids, jnp.int32),
+                                  cache, md,
+                                  input_embeds=jnp.asarray(embeds))
+    np.testing.assert_allclose(np.asarray(logits)[0], ref,
+                               rtol=5e-3, atol=5e-3)
+    # causal decode continuation against HF cached stepwise decoding
+    t2 = ids + [11, 13]
+    for t in range(len(ids), len(t2)):
+        md1 = dataclasses.replace(
+            make_prefill_metadata(model, 1, start_pos=t),
+            mm_groups_q=jnp.asarray([-1], jnp.int32))
+        logits, cache = model.forward(
+            params, jnp.asarray([t2[t]], jnp.int32), cache, md1)
+    with torch.no_grad():
+        out = tmodel(input_ids=torch.tensor([ids]), pixel_values=img,
+                     use_cache=True)
+        pkv = out.past_key_values
+        for t in range(len(ids), len(t2)):
+            out = tmodel(input_ids=torch.tensor([[t2[t]]]),
+                         use_cache=True, past_key_values=pkv)
+            pkv = out.past_key_values
+    np.testing.assert_allclose(np.asarray(logits)[0],
+                               out.logits[0, -1].detach().numpy(),
+                               rtol=5e-3, atol=5e-3)
