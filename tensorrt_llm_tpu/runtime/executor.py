@@ -661,6 +661,17 @@ class PyExecutor:
                     deferred.append(req)
                     continue
                 new_slots.append(req.seq_slot)
+                if getattr(req, "cross_states", None) is not None:
+                    # cross-attention VLMs (mllama): upload the request's
+                    # per-layer vision K/V into its slot at admission
+                    self.engine.set_cross_state(req.seq_slot,
+                                                req.cross_states)
+                    req.cross_states = None
+                elif isinstance(self.engine.kv_pages, dict) and \
+                        "cross_len" in self.engine.kv_pages:
+                    # text-only request on a cross-attn model: clear any
+                    # stale vision state left in the reused slot
+                    self.engine.clear_cross_state(req.seq_slot)
                 if reused:
                     req.context_current_position = reused
                     req.perf.kv_cache_hit_tokens = reused

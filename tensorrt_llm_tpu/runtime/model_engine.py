@@ -813,6 +813,26 @@ class ModelEngine:
             tree_masks=tree_masks)
 
     # ------------------------------------------------------------------ #
+    def set_cross_state(self, slot: int, cross_states) -> None:
+        """Cross-attention VLM admission: compute the request's
+        per-layer vision K/V (model.compute_cross_kv) and write them
+        into the slot-indexed cross cache (reference: mllama cross-KV
+        prefill)."""
+        ks, vs = self.model.compute_cross_kv(self.params, cross_states)
+        n = ks.shape[1]
+        kvp = dict(self.kv_pages)
+        kvp["cross_k"] = kvp["cross_k"].at[:, slot, :n].set(
+            ks.astype(kvp["cross_k"].dtype))
+        kvp["cross_v"] = kvp["cross_v"].at[:, slot, :n].set(
+            vs.astype(kvp["cross_v"].dtype))
+        kvp["cross_len"] = kvp["cross_len"].at[slot].set(n)
+        self.kv_pages = kvp
+
+    def clear_cross_state(self, slot: int) -> None:
+        kvp = dict(self.kv_pages)
+        kvp["cross_len"] = kvp["cross_len"].at[slot].set(0)
+        self.kv_pages = kvp
+
     def fix_tree_kv(self, src_slots, dst_slots) -> None:
         """Tree-draft KV compaction: accepted tree nodes were written at
         node-indexed kv slots; move them to their committed POSITIONAL
