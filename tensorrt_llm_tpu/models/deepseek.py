@@ -267,16 +267,49 @@ class DeepseekV3ForCausalLM(DecoderModelForCausalLM):
                                out.reshape(T, nh * vd).astype(self.dtype))
         return out, pool
 
+    def _group_limit(self, choice, per_group_fn):
+        """Group-limited routing (reference: noaux_tc / DeepSeek group
+        selection): keep only the top ``topk_group`` device groups."""
+        ng = getattr(self.hf, "n_group", None) or 1
+        tg = getattr(self.hf, "topk_group", None) or ng
+        if ng <= 1 or tg >= ng:
+            return choice
+        T = choice.shape[0]
+        grouped = choice.reshape(T, ng, -1)
+        gscore = per_group_fn(grouped)
+        _, gidx = jax.lax.top_k(gscore, tg)
+        keep = jnp.zeros((T, ng), bool).at[
+            jnp.arange(T)[:, None], gidx].set(True)
+        # HF masks dropped groups with 0.0 (not -inf) before top-k
+        return jnp.where(
+            jnp.repeat(keep, grouped.shape[-1], axis=1), choice, 0.0)
+
     def _moe_block(self, layer, x):
         logits = jnp.dot(x, layer["router"],
                          preferred_element_type=jnp.float32)
+        if getattr(self, "moe_softmax_greedy", False):
+            # DeepseekV2: softmax scoring, greedy / group-limited top-k
+            scores = jax.nn.softmax(logits, axis=-1)
+            choice = self._group_limit(
+                scores, lambda g: jnp.max(g, axis=-1))
+            w, idx = jax.lax.top_k(choice, self.top_k)
+            # HF's V2 gate stores norm_topk_prob but never applies it
+            w = w * self.routed_scale
+            return self._moe_experts(layer, x, w, idx)
         scores = jax.nn.sigmoid(logits)
         choice = scores + layer["router_bias"][None, :]
+        # DeepseekV3 noaux_tc group selection: per-group score is the
+        # sum of the top-2 biased scores
+        choice = self._group_limit(
+            choice, lambda g: jnp.sum(jax.lax.top_k(g, 2)[0], axis=-1))
         _, idx = jax.lax.top_k(choice, self.top_k)
         w = jnp.take_along_axis(scores, idx, axis=-1)
         if self.norm_topk:
             w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-20)
         w = w * self.routed_scale
+        return self._moe_experts(layer, x, w, idx)
+
+    def _moe_experts(self, layer, x, w, idx):
         if self.mesh is not None and any(
                 self.mesh.shape.get(a, 1) > 1 for a in ("cp", "tp")):
             from ..ops.moe import moe_mlp_ep
@@ -346,3 +379,22 @@ class DeepseekV3ForCausalLM(DecoderModelForCausalLM):
         if collect_hidden:
             return logits.astype(jnp.float32), kv_pages, hidden_rows
         return logits.astype(jnp.float32), kv_pages
+
+
+@register_model("deepseek_v2")
+class DeepseekV2ForCausalLM(DeepseekV3ForCausalLM):
+    """DeepSeek-V2 (+Lite): same MLA latent cache; routing differs —
+    SOFTMAX scoring with greedy / group-limited top-k and no score
+    correction bias (reference: modeling_deepseekv3.py handles both
+    generations; HF modeling_deepseek_v2.py is the numeric spec)."""
+    architectures = ("DeepseekV2ForCausalLM",)
+    moe_softmax_greedy = True
+
+    def init_params(self, rng):
+        import torch
+        from transformers import DeepseekV2ForCausalLM as HFModel
+        torch.manual_seed(0)
+        m = HFModel(self.hf).eval()
+        sd = {k: v.detach().float().numpy()
+              for k, v in m.state_dict().items()}
+        return self.load_hf_state_dict(sd)

@@ -33,3 +33,37 @@ def test_hunyuan_moe():
                              head_dim=16, num_experts=4, moe_topk=[2, 2],
                              max_position_embeddings=256)
     _roundtrip(cfg, HunYuanMoEV1ForCausalLM)
+
+
+def test_glm4_moe():
+    """GLM-4.5 family: GQA + partial rotary + optional qk norm +
+    deepseek-style sigmoid/bias routing with shared experts."""
+    import pytest as _pytest
+    from transformers import Glm4MoeConfig, Glm4MoeForCausalLM
+    for qk in (False, True):
+        cfg = Glm4MoeConfig(vocab_size=96, hidden_size=64,
+                            intermediate_size=128, num_hidden_layers=3,
+                            num_attention_heads=4, num_key_value_heads=2,
+                            n_routed_experts=4, num_experts_per_tok=2,
+                            moe_intermediate_size=32, n_shared_experts=1,
+                            first_k_dense_replace=1, head_dim=16,
+                            use_qk_norm=qk, max_position_embeddings=256)
+        _roundtrip(cfg, Glm4MoeForCausalLM)
+
+
+def test_deepseek_v2():
+    """DeepSeek-V2: MLA + softmax/greedy (and group-limited) routing,
+    no score-correction bias, HF's unapplied norm_topk quirk."""
+    from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
+    for tk, ng, tg in (("greedy", 1, 1), ("group_limited_greedy", 2, 1)):
+        cfg = DeepseekV2Config(
+            vocab_size=96, hidden_size=64, intermediate_size=128,
+            moe_intermediate_size=48, num_hidden_layers=3,
+            num_attention_heads=4, num_key_value_heads=4,
+            n_routed_experts=4, num_experts_per_tok=2,
+            n_shared_experts=1, q_lora_rank=32, kv_lora_rank=16,
+            qk_rope_head_dim=8, qk_nope_head_dim=16, v_head_dim=16,
+            first_k_dense_replace=1, topk_method=tk, n_group=ng,
+            topk_group=tg, norm_topk_prob=True,
+            routed_scaling_factor=1.0, max_position_embeddings=256)
+        _roundtrip(cfg, DeepseekV2ForCausalLM, rtol=5e-3)
