@@ -25,6 +25,7 @@ from . import qwen3_next as _qwen3_next  # noqa: F401
 from . import bert as _bert  # noqa: F401
 from . import minimax as _minimax  # noqa: F401
 from . import glm4_moe as _glm4_moe  # noqa: F401
+from . import lfm2 as _lfm2  # noqa: F401
 from . import jamba as _jamba  # noqa: F401
 from ..multimodal import llava as _llava  # noqa: F401
 from ..multimodal import llava_next as _llava_next  # noqa: F401

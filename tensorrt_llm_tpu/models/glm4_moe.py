@@ -215,3 +215,62 @@ class Glm4MoeForCausalLM(DecoderModelForCausalLM):
 
     def param_pspecs(self, params) -> Any:
         return jax.tree.map(lambda a: P(*([None] * a.ndim)), params)
+
+
+@register_model("ernie4_5_moe")
+class Ernie45MoeForCausalLM(Glm4MoeForCausalLM):
+    """Ernie 4.5 MoE: the glm4_moe body with GLM-style interleaved
+    rotary and Ernie routing — softmax scores, SELECTION by
+    bias-corrected scores, raw-softmax weights renormalized with a
+    clamped denominator (HF Ernie4_5_MoeSparseMoeBlock)."""
+    architectures = ("Ernie4_5_MoeForCausalLM",)
+
+    def __init__(self, model_config: ModelConfig):
+        import dataclasses as _dc
+        hf = model_config.hf_config
+        # map ernie attr names onto the glm4_moe expectations
+        hf.first_k_dense_replace = getattr(hf, "moe_layer_start_index", 0)
+        hf.n_routed_experts = hf.moe_num_experts
+        hf.num_experts_per_tok = hf.moe_k
+        super().__init__(model_config)
+        self.norm_min = getattr(hf, "moe_norm_min", 1e-12)
+        self.attn_spec = _dc.replace(
+            self.attn_spec, is_neox=False,
+            rope=_dc.replace(self.attn_spec.rope, is_neox=False))
+
+    def init_params(self, rng):
+        import torch
+        from transformers import Ernie4_5_MoeForCausalLM as HFModel
+        torch.manual_seed(0)
+        m = HFModel(self.hf).eval()
+        sd = {k: v.detach().float().numpy()
+              for k, v in m.state_dict().items()}
+        return self.load_hf_state_dict(sd)
+
+    def load_hf_state_dict(self, sd):
+        sd = {k.replace("mlp.moe_statics.e_score_correction_bias",
+                        "mlp.gate.e_score_correction_bias"): v
+              for k, v in sd.items()}
+        # the bias is stored [1, E]
+        sd = {k: (np.asarray(v).reshape(-1)
+                  if k.endswith("e_score_correction_bias") else v)
+              for k, v in sd.items()}
+        return super().load_hf_state_dict(sd)
+
+    def _moe_block(self, layer, x):
+        logits = jnp.dot(x.astype(jnp.float32),
+                         layer["router"].astype(jnp.float32))
+        scores = jax.nn.softmax(logits, axis=-1)
+        choice = scores + layer["router_bias"][None, :]
+        _, idx = jax.lax.top_k(choice, self.top_k)
+        w = jnp.take_along_axis(scores, idx, axis=-1)
+        w = w / jnp.clip(jnp.sum(w, axis=-1, keepdims=True),
+                         self.norm_min, None)
+        routed = moe_mlp_ragged(x, layer["w_gate"], layer["w_up"],
+                                layer["w_down"], w, idx.astype(jnp.int32))
+        g = self.m_mlp.apply(layer["s_gate"], x)
+        u = self.m_mlp.apply(layer["s_up"], x)
+        shared = self.m_mlp.apply(
+            layer["s_down"],
+            jax.nn.silu(g.astype(jnp.float32)).astype(self.dtype) * u)
+        return routed + shared

@@ -81,3 +81,18 @@ class HunYuanMoEV1ForCausalLM(_QwenMoeBase):
 @register_model("seed_oss")
 class SeedOssForCausalLM(LlamaForCausalLM):
     architectures = ("SeedOssForCausalLM",)
+
+
+@register_model("ernie4_5")
+class Ernie45ForCausalLM(LlamaForCausalLM):
+    """Ernie 4.5 dense: llama body with GLM-style INTERLEAVED rotary
+    (optional qkv biases picked up by the stacked loader). Reference:
+    the ernie rows of the reference model matrix."""
+    architectures = ("Ernie4_5ForCausalLM",)
+
+    def __init__(self, model_config):
+        import dataclasses as _dc
+        super().__init__(model_config)
+        self.attn_spec = _dc.replace(
+            self.attn_spec, is_neox=False,
+            rope=_dc.replace(self.attn_spec.rope, is_neox=False))

@@ -185,3 +185,42 @@ def test_zamba2_e2e_greedy(zamba2_pair):
             ids.append(int(torch.argmax(logits)))
     assert out.outputs[0].token_ids == ids[len(prompt):]
     llm.shutdown()
+
+
+def test_lfm2_short_conv_hybrid():
+    """LFM2: gated short-conv layers (slot-cached causal conv) +
+    qk-layernormed attention; prefill + stateful decode parity."""
+    import torch
+    from transformers import Lfm2Config, Lfm2ForCausalLM
+    torch.manual_seed(0)
+    cfg = Lfm2Config(vocab_size=96, hidden_size=64, intermediate_size=128,
+                     num_hidden_layers=4, num_attention_heads=4,
+                     num_key_value_heads=2,
+                     layer_types=["conv", "full_attention", "conv",
+                                  "full_attention"],
+                     conv_L_cache=3, max_position_embeddings=16384,
+                     block_ff_dim=256)
+    tmodel = Lfm2ForCausalLM(cfg).eval()
+    sd = {k: v.detach().float().numpy()
+          for k, v in tmodel.state_dict().items()}
+    model = get_model_class("lfm2")(
+        ModelConfig(hf_config=cfg, dtype=jnp.float32))
+    model._num_slots = 4
+    params = model.load_hf_state_dict(sd)
+    tokens = list(range(2, 14))
+    cache = model.make_kv_pages(16, 16)
+    logits, cache = model.forward(params, jnp.asarray(tokens, jnp.int32),
+                                  cache, _md(model, len(tokens)))
+    with torch.no_grad():
+        ref = tmodel(torch.tensor([tokens])).logits[0, -1].numpy()
+    np.testing.assert_allclose(np.asarray(logits)[0], ref,
+                               rtol=3e-3, atol=3e-3)
+    t2 = tokens + [20, 21]
+    for t in range(len(tokens), len(t2)):
+        logits, cache = model.forward(
+            params, jnp.asarray([t2[t]], jnp.int32), cache,
+            _md(model, 1, start=t))
+    with torch.no_grad():
+        ref2 = tmodel(torch.tensor([t2])).logits[0, -1].numpy()
+    np.testing.assert_allclose(np.asarray(logits)[0], ref2,
+                               rtol=3e-3, atol=3e-3)

@@ -67,3 +67,40 @@ def test_deepseek_v2():
             topk_group=tg, norm_topk_prob=True,
             routed_scaling_factor=1.0, max_position_embeddings=256)
         _roundtrip(cfg, DeepseekV2ForCausalLM, rtol=5e-3)
+
+
+def test_ernie4_5():
+    """Ernie 4.5: llama body with GLM-style interleaved rotary."""
+    from transformers import Ernie4_5Config, Ernie4_5ForCausalLM
+    for bias in (False, True):
+        cfg = Ernie4_5Config(vocab_size=96, hidden_size=64,
+                             intermediate_size=128, num_hidden_layers=2,
+                             num_attention_heads=4, num_key_value_heads=2,
+                             head_dim=16, use_bias=bias,
+                             max_position_embeddings=256)
+        _roundtrip(cfg, Ernie4_5ForCausalLM)
+
+
+def test_ernie4_5_moe():
+    """Ernie 4.5 MoE: softmax scores, bias-corrected selection,
+    clamped renorm, shared experts."""
+    from transformers import Ernie4_5_MoeConfig, Ernie4_5_MoeForCausalLM
+    cfg = Ernie4_5_MoeConfig(vocab_size=96, hidden_size=64,
+                             intermediate_size=128, num_hidden_layers=3,
+                             num_attention_heads=4, num_key_value_heads=2,
+                             head_dim=16, moe_num_experts=4, moe_k=2,
+                             moe_intermediate_size=32,
+                             moe_num_shared_experts=1,
+                             moe_layer_start_index=1,
+                             max_position_embeddings=256)
+    _roundtrip(cfg, Ernie4_5_MoeForCausalLM)
+
+
+def test_apertus():
+    """Apertus: qk norms + gateless xIELU MLP."""
+    from transformers import ApertusConfig, ApertusForCausalLM
+    cfg = ApertusConfig(vocab_size=96, hidden_size=64,
+                        intermediate_size=128, num_hidden_layers=2,
+                        num_attention_heads=4, num_key_value_heads=2,
+                        max_position_embeddings=256)
+    _roundtrip(cfg, ApertusForCausalLM, rtol=5e-4)
