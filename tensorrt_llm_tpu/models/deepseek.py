@@ -398,3 +398,173 @@ class DeepseekV2ForCausalLM(DeepseekV3ForCausalLM):
         sd = {k: v.detach().float().numpy()
               for k, v in m.state_dict().items()}
         return self.load_hf_state_dict(sd)
+
+
+@register_model("longcat_flash")
+class LongcatFlashForCausalLM(DeepseekV3ForCausalLM):
+    """LongCat-Flash: shortcut-connected MoE (ScMoE) over MLA.
+
+    Each checkpoint layer holds TWO MLA+dense sublayers; the routed MoE
+    is computed from the FIRST sublayer's post-norm stream and added
+    after the second (reference: the longcat rows of the model matrix;
+    HF modeling_longcat_flash.py is the numeric spec). Extras vs V3:
+    lora scaling factors sqrt(H/rank) FOLDED into q_b/kv_b at load;
+    softmax scores with bias-corrected selection; ``zero_expert_num``
+    identity experts contribute w·x directly."""
+    architectures = ("LongcatFlashForCausalLM",)
+
+    def __init__(self, model_config: ModelConfig):
+        hf = model_config.hf_config
+        hf.first_k_dense_replace = 0
+        hf.num_experts_per_tok = hf.moe_topk
+        hf.moe_intermediate_size = hf.expert_ffn_hidden_size
+        hf.n_shared_experts = 0
+        super().__init__(model_config)
+        self.zero_experts = getattr(self.hf, "zero_expert_num", 0) or 0
+        self.n_pairs = self.hf.num_hidden_layers // 2
+
+    def init_params(self, rng) -> Dict[str, Any]:
+        import torch
+        from transformers import LongcatFlashForCausalLM as HFModel
+        torch.manual_seed(0)
+        m = HFModel(self.hf).eval()
+        sd = {k: v.detach().float().numpy()
+              for k, v in m.state_dict().items()}
+        return self.load_hf_state_dict(sd)
+
+    def load_hf_state_dict(self, sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        dtype = self.dtype
+        q_scale = (self.hidden_size / self.q_lora_rank) ** 0.5
+        kv_scale = (self.hidden_size / self.kv_lora_rank) ** 0.5
+        # re-key each pair's sublayers onto flat v3-style layer indices
+        flat = {}
+        for k, v in sd.items():
+            if not k.startswith("model.layers."):
+                flat[k] = v
+                continue
+            parts = k.split(".")
+            i = int(parts[2])
+            kind = parts[3]
+            if kind in ("self_attn", "input_layernorm",
+                        "post_attention_layernorm", "mlps"):
+                s = int(parts[4])
+                j = 2 * i + s
+                if kind == "self_attn":
+                    nk = f"model.layers.{j}.self_attn." + \
+                        ".".join(parts[5:])
+                elif kind == "mlps":
+                    nk = f"model.layers.{j}.mlp." + ".".join(parts[5:])
+                else:
+                    nk = f"model.layers.{j}.{kind}." + ".".join(parts[5:])
+                flat[nk] = v
+            else:
+                flat[k] = v     # mlp.router / mlp.experts stay pair-keyed
+        # fold the lora scales into the projections
+        for j in range(self.hf.num_hidden_layers):
+            qb = f"model.layers.{j}.self_attn.q_b_proj.weight"
+            kb = f"model.layers.{j}.self_attn.kv_b_proj.weight"
+            flat[qb] = np.asarray(flat[qb]) * q_scale
+            flat[kb] = np.asarray(flat[kb]) * kv_scale
+
+        def pair(i):
+            out = {}
+            for s in (0, 1):
+                sub = self._dense_layer_from_sd(flat, 2 * i + s)
+                out.update({f"{k}{s}": v for k, v in sub.items()})
+            p = f"model.layers.{i}.mlp."
+            E = self.n_experts
+            out["router"] = jnp.asarray(
+                self._t(sd, p + "router.classifier.weight"), dtype)
+            out["router_bias"] = jnp.asarray(
+                np.asarray(sd[p + "router.e_score_correction_bias"]),
+                jnp.float32)
+            for mod, hfn in (("w_gate", "gate_proj"), ("w_up", "up_proj"),
+                             ("w_down", "down_proj")):
+                out[mod] = jnp.stack([
+                    jnp.asarray(self._t(sd, p + f"experts.{e}.{hfn}"
+                                        ".weight"), dtype)
+                    for e in range(E)])
+            return out
+
+        pairs = [pair(i) for i in range(self.n_pairs)]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *pairs)
+        wte = np.asarray(sd["model.embed_tokens.weight"])
+        lm_w = np.asarray(sd.get("lm_head.weight", wte))
+        return {
+            "embed": {"weight": jnp.asarray(wte, dtype=dtype)},
+            "pairs": stacked,
+            "final_norm": jnp.asarray(sd["model.norm.weight"],
+                                      dtype=dtype),
+            "lm_head": quantize_linear(
+                self.m_lm_head, np.ascontiguousarray(lm_w.T),
+                dtype=dtype),
+        }
+
+    def _sc_moe(self, layer, x):
+        """ScMoE: softmax scores, bias-corrected selection over
+        routed + zero experts; zero picks contribute w·x."""
+        logits = jnp.dot(x.astype(jnp.float32),
+                         layer["router"].astype(jnp.float32))
+        scores = jax.nn.softmax(logits, axis=-1)
+        choice = scores + layer["router_bias"][None, :]
+        _, idx = jax.lax.top_k(choice, self.top_k)
+        w = jnp.take_along_axis(scores, idx, axis=-1) * self.routed_scale
+        is_zero = idx >= self.n_experts
+        w_real = jnp.where(is_zero, 0.0, w)
+        idx_real = jnp.where(is_zero, 0, idx)
+        routed = moe_mlp_ragged(x, layer["w_gate"], layer["w_up"],
+                                layer["w_down"],
+                                w_real.astype(jnp.float32),
+                                idx_real.astype(jnp.int32))
+        zero_w = jnp.sum(jnp.where(is_zero, w, 0.0), axis=-1,
+                         keepdims=True)
+        return routed + (zero_w * x.astype(jnp.float32)) \
+            .astype(self.dtype)
+
+    def _dense_mlp(self, layer, x, s):
+        g = self.m_mlp.apply(layer[f"gate{s}"], x)
+        u = self.m_mlp.apply(layer[f"up{s}"], x)
+        return self.m_mlp.apply(
+            layer[f"down{s}"],
+            jax.nn.silu(g.astype(jnp.float32)).astype(self.dtype) * u)
+
+    def forward(self, params, token_ids, kv_pages, metadata,
+                input_embeds=None, lora=None, lora_slots=None):
+        h = self._embed(params, token_ids, input_embeds)
+        eps = self.rms_eps
+        cos_sin = rope_cos_sin(self.rope_cfg, metadata.positions)
+        Lp = self.n_pairs
+        pools = kv_pages.reshape(Lp, 2, *kv_pages.shape[1:])
+
+        def sub(layer, s):
+            return {k[:-1]: v for k, v in layer.items()
+                    if k.endswith(s) and k[:-1] in (
+                        "q_a", "q_a_norm", "q_b", "q", "kv_a",
+                        "kv_a_norm", "kv_b", "o", "input_norm",
+                        "post_norm", "gate", "up", "down")}
+
+        def body(h, xs):
+            layer, pool = xs
+            a0 = sub(layer, "0")
+            a1 = sub(layer, "1")
+            normed = rms_norm(h, a0["input_norm"], eps)
+            attn, p0 = self._mla_attention(a0, normed, pool[0], metadata,
+                                           cos_sin)
+            h = h + attn
+            normed = rms_norm(h, a0["post_norm"], eps)
+            shortcut = self._sc_moe(layer, normed)
+            h = h + self._dense_mlp(a0, normed, "")
+            normed = rms_norm(h, a1["input_norm"], eps)
+            attn, p1 = self._mla_attention(a1, normed, pool[1], metadata,
+                                           cos_sin)
+            h = h + attn
+            normed = rms_norm(h, a1["post_norm"], eps)
+            h = h + self._dense_mlp(a1, normed, "") + shortcut
+            return h, jnp.stack([p0, p1])
+
+        h, pools = jax.lax.scan(body, h, (params["pairs"], pools))
+        kv_pages = pools.reshape(-1, *pools.shape[2:])
+        h = rms_norm(h, params["final_norm"], eps)
+        last = self._gather_logits(h, metadata)
+        logits = self.m_lm_head.apply(params["lm_head"], last)
+        return logits.astype(jnp.float32), kv_pages

@@ -104,3 +104,17 @@ def test_apertus():
                         num_attention_heads=4, num_key_value_heads=2,
                         max_position_embeddings=256)
     _roundtrip(cfg, ApertusForCausalLM, rtol=5e-4)
+
+
+def test_longcat_flash():
+    """LongCat-Flash ScMoE: dual MLA sublayers per layer, shortcut MoE
+    with zero-computation (identity) experts, folded lora scales."""
+    from transformers import LongcatFlashConfig, LongcatFlashForCausalLM
+    cfg = LongcatFlashConfig(
+        vocab_size=96, hidden_size=64, num_attention_heads=4,
+        n_routed_experts=4, moe_topk=2, expert_ffn_hidden_size=32,
+        ffn_hidden_size=128, q_lora_rank=32, kv_lora_rank=16,
+        qk_rope_head_dim=8, qk_nope_head_dim=16, v_head_dim=16,
+        num_layers=2, zero_expert_num=2, head_dim=8,
+        max_position_embeddings=256)
+    _roundtrip(cfg, LongcatFlashForCausalLM, rtol=5e-3)
