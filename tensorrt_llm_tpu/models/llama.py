@@ -194,7 +194,8 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
                 kv_pages: jax.Array, metadata: AttentionMetadata,
                 input_embeds=None, lora=None, lora_slots=None,
                 collect_kv_stats: bool = False,
-                collect_hidden: bool = False):
+                collect_hidden: bool = False,
+                deepstack=None):
         h = self._embed(params, token_ids, input_embeds)
         if self.embedding_multiplier != 1.0:
             h = h * self.embedding_multiplier
@@ -267,7 +268,10 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
             # per-layer KV pages ride the scan xs/ys (sliced in, stacked
             # out) so XLA aliases them in place instead of copying the
             # full pool through the carry
-            layer, layer_kv, lora_layer = xs
+            if deepstack is not None:
+                layer, layer_kv, lora_layer, layer_idx = xs
+            else:
+                layer, layer_kv, lora_layer = xs
             lf = make_lora_fn(lora_layer)
             # "pre": norm the sublayer INPUT (llama); "post": feed h raw
             # and norm the sublayer OUTPUT (OLMo2 reordered residual)
@@ -324,11 +328,22 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
             elif sandwich:
                 mlp_out = rms_norm(mlp_out, layer["post_mlp_extra"], eps)
             h = constrain(h + (mlp_out if rm == 1.0 else rm * mlp_out))
+            if deepstack is not None:
+                # deepstack visual features (qwen3-vl): early layers add
+                # per-token vision features at image positions
+                nds = deepstack.shape[0]
+                add = jnp.where(
+                    layer_idx < nds,
+                    deepstack[jnp.minimum(layer_idx, nds - 1)], 0.0)
+                h = h + add.astype(h.dtype)
             ys = (new_pages, kv_stat) if collect_kv_stats else new_pages
             return h, ys
 
-        h, ys = jax.lax.scan(
-            layer_body, h, (params["layers"], kv_pages, lora_scan_xs))
+        scan_xs = (params["layers"], kv_pages, lora_scan_xs)
+        if deepstack is not None:
+            L_n = kv_pages.shape[0]
+            scan_xs = scan_xs + (jnp.arange(L_n, dtype=jnp.int32),)
+        h, ys = jax.lax.scan(layer_body, h, scan_xs)
         if collect_kv_stats:
             kv_pages, kv_stats = ys
         else:

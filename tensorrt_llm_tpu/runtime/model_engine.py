@@ -1151,7 +1151,9 @@ class ModelEngine:
         embeds = None
         if any(r.prompt_embeds is not None
                for r in batch.context_requests):
-            H = self.model.hidden_size
+            # deepstack VLMs pack extra per-layer feature columns
+            H = getattr(self.model, "prompt_embeds_width",
+                        self.model.hidden_size)
             embeds = np.full((T, H), np.nan, np.float32)
             pos = 0
             for r in batch.context_requests:
