@@ -127,15 +127,19 @@ class MixtralForCausalLM(LlamaForCausalLM):
         return params
 
     # ------------------------------------------------------------------ #
+    def _base_cos_sin(self, metadata):
+        """Rope tables hook (Qwen3-VL-MoE overrides with M-RoPE)."""
+        return rope_cos_sin(self.attn_spec.rope, metadata.positions)
+
     def forward(self, params, token_ids, kv_pages, metadata,
-                input_embeds=None):
+                input_embeds=None, deepstack=None, **_ignored):
         h = self._embed(params, token_ids, input_embeds)
         if self.embedding_multiplier != 1.0:   # granite-moe
             h = h * self.embedding_multiplier
         rm = self.residual_multiplier
         spec = self.attn_spec
         eps = self.rms_eps
-        cos_sin = rope_cos_sin(spec.rope, metadata.positions)
+        cos_sin = self._base_cos_sin(metadata)
         mapping = self.config.mapping
 
         shard_mesh, shard_axis = self.attn_shard_args()
@@ -161,7 +165,10 @@ class MixtralForCausalLM(LlamaForCausalLM):
             q_norm = k_norm = None
 
         def layer_body(h, xs):
-            layer, layer_kv = xs
+            if deepstack is not None:
+                layer, layer_kv, layer_idx = xs
+            else:
+                layer, layer_kv = xs
             normed = rms_norm(h, layer["input_norm"], eps)
             attn_out, new_pages = attention_block(
                 layer, normed, layer_kv, metadata, spec,
@@ -206,10 +213,19 @@ class MixtralForCausalLM(LlamaForCausalLM):
                     se = gate.astype(self.dtype) * se
                 moe_out = moe_out + se
             h = h + (moe_out if rm == 1.0 else rm * moe_out)
+            if deepstack is not None:
+                nds = deepstack.shape[0]
+                add = jnp.where(
+                    layer_idx < nds,
+                    deepstack[jnp.minimum(layer_idx, nds - 1)], 0.0)
+                h = h + add.astype(h.dtype)
             return h, new_pages
 
-        h, kv_pages = jax.lax.scan(
-            layer_body, h, (params["layers"], kv_pages))
+        scan_xs = (params["layers"], kv_pages)
+        if deepstack is not None:
+            scan_xs = scan_xs + (
+                jnp.arange(kv_pages.shape[0], dtype=jnp.int32),)
+        h, kv_pages = jax.lax.scan(layer_body, h, scan_xs)
         h = rms_norm(h, params["final_norm"], eps)
         last = self._gather_logits(h, metadata)
         logits = self.m_lm_head.apply(params["lm_head"], last)

@@ -26,6 +26,7 @@ import numpy as np
 
 from ..models.modeling_utils import ModelConfig, register_model
 from ..models.qwen import Qwen3ForCausalLM
+from ..models.qwen_moe import Qwen3MoeForCausalLM as _Qwen3MoeBaseForVL
 from ..ops.rope import compute_inv_freq
 from .processor import mm_hash, register_input_processor
 from .qwen2_vl import Qwen2VLInputProcessor, qwen2vl_rope_index
@@ -250,9 +251,9 @@ class Qwen3VisionTower:
         return np.asarray(main), [np.asarray(d) for d in ds]
 
 
-@register_model("qwen3_vl")
-class Qwen3VLForConditionalGeneration(Qwen3ForCausalLM):
-    architectures = ("Qwen3VLForConditionalGeneration",)
+class _Qwen3VLGlue:
+    """Vision/M-RoPE glue shared by the dense and MoE Qwen3-VL models
+    (mixed into the respective text LM classes)."""
     processor_type = "qwen3_vl"
     uses_mrope = True
 
@@ -373,3 +374,39 @@ class Qwen3VLInputProcessor:
                                        self.merge)
         return out_ids, embeds, mm_hash([np.asarray(i) for i in images]), \
             {"mrope_positions": mp, "mrope_delta": delta}
+
+
+@register_model("qwen3_vl")
+class Qwen3VLForConditionalGeneration(_Qwen3VLGlue, Qwen3ForCausalLM):
+    architectures = ("Qwen3VLForConditionalGeneration",)
+
+
+@register_model("qwen3_vl_moe")
+class Qwen3VLMoeForConditionalGeneration(_Qwen3VLGlue,
+                                         _Qwen3MoeBaseForVL):
+    """Qwen3-VL-MoE: same tower/deepstack/M-RoPE glue over the
+    Qwen3-MoE text model (the mixtral scan carries the deepstack
+    hook). The checkpoint stores FUSED per-expert tensors
+    (gate_up_proj [E, H, 2I] chunked gate|up, down_proj [E, I, H]) —
+    unfused at load onto the qwen_moe naming."""
+    architectures = ("Qwen3VLMoeForConditionalGeneration",)
+
+    def load_hf_state_dict(self, sd):
+        sd = dict(sd)
+        for k in list(sd):
+            if k.endswith("mlp.experts.gate_up_proj"):
+                gu = np.asarray(sd.pop(k))        # [E, H, 2I]
+                I = gu.shape[-1] // 2
+                base = k[:-len("gate_up_proj")]
+                for e in range(gu.shape[0]):
+                    sd[base + f"{e}.gate_proj.weight"] = \
+                        np.ascontiguousarray(gu[e, :, :I].T)
+                    sd[base + f"{e}.up_proj.weight"] = \
+                        np.ascontiguousarray(gu[e, :, I:].T)
+            elif k.endswith("mlp.experts.down_proj"):
+                dn = np.asarray(sd.pop(k))        # [E, I, H]
+                base = k[:-len("down_proj")]
+                for e in range(dn.shape[0]):
+                    sd[base + f"{e}.down_proj.weight"] = \
+                        np.ascontiguousarray(dn[e].T)
+        return super().load_hf_state_dict(sd)

@@ -115,3 +115,55 @@ def test_qwen3_vl_e2e_greedy(pair):
             cur = torch.cat([cur, torch.tensor([[nxt]])], dim=1)
     llm.shutdown()
     assert got == ref_ids
+
+
+def test_qwen3_vl_moe_prefill():
+    """Qwen3-VL-MoE: glue mixin over the MoE text model; fused expert
+    tensors unfused at load; deepstack through the mixtral scan."""
+    import torch
+    from transformers import (Qwen3VLMoeConfig,
+                              Qwen3VLMoeForConditionalGeneration)
+    torch.manual_seed(0)
+    cfg = Qwen3VLMoeConfig(
+        text_config=dict(vocab_size=160, hidden_size=64,
+                         moe_intermediate_size=32, intermediate_size=128,
+                         num_hidden_layers=3, num_attention_heads=4,
+                         num_key_value_heads=2, head_dim=16,
+                         num_experts=4, num_experts_per_tok=2,
+                         decoder_sparse_step=1, norm_topk_prob=True,
+                         max_position_embeddings=512,
+                         rope_scaling={"rope_type": "default",
+                                       "mrope_section": [3, 3, 2],
+                                       "mrope_interleaved": True},
+                         rope_theta=10000.0),
+        vision_config=dict(depth=3, hidden_size=32, out_hidden_size=64,
+                           num_heads=4, intermediate_size=48,
+                           patch_size=4, temporal_patch_size=2,
+                           spatial_merge_size=2,
+                           deepstack_visual_indexes=[0, 1],
+                           num_position_embeddings=16, in_channels=3),
+        image_token_id=151, video_token_id=152,
+        vision_start_token_id=153)
+    tmodel = Qwen3VLMoeForConditionalGeneration(cfg).eval()
+    sd = {k: v.detach().float().numpy()
+          for k, v in tmodel.state_dict().items()}
+    model = get_model_class("qwen3_vl_moe")(
+        ModelConfig(hf_config=cfg, dtype=jnp.float32))
+    params = model.load_hf_state_dict(sd)
+    px = torch.randn(16, 3 * 2 * 4 * 4)
+    proc = create_input_processor(model)
+    ids, embeds, _, extra = proc([1, 2, 153, 151, 154, 3, 4],
+                                 {"image": [px.numpy()],
+                                  "image_grid_thw": [GRID]})
+    with torch.no_grad():
+        ref = tmodel(input_ids=torch.tensor([ids]), pixel_values=px,
+                     image_grid_thw=torch.tensor([GRID])
+                     ).logits[0, -1].numpy()
+    kv = model.make_kv_pages(16, 16)
+    md = dataclasses.replace(
+        make_prefill_metadata(model, len(ids)),
+        positions_mrope=jnp.asarray(extra["mrope_positions"]))
+    logits, _ = model.forward(params, jnp.asarray(ids, jnp.int32), kv,
+                              md, input_embeds=jnp.asarray(embeds))
+    np.testing.assert_allclose(np.asarray(logits)[0], ref,
+                               rtol=3e-3, atol=3e-3)
