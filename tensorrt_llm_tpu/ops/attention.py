@@ -220,15 +220,6 @@ def ragged_paged_attention(
             sliding_window=sliding_window, soft_cap=soft_cap,
             k_scale=k_scale, v_scale=v_scale,
             alibi_slopes=alibi_slopes, sinks=sinks)
-    if sinks is not None:
-        # attention sinks (gpt-oss): extra per-head softmax logit, dropped
-        # after normalization — reference path only for now (the decode
-        # kernel's online softmax can seed m/l with the sink later)
-        return _reference_attention(
-            q, kv_pages, metadata, sm_scale=sm_scale,
-            sliding_window=sliding_window, soft_cap=soft_cap,
-            k_scale=k_scale, v_scale=v_scale,
-            alibi_slopes=alibi_slopes, sinks=sinks)
     if alibi_slopes is not None and not isinstance(alibi_slopes, tuple):
         # shard_map slices hand slopes in as a traced array; the Pallas
         # kernels need a static tuple — fall back to the XLA path there
@@ -243,7 +234,8 @@ def ragged_paged_attention(
         # batches and the XLA reference path for prefill
         on_tpu = jax.default_backend() == "tpu"
         if (on_tpu and q.shape[-1] % 128 == 0 and _RPA_AVAILABLE
-                and alibi_slopes is None):   # library kernel: no alibi
+                and alibi_slopes is None
+                and sinks is None):   # library kernel: no alibi/sinks
             backend = "rpa"
         elif on_tpu:
             backend = "hybrid_decode"
@@ -263,7 +255,7 @@ def ragged_paged_attention(
                 q_s, kv_pages, metadata.kv_lens, metadata.page_indices,
                 sm_scale=sm_scale, sliding_window=sliding_window,
                 soft_cap=soft_cap, alibi_slopes=alibi_slopes,
-                k_scale=k_scale, v_scale=v_scale)
+                sinks=sinks, k_scale=k_scale, v_scale=v_scale)
             return jnp.zeros_like(q).at[:m].set(out_s[:m].astype(q.dtype))
 
         def prefill_path(_):
@@ -287,10 +279,11 @@ def ragged_paged_attention(
                 return _reference_attention(
                     q, kv_pages, metadata, sm_scale=sm_scale,
                     sliding_window=sliding_window, soft_cap=soft_cap,
-                    alibi_slopes=alibi_slopes,
+                    alibi_slopes=alibi_slopes, sinks=sinks,
                     k_scale=k_scale, v_scale=v_scale)
 
-            if (2 * q.shape[-1]) % 128 != 0:   # kernel can't serve hd
+            if (2 * q.shape[-1]) % 128 != 0 or sinks is not None:
+                # prefill kernel: no sink support yet → dense path
                 return dense_path(None)
             return jax.lax.cond(fits, kernel_path, dense_path, None)
 
@@ -304,7 +297,7 @@ def ragged_paged_attention(
     return _reference_attention(
         q, kv_pages, metadata, sm_scale=sm_scale,
         sliding_window=sliding_window, soft_cap=soft_cap,
-        alibi_slopes=alibi_slopes,
+        alibi_slopes=alibi_slopes, sinks=sinks,
         k_scale=k_scale, v_scale=v_scale)
 
 

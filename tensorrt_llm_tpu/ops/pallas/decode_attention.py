@@ -32,7 +32,7 @@ MASK = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 def _kernel(kv_lens_ref, page_tbl_ref, cu_tiles_ref, tile_seq_ref,
             tile_pos_ref,                       # scalar prefetch
-            q_ref, pages_hbm, o_ref,            # blocks
+            q_ref, pages_hbm, sinks_ref, o_ref,  # blocks
             kbuf, m_scr, l_scr, acc_scr, sem,   # scratch
             *, ps, tile_pages, num_kv, group, hd, qb, sm_scale,
             sliding_window, soft_cap, alibi_slopes, k_scale, v_scale):
@@ -68,8 +68,12 @@ def _kernel(kv_lens_ref, page_tbl_ref, cu_tiles_ref, tile_seq_ref,
         for c in tile_copies(slot, f):
             c.wait()
 
-    m_scr[...] = jnp.full_like(m_scr, MASK)
-    l_scr[...] = jnp.zeros_like(l_scr)
+    # online softmax seeded with the attention-sink logit (gpt-oss):
+    # m0 = sink, l0 = 1. With no sinks the block holds MASK and the
+    # phantom l0 = 1 is annihilated by alpha = exp(MASK - m_new) = 0 on
+    # the first real tile, so both cases are exact.
+    m_scr[...] = sinks_ref[0]
+    l_scr[...] = jnp.ones_like(l_scr)
     acc_scr[...] = jnp.zeros_like(acc_scr)
 
     @pl.when(f_lo < f_hi)
@@ -166,6 +170,7 @@ def paged_decode_attention(q: jax.Array,           # [S, qh, hd]
                            sliding_window=None,
                            soft_cap=None,
                            alibi_slopes=None,
+                           sinks=None,
                            k_scale=None,
                            v_scale=None,
                            interpret: bool = False) -> jax.Array:
@@ -206,6 +211,17 @@ def paged_decode_attention(q: jax.Array,           # [S, qh, hd]
     tile_seq = jnp.minimum(tile_seq, S - 1)
     tile_pos = flat - cu_tiles[tile_seq]
 
+    # per-row online-softmax seeds: the sink logit per q head (or MASK)
+    rows = qb * group
+    if sinks is None:
+        seed = jnp.full((num_kv, rows, 1), MASK, jnp.float32)
+        seed = jnp.broadcast_to(seed[None], (num_blocks,) + seed.shape)
+    else:
+        sk = jnp.asarray(sinks, jnp.float32).reshape(num_kv, group)
+        seed = jnp.broadcast_to(sk[:, None, :], (num_kv, qb, group)) \
+            .reshape(num_kv, rows, 1)
+        seed = jnp.broadcast_to(seed[None], (num_blocks,) + seed.shape)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(num_blocks,),
@@ -213,6 +229,8 @@ def paged_decode_attention(q: jax.Array,           # [S, qh, hd]
             pl.BlockSpec((qb, qh, hd), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),       # kv pages stay in HBM
+            pl.BlockSpec((1, num_kv, rows, 1), lambda b, *_: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((qb, qh, hd), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -239,4 +257,4 @@ def paged_decode_attention(q: jax.Array,           # [S, qh, hd]
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(kv_lens, page_indices, cu_tiles, tile_seq, tile_pos,
-      q, kv_pages)
+      q, kv_pages, seed)

@@ -135,3 +135,29 @@ def test_parity_alibi():
                                   alibi_slopes=sl, interpret=True)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_decode_kernel_sinks():
+    """Attention sinks seed the decode kernel's online softmax
+    (gpt-oss); parity vs the dense reference (interpret mode)."""
+    from tensorrt_llm_tpu.ops.pallas.decode_attention import (
+        paged_decode_attention)
+
+    q, pages, md, cu = _setup(9, 4, [1, 1, 1, 1], [7, 30, 2, 19], 8, 2, 64)
+    sinks = jnp.asarray(np.linspace(-1.0, 2.0, 8), jnp.float32)
+    ref = _reference_attention(q, pages, md, sm_scale=0.125,
+                               sliding_window=None, soft_cap=None,
+                               k_scale=None, v_scale=None, sinks=sinks)
+    got = paged_decode_attention(q, pages, md.kv_lens, md.page_indices,
+                                 sm_scale=0.125, sinks=sinks,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    # no-sinks path still exact (phantom l0=1 must be annihilated)
+    ref2 = _reference_attention(q, pages, md, sm_scale=0.125,
+                                sliding_window=None, soft_cap=None,
+                                k_scale=None, v_scale=None)
+    got2 = paged_decode_attention(q, pages, md.kv_lens, md.page_indices,
+                                  sm_scale=0.125, interpret=True)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                               rtol=2e-5, atol=2e-5)
