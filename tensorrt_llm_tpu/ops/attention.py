@@ -272,7 +272,7 @@ def ragged_paged_attention(
                     q, kv_pages, metadata.kv_lens, metadata.page_indices,
                     metadata.cu_q_lens, sm_scale=sm_scale,
                     sliding_window=sliding_window, soft_cap=soft_cap,
-                    alibi_slopes=alibi_slopes,
+                    alibi_slopes=alibi_slopes, sinks=sinks,
                     k_scale=k_scale, v_scale=v_scale, max_q_len=maxq)
 
             def dense_path(_):
@@ -282,8 +282,7 @@ def ragged_paged_attention(
                     alibi_slopes=alibi_slopes, sinks=sinks,
                     k_scale=k_scale, v_scale=v_scale)
 
-            if (2 * q.shape[-1]) % 128 != 0 or sinks is not None:
-                # prefill kernel: no sink support yet → dense path
+            if (2 * q.shape[-1]) % 128 != 0:   # kernel can't serve hd
                 return dense_path(None)
             return jax.lax.cond(fits, kernel_path, dense_path, None)
 

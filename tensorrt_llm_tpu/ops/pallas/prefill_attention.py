@@ -35,7 +35,7 @@ MASK = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def _kernel(cu_q_ref, kv_lens_ref, page_tbl_ref,      # scalar prefetch
-            q_hbm, pages_hbm, o_hbm,                  # ANY (HBM)
+            q_hbm, pages_hbm, seed_ref, o_hbm,        # ANY/VMEM (HBM)
             qbuf, kbuf, obuf, m_scr, l_scr, acc_scr,  # VMEM scratch
             sem_q, sem_kv, sem_o, sem_r,
             *, ps, tile_pages, num_kv, group, hd, maxq, qb_rows,
@@ -80,9 +80,12 @@ def _kernel(cu_q_ref, kv_lens_ref, page_tbl_ref,      # scalar prefetch
             q_copy(qb).start()
     restore.start()
 
-    # ---- init accumulators ----
-    m_scr[...] = jnp.full_like(m_scr, MASK)
-    l_scr[...] = jnp.zeros_like(l_scr)
+    # ---- init accumulators: online softmax seeded with the
+    # attention-sink logits (MASK rows when none; the phantom l0 = 1 is
+    # annihilated by alpha = exp(MASK - m_new) on the first real tile)
+    for qb in range(nqb):
+        m_scr[qb] = seed_ref[...]
+    l_scr[...] = jnp.ones_like(l_scr)
     acc_scr[...] = jnp.zeros_like(acc_scr)
 
     for qb in range(nqb):
@@ -254,6 +257,7 @@ def ragged_prefill_attention(q: jax.Array,            # [T, qh, hd] packed
                              sliding_window=None,
                              soft_cap=None,
                              alibi_slopes=None,
+                             sinks=None,
                              k_scale=None,
                              v_scale=None,
                              max_q_len: int = 256,
@@ -290,12 +294,22 @@ def ragged_prefill_attention(q: jax.Array,            # [T, qh, hd] packed
     page_indices = jnp.pad(page_indices, ((0, 0), (0, pt_pad)))
     page_indices = jnp.clip(page_indices, 0, P - 1)
 
+    # online-softmax seed rows per (kv head, group-major row block)
+    if sinks is None:
+        seed = jnp.full((num_kv, group * qb_rows, 1), MASK, jnp.float32)
+    else:
+        sk = jnp.asarray(sinks, jnp.float32).reshape(num_kv, group)
+        seed = jnp.repeat(sk, qb_rows, axis=1)[:, :, None]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(S,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),        # q packed (HBM)
             pl.BlockSpec(memory_space=pl.ANY),        # kv pages (HBM)
+            pl.BlockSpec((num_kv, group * qb_rows, 1),
+                         lambda s, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),    # softmax seeds
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
@@ -330,5 +344,5 @@ def ragged_prefill_attention(q: jax.Array,            # [T, qh, hd] packed
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(cu_q_lens, kv_lens, page_indices, q_pad, kv_pages)
+    )(cu_q_lens, kv_lens, page_indices, q_pad, kv_pages, seed)
     return out[:T].reshape(T, qh, hd)

@@ -161,3 +161,17 @@ def test_decode_kernel_sinks():
                                   sm_scale=0.125, interpret=True)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_prefill_kernel_sinks():
+    """Sink-seeded online softmax in the ragged prefill kernel."""
+    q, pages, md, cu = _setup(11, 3, [9, 21, 1], [4, 0, 30], 8, 2, 64)
+    sinks = jnp.asarray(np.linspace(-0.5, 1.5, 8), jnp.float32)
+    ref = _reference_attention(q, pages, md, sm_scale=0.125,
+                               sliding_window=None, soft_cap=None,
+                               k_scale=None, v_scale=None, sinks=sinks)
+    got = ragged_prefill_attention(
+        q, pages, md.kv_lens, md.page_indices, cu, sm_scale=0.125,
+        sinks=sinks, max_q_len=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
