@@ -35,6 +35,7 @@ from ..multimodal import gemma3_vl as _gemma3_vl  # noqa: F401
 from ..multimodal import paligemma as _paligemma  # noqa: F401
 from ..multimodal import mllama as _mllama  # noqa: F401
 from ..multimodal import qwen3_vl as _qwen3_vl_mm  # noqa: F401
+from ..multimodal import internvl as _internvl  # noqa: F401
 
 __all__ = ["DecoderModelForCausalLM", "MODEL_REGISTRY", "ModelConfig",
            "get_model_class", "register_model"]

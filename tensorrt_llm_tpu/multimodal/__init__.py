@@ -11,6 +11,7 @@ from . import gemma3_vl as _gemma3_vl  # noqa: F401
 from . import paligemma as _paligemma  # noqa: F401
 from . import mllama as _mllama  # noqa: F401
 from . import qwen3_vl as _qwen3_vl_mm  # noqa: F401
+from . import internvl as _internvl  # noqa: F401
 
 __all__ = ["VisionTower", "create_input_processor", "mm_hash",
            "register_input_processor", "INPUT_PROCESSOR_REGISTRY"]

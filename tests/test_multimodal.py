@@ -211,3 +211,47 @@ def test_mistral3_pixtral_parity():
                               input_embeds=jnp.asarray(embeds))
     np.testing.assert_allclose(np.asarray(logits)[0], ref,
                                rtol=3e-3, atol=3e-3)
+
+
+def test_internvl_parity():
+    """InternVL: layerscale ViT + pixel-shuffle projector; exact HF
+    logits parity (both qk-norm modes of the tower)."""
+    import torch
+    from transformers import InternVLConfig, InternVLForConditionalGeneration
+    from tensorrt_llm_tpu.models import ModelConfig, get_model_class
+    from tensorrt_llm_tpu.multimodal.processor import create_input_processor
+    from tests.test_models import make_prefill_metadata
+
+    for qk in (False, True):
+        torch.manual_seed(0)
+        cfg = InternVLConfig(
+            text_config=dict(model_type="qwen2", vocab_size=96,
+                             hidden_size=48, intermediate_size=96,
+                             num_hidden_layers=2, num_attention_heads=4,
+                             num_key_value_heads=2,
+                             max_position_embeddings=256),
+            vision_config=dict(hidden_size=32, intermediate_size=64,
+                               num_hidden_layers=2, num_attention_heads=4,
+                               image_size=[16, 16], patch_size=[4, 4],
+                               use_qk_norm=qk),
+            image_token_id=95, downsample_ratio=0.5,
+            vision_feature_layer=-1,
+            vision_feature_select_strategy="default")
+        tmodel = InternVLForConditionalGeneration(cfg).eval()
+        sd = {k: v.detach().float().numpy()
+              for k, v in tmodel.state_dict().items()}
+        model = get_model_class("internvl")(
+            ModelConfig(hf_config=cfg, dtype=jnp.float32))
+        params = model.load_hf_state_dict(sd)
+        img = torch.randn(1, 3, 16, 16)
+        proc = create_input_processor(model)
+        ids, embeds, _ = proc([1, 2, 95, 3, 4], {"image": [img[0].numpy()]})
+        with torch.no_grad():
+            ref = tmodel(input_ids=torch.tensor([ids]),
+                         pixel_values=img).logits[0, -1].numpy()
+        kv = model.make_kv_pages(16, 16)
+        md = make_prefill_metadata(model, len(ids))
+        logits, _ = model.forward(params, jnp.asarray(ids, jnp.int32),
+                                  kv, md, input_embeds=jnp.asarray(embeds))
+        np.testing.assert_allclose(np.asarray(logits)[0], ref,
+                                   rtol=3e-3, atol=3e-3)
