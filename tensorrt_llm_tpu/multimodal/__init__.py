@@ -12,6 +12,7 @@ from . import paligemma as _paligemma  # noqa: F401
 from . import mllama as _mllama  # noqa: F401
 from . import qwen3_vl as _qwen3_vl_mm  # noqa: F401
 from . import internvl as _internvl  # noqa: F401
+from . import glm4v as _glm4v  # noqa: F401
 
 __all__ = ["VisionTower", "create_input_processor", "mm_hash",
            "register_input_processor", "INPUT_PROCESSOR_REGISTRY"]
