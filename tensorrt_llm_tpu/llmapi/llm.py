@@ -548,11 +548,13 @@ class LLM:
             else SamplingParams()
         prompt_embeds = None
         mm_data = None
+        ptuning = None
         if isinstance(prompt, dict):
             # vLM input dict (reference: inputs/data.py PromptInputs):
             # {"prompt": str | ids, "multi_modal_data": {"image": [...]}}
             mm_data = prompt.get("multi_modal_data")
             prompt_embeds = prompt.get("prompt_embeds")
+            ptuning = prompt.get("prompt_tuning_config")
             prompt = prompt.get("prompt",
                                 prompt.get("prompt_token_ids"))
         if isinstance(prompt, str):
@@ -629,6 +631,35 @@ class LLM:
                 raise ValueError(
                     f"prompt with expanded image tokens ({len(token_ids)})"
                     f" exceeds max_input_len {self.args.max_input_len}")
+        if ptuning is not None:
+            # prompt tuning / p-tuning tables (reference: executor
+            # PromptTuningConfig + promptTuningBuffers): virtual token
+            # ids in [vocab, vocab + vtokens) resolve to rows of the
+            # request's embedding table via the prompt-embeds path
+            table = np.asarray(
+                ptuning["embedding_table"] if isinstance(ptuning, dict)
+                else ptuning.embedding_table, np.float32)
+            vocab = self.model.vocab_size
+            T = len(token_ids)
+            if prompt_embeds is None:
+                width = getattr(self.model, "prompt_embeds_width",
+                                table.shape[1])
+                prompt_embeds = np.full((T, width), np.nan, np.float32)
+            else:
+                prompt_embeds = np.asarray(prompt_embeds, np.float32)
+            for i, t in enumerate(token_ids):
+                if t < vocab:
+                    continue
+                if t - vocab >= table.shape[0]:
+                    raise ValueError(
+                        f"virtual token {t} outside the prompt table "
+                        f"({table.shape[0]} rows from id {vocab})")
+                prompt_embeds[i, :table.shape[1]] = table[t - vocab]
+                token_ids[i] = 0   # row is overridden; id only keys reuse
+            # table content keys the KV-reuse prefix (like mm-hash)
+            import hashlib
+            cache_salt = (cache_salt or "") + \
+                hashlib.sha256(table.tobytes()).hexdigest()[:16]
         req = LlmRequest(prompt_token_ids=token_ids,
                          sampling_params=sampling_params,
                          streaming=streaming, cache_salt=cache_salt,

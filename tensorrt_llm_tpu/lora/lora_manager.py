@@ -42,10 +42,15 @@ class LoraRequest:
 @dataclasses.dataclass
 class LoraLayerWeights:
     """Per (layer, module) pair: A [K, r], B [r, N] (already transposed
-    to x@A@B layout), scale = alpha / r."""
+    to x@A@B layout), scale = alpha / r. ``mag`` is the DoRA
+    column-scale m / ||W + scale*B@A||_col (PRE-normalized, as the
+    reference requires of DoRA checkpoints — see its lora converter's
+    dora normalization); None for plain LoRA."""
     a: np.ndarray
     b: np.ndarray
     scale: float
+    mag: Optional[np.ndarray] = None    # [N] or raw magnitude pre-norm
+    mag_is_raw: bool = False            # True until normalized vs base W
 
 
 class LoraAdapter:
@@ -56,13 +61,24 @@ class LoraAdapter:
         self.weights = weights      # module -> layer -> weights
 
     @classmethod
-    def from_hf_dir(cls, task_id: int, path: str) -> "LoraAdapter":
+    def from_hf_dir(cls, task_id: int, path: str,
+                    base_sd: Optional[Dict[str, np.ndarray]] = None
+                    ) -> "LoraAdapter":
         """Load a PEFT checkpoint (adapter_config.json +
-        adapter_model.safetensors)."""
+        adapter_model.safetensors). DoRA checkpoints (use_dora) carry a
+        ``lora_magnitude_vector`` per module; pass ``base_sd`` (the base
+        model's HF state dict) to normalize it here, or call
+        ``normalize_dora`` later — the runtime applies only the
+        pre-normalized column scale."""
         p = Path(path)
         cfg = json.loads((p / "adapter_config.json").read_text())
         rank = cfg["r"]
         alpha = cfg.get("lora_alpha", rank)
+        if cfg.get("use_rslora"):
+            import math
+            scale = alpha / math.sqrt(rank)
+        else:
+            scale = alpha / rank
         from safetensors import numpy as st_numpy
         fname = p / "adapter_model.safetensors"
         sd = st_numpy.load_file(str(fname))
@@ -73,19 +89,53 @@ class LoraAdapter:
         for key, val in sd.items():
             # e.g. base_model.model.model.layers.3.self_attn.q_proj.lora_A.weight
             parts = key.split(".")
-            if "lora_A" not in parts and "lora_B" not in parts:
+            is_mag = "lora_magnitude_vector" in parts
+            if "lora_A" not in parts and "lora_B" not in parts \
+                    and not is_mag:
                 continue
             layer_idx = int(parts[parts.index("layers") + 1])
             proj = next((mod_map[m] for m in mod_map if m in parts), None)
             if proj is None:
                 continue
             entry = weights.setdefault(proj, {}).setdefault(
-                layer_idx, LoraLayerWeights(None, None, alpha / rank))
-            if "lora_A" in parts:
+                layer_idx, LoraLayerWeights(None, None, scale))
+            if is_mag:
+                entry.mag = np.asarray(val, np.float32).reshape(-1)
+                entry.mag_is_raw = True
+            elif "lora_A" in parts:
                 entry.a = np.ascontiguousarray(val.T)  # [K, r]
             else:
                 entry.b = np.ascontiguousarray(val.T)  # [r, N]
-        return cls(task_id, rank, weights)
+        adapter = cls(task_id, rank, weights)
+        if base_sd is not None:
+            adapter.normalize_dora(base_sd)
+        return adapter
+
+    def normalize_dora(self, base_sd: Dict[str, np.ndarray]) -> None:
+        """Turn raw DoRA magnitudes into runtime column scales:
+        mag <- m / ||W + scale * B@A||_col (norm over the input dim,
+        matching peft's weight_norm over W [out, in] dim=1)."""
+        hf_name = {"q": "self_attn.q_proj", "k": "self_attn.k_proj",
+                   "v": "self_attn.v_proj", "o": "self_attn.o_proj",
+                   "gate": "mlp.gate_proj", "up": "mlp.up_proj",
+                   "down": "mlp.down_proj"}
+        for mod, per_layer in self.weights.items():
+            for layer, w in per_layer.items():
+                if w.mag is None or not w.mag_is_raw:
+                    continue
+                key = f"model.layers.{layer}.{hf_name[mod]}.weight"
+                base = np.asarray(base_sd[key], np.float32)  # [N, K]
+                # my A/B are x@A@B layout: delta W^T = A@B [K, N]
+                delta = (w.a.astype(np.float32)
+                         @ w.b.astype(np.float32)) * w.scale
+                norm = np.linalg.norm(base.T + delta, axis=0)   # [N]
+                w.mag = w.mag / np.maximum(norm, 1e-12)
+                w.mag_is_raw = False
+
+    @property
+    def has_dora(self) -> bool:
+        return any(w.mag is not None for per in self.weights.values()
+                   for w in per.values())
 
 
 class LoraManager:
@@ -117,6 +167,13 @@ class LoraManager:
             return self._slot_of[task_id]
         if task_id not in self._host_cache:
             raise KeyError(f"unknown lora_task_id {task_id}")
+        ad = self._host_cache[task_id]
+        if any(w.mag_is_raw for per in ad.weights.values()
+               for w in per.values()):
+            raise ValueError(
+                f"DoRA adapter {task_id} has unnormalized magnitudes: "
+                "call adapter.normalize_dora(base_state_dict) first (the "
+                "runtime applies pre-normalized column scales)")
         try:
             slot = self._slots.index(None)
         except ValueError:
@@ -142,19 +199,23 @@ class LoraManager:
         """Stacked adapter tensors per module, layer-major so they ride
         the model's layer scan:
         {module: (A [L, n_slots+1, K, r], B [L, n_slots+1, r, N],
-                  scale [n_slots+1])} — slot n_slots is the zero adapter
-        used for tokens without LoRA."""
+                  scale [n_slots+1], mag [L, n_slots+1, N])} — slot
+        n_slots is the zero adapter used for tokens without LoRA; mag is
+        the DoRA column scale (all-ones for plain LoRA slots)."""
         if self._device_stacks is not None:
             return self._device_stacks
         import jax.numpy as jnp
         r = self.config.max_lora_rank
         n = self.config.max_loras
         L = self.num_layers
+        any_dora = any(self._host_cache[tid].has_dora
+                       for tid in self._slots if tid is not None)
         stacks = {}
         for mod, (K, N) in module_shapes.items():
             A = np.zeros((L, n + 1, K, r), np.float32)
             B = np.zeros((L, n + 1, r, N), np.float32)
             scale = np.zeros(n + 1, np.float32)
+            mag = np.ones((L, n + 1, N), np.float32) if any_dora else None
             for slot, tid in enumerate(self._slots):
                 if tid is None:
                     continue
@@ -166,24 +227,31 @@ class LoraManager:
                     rr = w.a.shape[1]
                     A[layer, slot, :, :rr] = w.a
                     B[layer, slot, :rr, :] = w.b
+                    if w.mag is not None and mag is not None:
+                        mag[layer, slot] = w.mag
                 scale[slot] = next(iter(per_layer.values())).scale \
                     if per_layer else 0.0
             stacks[mod] = (jnp.asarray(A, dtype), jnp.asarray(B, dtype),
-                           jnp.asarray(scale))
+                           jnp.asarray(scale),
+                           None if mag is None
+                           else jnp.asarray(mag, dtype))
         self._device_stacks = stacks
         return stacks
 
 
-def apply_lora(x, base_out, a_layer, b_layer, scales, slot_ids):
+def apply_lora(x, base_out, a_layer, b_layer, scales, slot_ids,
+               mag_layer=None):
     """Per-token LoRA application inside the jitted forward (one layer):
 
-        out += scale[slot] * ((x @ A[slot]) @ B[slot])
+        out = mag[slot] * (out + scale[slot] * ((x @ A[slot]) @ B[slot]))
 
     a_layer [n_slots+1, K, r], b_layer [n_slots+1, r, N] are this layer's
     slices (the stacks ride the layer scan); slot_ids i32[T], -1 → zero
     slot. Batched einsum over gathered per-token adapter weights — the
-    grouped-GEMM analog (ref: thop/loraOp.cpp). Prefill with many
-    distinct adapters should sort tokens by slot (future work).
+    grouped-GEMM analog (ref: thop/loraOp.cpp). mag_layer
+    [n_slots+1, N] is the DoRA column scale (ones when absent; peft:
+    y = m/||W+sBA|| * (xW + s*xAB)). Prefill with many distinct
+    adapters should sort tokens by slot (future work).
     """
     import jax.numpy as jnp
     n_zero = a_layer.shape[0] - 1
@@ -193,4 +261,7 @@ def apply_lora(x, base_out, a_layer, b_layer, scales, slot_ids):
     s = scales[sid]                      # [T]
     h = jnp.einsum("tk,tkr->tr", x, a)
     delta = jnp.einsum("tr,trn->tn", h, b)
-    return base_out + (delta * s[:, None]).astype(base_out.dtype)
+    out = base_out + (delta * s[:, None]).astype(base_out.dtype)
+    if mag_layer is not None:
+        out = out * mag_layer[sid].astype(out.dtype)
+    return out

@@ -212,17 +212,22 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
         lora_scan_xs = None
         if use_lora:
             from ..lora.lora_manager import apply_lora
-            # scan slices carry the per-layer A/B; scales close over
-            lora_scan_xs = {m: (a, b) for m, (a, b, _) in lora.items()}
-            lora_scales = {m: s for m, (_, _, s) in lora.items()}
+            # scan slices carry the per-layer A/B (+ DoRA mag when
+            # present); scales close over
+            lora_scan_xs = {
+                m: ((a, b) if mag is None else (a, b, mag))
+                for m, (a, b, _, mag) in lora.items()}
+            lora_scales = {m: s for m, (_, _, s, _) in lora.items()}
 
             def make_lora_fn(lora_layer):
                 def f(mod, x, out):
                     if mod not in lora_layer:
                         return out
-                    a, b = lora_layer[mod]
-                    return apply_lora(x, out, a, b, lora_scales[mod],
-                                      lora_slots)
+                    entry = lora_layer[mod]
+                    mag = entry[2] if len(entry) > 2 else None
+                    return apply_lora(x, out, entry[0], entry[1],
+                                      lora_scales[mod], lora_slots,
+                                      mag_layer=mag)
                 return f
         else:
             def make_lora_fn(_):
