@@ -186,10 +186,13 @@ def main():
               file=sys.stderr, flush=True)
 
     # HBM-bandwidth decode roofline: tok/s ≈ batch * BW / bytes_touched/step.
-    # "Speed of light" is the ACTUAL chip's streaming bandwidth, measured
-    # in-graph right here (the tunnel-attached v5e-lite measures ~160GB/s,
-    # a fraction of a production v5e's 810 — a fixed constant would grade
-    # against hardware we don't have).
+    # Dual denominators (VERDICT r2 ask #1): `vs_baseline` grades against
+    # the production-v5e 810 GB/s constant from BASELINE.md so the ≥0.85
+    # north-star and round-1's 0.134 stay comparable; `vs_chip` grades
+    # against THE attached chip's measured streaming bandwidth (the
+    # tunnel-attached chip delivers a fraction of a production v5e's
+    # 810 GB/s — vs_chip is the fraction of *this* silicon's roofline we
+    # actually capture).
     param_bytes = {"none": 2.0, "int8": 1.0, "int4": 0.5}[quant]
     n_params = (cfg.vocab_size * cfg.hidden_size * 2 +
                 cfg.num_hidden_layers * (
@@ -202,11 +205,14 @@ def main():
                         cfg.num_key_value_heads *
                         (cfg.hidden_size // cfg.num_attention_heads) * 2)
     avg_ctx = isl + osl / 2
+    PROD_V5E_BW = 810e9  # BASELINE.md constant (production v5e HBM)
     hbm_bw = measure_hbm_bw() if jax.default_backend() == "tpu" else 5e10
-    print(f"# measured HBM bandwidth: {hbm_bw/1e9:.0f} GB/s",
+    print(f"# measured HBM bandwidth: {hbm_bw/1e9:.0f} GB/s "
+          f"(production v5e constant: {PROD_V5E_BW/1e9:.0f} GB/s)",
           file=sys.stderr, flush=True)
     step_bytes = weight_bytes + batch * avg_ctx * kv_bytes_per_tok
-    roofline = batch * hbm_bw / step_bytes
+    roofline_prod = batch * PROD_V5E_BW / step_bytes
+    roofline_chip = batch * hbm_bw / step_bytes
 
     name = {"1b": "TinyLlama-1.1B", "8b": "Llama-8B"}.get(model_size,
                                                           model_size)
@@ -215,7 +221,9 @@ def main():
                   f"bs{batch} {isl}/{osl}",
         "value": round(tput, 1),
         "unit": "tok/s",
-        "vs_baseline": round(tput / roofline, 3),
+        "vs_baseline": round(tput / roofline_prod, 3),
+        "vs_chip": round(tput / roofline_chip, 3),
+        "chip_bw_gbps": round(hbm_bw / 1e9, 1),
     }), flush=True)
     if "tput" not in result2:
         # a wedged device fetch would also hang interpreter teardown

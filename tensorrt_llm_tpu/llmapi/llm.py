@@ -141,12 +141,9 @@ class LLM:
                        "HYBRID": "hybrid_decode"}
         self.model.attn_backend = backend_map.get(
             self.args.attn_backend.upper(), "auto")
-        if self.mapping.world_size > 1:
-            # Pallas kernels are not auto-partitioned by GSPMD; use the XLA
-            # dequant path until the kernels are shard_map-wrapped.
-            for m in vars(self.model).values():
-                if hasattr(m, "use_pallas"):
-                    m.use_pallas = False
+        # (the groupwise Pallas dequant-matmul is GSPMD-partitionable via
+        # custom_partitioning — ops/pallas/quant_matmul.py — so quantized
+        # serving keeps the fused kernel under any mesh)
         if getattr(type(self.model), "has_recurrent_state", False):
             # recurrent state is not block-addressable: no chunked prefill,
             # no prefix reuse (reference: mamba/hybrid cache constraints)

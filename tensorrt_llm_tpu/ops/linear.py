@@ -93,23 +93,24 @@ class WeightOnlyGroupwiseMethod(LinearMethod):
 
     def apply(self, params, x):
         import os
+        interpret = os.environ.get("TLLM_TPU_PALLAS_INTERPRET") == "1"
         use_pallas = self.use_pallas
         if use_pallas is None:
-            use_pallas = (jax.default_backend() == "tpu" and
+            use_pallas = ((jax.default_backend() == "tpu" or interpret) and
                           os.environ.get("TLLM_TPU_DISABLE_PALLAS_QUANT")
                           != "1")
         packed = self.bits == 4 and "weight_zero" not in params
         x2d = x.reshape(-1, x.shape[-1])
         if use_pallas and packed:
-            from .pallas.quant_matmul import groupwise_dequant_matmul
-            out = groupwise_dequant_matmul(
+            from .pallas.quant_matmul import groupwise_dequant_matmul_sharded
+            out = groupwise_dequant_matmul_sharded(
                 x2d, params["weight"], params["weight_scale"],
-                group_size=self.group_size, bits=4)
+                group_size=self.group_size, bits=4, interpret=interpret)
         elif use_pallas and self.bits == 8 and "weight_zero" not in params:
-            from .pallas.quant_matmul import groupwise_dequant_matmul
-            out = groupwise_dequant_matmul(
+            from .pallas.quant_matmul import groupwise_dequant_matmul_sharded
+            out = groupwise_dequant_matmul_sharded(
                 x2d, params["weight"], params["weight_scale"],
-                group_size=self.group_size, bits=8)
+                group_size=self.group_size, bits=8, interpret=interpret)
         else:
             wq = params["weight"]
             if packed:

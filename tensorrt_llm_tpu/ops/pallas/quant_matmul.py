@@ -102,7 +102,6 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("group_size", "bits", "interpret"))
 def groupwise_dequant_matmul(x: jax.Array,        # [M, K] bf16/f32
                              w: jax.Array,        # int4: [K//2, N] packed int8
                                                   # int8: [K, N] int8
@@ -164,3 +163,159 @@ def groupwise_dequant_matmul(x: jax.Array,        # [M, K] bf16/f32
         interpret=interpret,
     )(x, w, scales)
     return out[:M, :N]
+
+
+# --------------------------------------------------------------------- #
+# GSPMD-partitionable wrappers (custom_partitioning)
+#
+# A pallas_call is a black box to the SPMD partitioner: under a mesh
+# XLA would all-gather every operand. custom_partitioning teaches the
+# partitioner how this op shards (the role TP-aware kernel dispatch
+# plays in the reference, kernels/weightOnlyBatchedGemv/kernel.h:31 —
+# each rank runs the kernel on its local shard):
+#   * column-parallel (w sharded on N): every shard runs the kernel on
+#     its N-slice; scales follow N; no collective.
+#   * row-parallel (w sharded on packed-K): x arrives as [M, 2, K/2]
+#     so a contiguous shard of its LAST dim is exactly the (lo, hi)
+#     nibble halves of the local packed rows; partial products psum
+#     over the K axes.
+# The int4 split-halves pack layout (pack_int4) is what makes the
+# row-parallel case need the 3-d x view: packed row i holds original
+# rows i and i + K/2, so a flat contiguous K-shard would not line up.
+# --------------------------------------------------------------------- #
+from jax.experimental.custom_partitioning import custom_partitioning  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec as _P  # noqa: E402
+
+
+def _axes(entry):
+    """Normalize a PartitionSpec entry to a tuple of axis names."""
+    if entry is None:
+        return ()
+    if isinstance(entry, (tuple, list)):
+        return tuple(a for a in entry if a is not None)
+    return (entry,)
+
+
+def _spec_entry(spec, i):
+    return spec[i] if spec is not None and len(spec) > i else None
+
+
+def _make_partition(n_x_dims):
+    """Build (infer, partition) callbacks shared by the int4/int8 ops.
+
+    n_x_dims = 3 (int4: x [M, 2, K/2], scales [2, K/(2G), N]) or
+    2 (int8: x [M, K], scales [K/G, N]). The weight is always 2-d
+    [packedK, N] and is the sharding authority: its dim-0 axes shard the
+    contraction (psum), its dim-1 axes shard the output columns."""
+
+    def _w_axes(arg_shapes):
+        wspec = arg_shapes[1].sharding.spec
+        return _axes(_spec_entry(wspec, 0)), _axes(_spec_entry(wspec, 1))
+
+    def infer(group_size, interpret, mesh, arg_shapes, result_shape):
+        kax, nax = _w_axes(arg_shapes)
+        xspec = arg_shapes[0].sharding.spec
+        max_ = _axes(_spec_entry(xspec, 0))
+        return NamedSharding(mesh, _P(max_ or None, nax or None))
+
+    def partition(group_size, interpret, mesh, arg_shapes, result_shape):
+        kax, nax = _w_axes(arg_shapes)
+        xspec = arg_shapes[0].sharding.spec
+        max_ = _axes(_spec_entry(xspec, 0)) or None
+        kspec = tuple(kax) or None
+        nspec = tuple(nax) or None
+        if n_x_dims == 3:
+            arg_shardings = (
+                NamedSharding(mesh, _P(max_, None, kspec)),
+                NamedSharding(mesh, _P(kspec, nspec)),
+                NamedSharding(mesh, _P(None, kspec, nspec)),
+            )
+        else:
+            arg_shardings = (
+                NamedSharding(mesh, _P(max_, kspec)),
+                NamedSharding(mesh, _P(kspec, nspec)),
+                NamedSharding(mesh, _P(kspec, nspec)),
+            )
+        out_sharding = NamedSharding(mesh, _P(max_, nspec))
+
+        def lower_fn(x, w, s):
+            xl = x.reshape(x.shape[0], -1)
+            sl = s.reshape(-1, s.shape[-1])
+            out = groupwise_dequant_matmul(
+                xl, w, sl, group_size=group_size,
+                bits=4 if n_x_dims == 3 else 8, interpret=interpret)
+            if kax:
+                out = jax.lax.psum(out, tuple(kax))
+            return out
+
+        return mesh, lower_fn, out_sharding, arg_shardings
+
+    return infer, partition
+
+
+@functools.partial(custom_partitioning, static_argnums=(3, 4))
+def _gdm4_op(x3, w, s3, group_size, interpret):
+    return groupwise_dequant_matmul(
+        x3.reshape(x3.shape[0], -1), w, s3.reshape(-1, s3.shape[-1]),
+        group_size=group_size, bits=4, interpret=interpret)
+
+
+def _rule4(group_size, interpret, mesh, value_types, result_types):
+    # x3 [m, h, (g k)], w [(g k), n], s3 [h2, g2, n2] -> [m, n].
+    # g is the shardable super-factor of the contraction (whole quant
+    # groups); k = group_size stays intact within a shard; the h=2
+    # split-halves dim and the scales' group dim must not be split on
+    # their own (the partition callback co-shards them with w).
+    from jax._src.lib.mlir import ir
+    kp = ir.RankedTensorType(value_types[1]).shape[0]   # packed K = K/2
+    return ("m h (g k), (g k) n, h2 g2 n2 -> m n",
+            dict(reduction_factors=("g", "k"),
+                 need_replication_factors=("h", "h2", "g2"),
+                 g=kp // group_size, k=group_size))
+
+
+_infer4, _part4 = _make_partition(3)
+_gdm4_op.def_partition(
+    partition=_part4, infer_sharding_from_operands=_infer4,
+    sharding_rule=_rule4,
+)
+
+
+@functools.partial(custom_partitioning, static_argnums=(3, 4))
+def _gdm8_op(x, w, s, group_size, interpret):
+    return groupwise_dequant_matmul(x, w, s, group_size=group_size,
+                                    bits=8, interpret=interpret)
+
+
+def _rule8(group_size, interpret, mesh, value_types, result_types):
+    from jax._src.lib.mlir import ir
+    K = ir.RankedTensorType(value_types[1]).shape[0]
+    return ("m (g k), (g k) n, g2 n2 -> m n",
+            dict(reduction_factors=("g", "k"),
+                 need_replication_factors=("g2",),
+                 g=K // group_size, k=group_size))
+
+
+_infer8, _part8 = _make_partition(2)
+_gdm8_op.def_partition(
+    partition=_part8, infer_sharding_from_operands=_infer8,
+    sharding_rule=_rule8,
+)
+
+
+def groupwise_dequant_matmul_sharded(x, w, scales, *, group_size=128,
+                                     bits=4, interpret=False):
+    """GSPMD-partitionable fused dequant matmul.
+
+    Same contract as groupwise_dequant_matmul but safe to call inside a
+    jitted program running under any mesh: the partitioner receives a
+    sharding rule instead of gathering the operands. Dynamic rule-sizing
+    constraint: each shard's K must stay a whole number of quant groups
+    (K/(2·tp) % group_size == 0 for int4) — the partition callback's
+    local kernel asserts this at trace time."""
+    M, K = x.shape
+    if bits == 4:
+        x3 = x.reshape(M, 2, K // 2)
+        s3 = scales.reshape(2, scales.shape[0] // 2, scales.shape[1])
+        return _gdm4_op(x3, w, s3, group_size, interpret)
+    return _gdm8_op(x, w, scales, group_size, interpret)
