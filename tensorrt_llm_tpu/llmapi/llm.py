@@ -53,6 +53,10 @@ class RequestOutput:
         return self._result.prompt_token_ids
 
     @property
+    def prompt_logprobs(self):
+        return self._result.prompt_logprobs
+
+    @property
     def outputs(self):
         outs = list(self._result.outputs)
         for i, r in enumerate(self._extra):
@@ -657,12 +661,26 @@ class LLM:
             import hashlib
             cache_salt = (cache_salt or "") + \
                 hashlib.sha256(table.tobytes()).hexdigest()[:16]
+        prompt_lp = None
+        if sampling_params.prompt_logprobs is not None:
+            # slow diagnostic path (reference: gather_context_logits):
+            # one dedicated teacher-forced forward with logits at every
+            # prompt position, outside the bucketed serving step
+            if prompt_embeds is not None or mm_data is not None:
+                raise ValueError("prompt_logprobs is unsupported with "
+                                 "multimodal / prompt-embeds inputs")
+            from ..evaluate.perplexity import prompt_logprob_dicts
+            prompt_lp = prompt_logprob_dicts(
+                self.model, self.engine.params, token_ids,
+                top_k=int(sampling_params.prompt_logprobs))
         req = LlmRequest(prompt_token_ids=token_ids,
                          sampling_params=sampling_params,
                          streaming=streaming, cache_salt=cache_salt,
                          request_type=rtype,
                          lora_task_id=lora_task_id,
                          prompt_embeds=prompt_embeds)
+        if prompt_lp is not None:
+            req.prompt_logprobs_result = prompt_lp
         if mm_data is not None and mm_extra:
             for k, v in mm_extra.items():
                 setattr(req, k, v)

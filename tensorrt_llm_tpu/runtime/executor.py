@@ -53,6 +53,11 @@ class GenerationResult:
         self._done = threading.Event()
         self._stream_queue: "queue.Queue" = queue.Queue()
         self.outputs: List[CompletionOutput] = []
+        # per-prompt-position {token_id: logprob} dicts (None at pos 0),
+        # populated at submission when SamplingParams.prompt_logprobs is
+        # set (reference: result.py prompt_logprobs)
+        self.prompt_logprobs: Optional[list] = getattr(
+            request, "prompt_logprobs_result", None)
         self.error: Optional[Exception] = None
 
     @property

@@ -300,3 +300,25 @@ def test_sharded_checkpoint_lazy_load(tmp_path):
     got = disk.generate([5, 9, 23, 44], sp).outputs[0].token_ids
     disk.shutdown()
     assert got == ref
+
+
+def test_prompt_logprobs(tiny):
+    """prompt_logprobs returns per-prompt-position dicts that agree with
+    the teacher-forced scoring harness (reference: SamplingParams
+    .prompt_logprobs + gather_context_logits)."""
+    llm, tmodel = tiny
+    prompt = [3, 11, 42, 7, 19]
+    out = llm.generate(prompt, SamplingParams(max_tokens=2, top_k=1,
+                                              prompt_logprobs=3))
+    plp = out.prompt_logprobs
+    assert len(plp) == len(prompt)
+    assert plp[0] is None
+    for t, entry in zip(prompt[1:], plp[1:]):
+        assert t in entry                       # actual token present
+        assert len(entry) >= 3                  # plus top-k
+        assert all(v <= 1e-6 for v in entry.values())
+    # actual-token values match the standalone scoring harness
+    from tensorrt_llm_tpu.evaluate.perplexity import score_token_logprobs
+    ref = score_token_logprobs(llm.model, llm.engine.params, prompt)
+    got = [plp[i + 1][prompt[i + 1]] for i in range(len(prompt) - 1)]
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
