@@ -98,9 +98,17 @@ def main():
 
     max_seq = isl + osl + 8
     multi_step = int(os.environ.get("BENCH_MULTISTEP", "16"))
+    # prefill token budget: large enough to fill the decode pool quickly.
+    # At 2048 (old default) only 16 ISL-128 prompts prefill per iteration,
+    # so decode windows ran at ~60 of 256 rows while requests trickled
+    # through — each decode step reads the full weights regardless of row
+    # count, so a starved pool wastes most of the step's HBM traffic
+    # (measured: 4.3x row deficit at bs256 128/128).
+    max_tok = int(os.environ.get("BENCH_MAXTOK",
+                                 str(max(2048, isl * (batch // 4)))))
     llm = LLM(model=cfg, skip_tokenizer_init=True,
               max_batch_size=batch, max_input_len=isl + 8,
-              max_seq_len=max_seq, max_num_tokens=max(2048, isl * 4),
+              max_seq_len=max_seq, max_num_tokens=max_tok,
               quant_config=qc, load_format="dummy",
               decode_multi_step=multi_step,
               kv_cache_config=KvCacheConfig(tokens_per_block=int(

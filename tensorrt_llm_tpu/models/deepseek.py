@@ -98,6 +98,24 @@ class DeepseekV3ForCausalLM(DecoderModelForCausalLM):
     def _t(sd, name):
         return np.ascontiguousarray(np.transpose(np.asarray(sd[name])))
 
+    def _absorbed_from_kvb(self, w_t, dtype):
+        """Split the (transposed) kv_b weight [lora, nh*(nope+vd)] into
+        the absorbed decode operands: W_UK as [nh, nope, lora] (folded
+        into q_nope) and W_UV as [nh, lora, vd] (folded into the
+        attention output). Prequantized ingest keeps kv_b as a packed
+        struct — dequantize through the linear method on an identity
+        batch is wasteful, so absorb from the raw fp weight when
+        available and fall back to the non-absorbed path otherwise."""
+        if not isinstance(w_t, np.ndarray):
+            return {}
+        nh, nope, vd, lora = (self.num_heads, self.qk_nope, self.v_dim,
+                              self.kv_lora_rank)
+        w = np.asarray(w_t, np.float32).reshape(lora, nh, nope + vd)
+        uk = np.transpose(w[:, :, :nope], (1, 2, 0))   # [nh, nope, lora]
+        uv = np.transpose(w[:, :, nope:], (1, 0, 2))   # [nh, lora, vd]
+        return {"uk": jnp.asarray(uk, dtype=dtype),
+                "uv": jnp.asarray(uv, dtype=dtype)}
+
     def _attn_layer_from_sd(self, sd: Dict[str, np.ndarray], i: int):
         """One decoder layer's MLA tensors (reused by the MTP drafter,
         whose module at index num_hidden_layers is a full layer;
@@ -113,6 +131,12 @@ class DeepseekV3ForCausalLM(DecoderModelForCausalLM):
                                      dtype=dtype),
             "kv_b": quantize_linear(self.m_lin, t(f"{p}.kv_b_proj.weight"),
                                     dtype=dtype),
+            # absorbed-weight decode operands (reference: MLA absorbed
+            # path attention.py:1169 — k_b_proj_trans / v_b_proj): the
+            # kv_b columns split into W_UK [nh, nope, lora] folded into
+            # the query and W_UV [nh, lora, vd] folded into the output,
+            # so decode attention runs entirely in latent space
+            **self._absorbed_from_kvb(t(f"{p}.kv_b_proj.weight"), dtype),
             "o": quantize_linear(self.m_lin, t(f"{p}.o_proj.weight"),
                                  dtype=dtype),
             "input_norm": jnp.asarray(
@@ -226,18 +250,13 @@ class DeepseekV3ForCausalLM(DecoderModelForCausalLM):
         pool = flat.at[metadata.slot_mapping].set(
             latents.astype(pool.dtype), mode="drop").reshape(pool.shape)
 
-        # gather per sequence and decompress
+        # gather per sequence
         S, Pp = metadata.page_indices.shape
         max_kv = Pp * ps
         lat = pool[metadata.page_indices.reshape(-1)].reshape(
             S, max_kv, latent)
         c_all = lat[..., :lora]
         kpe_all = lat[..., lora:]
-        knv = self.m_lin.apply(layer["kv_b"],
-                               c_all.reshape(S * max_kv, lora))
-        knv = knv.reshape(S, max_kv, nh, nope + vd)
-        k_nope_all = knv[..., :nope]
-        v_all = knv[..., nope:]
 
         # token → sequence mapping (same scheme as the reference backend)
         tok = jnp.arange(T, dtype=jnp.int32)
@@ -248,11 +267,32 @@ class DeepseekV3ForCausalLM(DecoderModelForCausalLM):
         q_lens = metadata.cu_q_lens[1:S + 1] - metadata.cu_q_lens[:S]
         tok_pos = metadata.kv_lens[seq_of] - q_lens[seq_of] + (tok - q_start)
 
-        kn = k_nope_all[seq_of]          # [T, max_kv, nh, nope]
-        vv = v_all[seq_of]
+        # path selection is STATIC (shape-based): a decode-shaped batch
+        # (one new token per sequence row, T == S) runs the absorbed-
+        # weight path — attention entirely in latent space, never
+        # materializing per-token K/V (reference: attention.py:1169
+        # absorbed MLA decode). Prefill decompresses latents through
+        # kv_b once per KV token, which amortizes over the many query
+        # rows of the chunk; chunked-context merging is structural here —
+        # each chunk's queries attend over the full latent history, so no
+        # cross-chunk softmax-state merge is needed (reference:
+        # trtllm.py:1822-1894 does an explicit two-pass merge).
+        absorbed = (T == S) and ("uk" in layer)
         kp = kpe_all[seq_of]             # [T, max_kv, rope]
-        s_nope = jnp.einsum("thd,tkhd->thk", q_nope.astype(jnp.float32),
-                            kn.astype(jnp.float32))
+        if absorbed:
+            # q_abs[t,h,l] = q_nope · W_UK ; scores against raw latents
+            q_abs = jnp.einsum("thd,hdl->thl", q_nope.astype(jnp.float32),
+                               layer["uk"].astype(jnp.float32))
+            c_t = c_all[seq_of].astype(jnp.float32)   # identity gather
+            s_nope = jnp.einsum("thl,tkl->thk", q_abs, c_t)
+        else:
+            knv = self.m_lin.apply(layer["kv_b"],
+                                   c_all.reshape(S * max_kv, lora))
+            knv = knv.reshape(S, max_kv, nh, nope + vd)
+            kn = knv[..., :nope][seq_of]  # [T, max_kv, nh, nope]
+            vv = knv[..., nope:][seq_of]
+            s_nope = jnp.einsum("thd,tkhd->thk", q_nope.astype(jnp.float32),
+                                kn.astype(jnp.float32))
         s_pe = jnp.einsum("thd,tkd->thk", q_pe.astype(jnp.float32),
                           kp.astype(jnp.float32))
         scores = (s_nope + s_pe) * self.sm_scale
@@ -262,7 +302,13 @@ class DeepseekV3ForCausalLM(DecoderModelForCausalLM):
         scores = jnp.where(valid[:, None, :], scores,
                            jnp.finfo(jnp.float32).min)
         probs = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("thk,tkhd->thd", probs, vv.astype(jnp.float32))
+        if absorbed:
+            # value path in latent space, then W_UV un-absorbs per head
+            out_lat = jnp.einsum("thk,tkl->thl", probs, c_t)
+            out = jnp.einsum("thl,hlv->thv", out_lat,
+                             layer["uv"].astype(jnp.float32))
+        else:
+            out = jnp.einsum("thk,tkhd->thd", probs, vv.astype(jnp.float32))
         out = self.m_lin.apply(layer["o"],
                                out.reshape(T, nh * vd).astype(self.dtype))
         return out, pool

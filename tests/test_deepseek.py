@@ -88,3 +88,33 @@ def test_deepseek_e2e(pair):
             ids.append(int(torch.argmax(logits)))
     assert out.outputs[0].token_ids == ids[len(prompt):]
     llm.shutdown()
+
+
+def test_mla_absorbed_matches_decompressed(pair):
+    """The absorbed-weight decode path (attention in latent space via
+    W_UK/W_UV; reference: attention.py:1169) must agree numerically with
+    the decompress-through-kv_b path on the same decode step."""
+    model, params, tmodel, cfg = pair
+    tokens = list(range(2, 10))
+    T0 = len(tokens) - 1
+    kv = model.make_kv_pages(16, 16)
+    md = make_prefill_metadata(model, T0)
+    _, kv = model.forward(params, jnp.asarray(tokens[:T0], jnp.int32),
+                          kv, md)
+    md1 = make_prefill_metadata(model, 1, start_pos=T0)
+    # decode-shaped (T == S == 1): absorbed path
+    assert "uk" in params["moe_layers"]
+    la, _ = model.forward(params, jnp.asarray(tokens[T0:], jnp.int32),
+                          kv, md1)
+    # strip uk/uv -> non-absorbed path on identical inputs
+    import copy
+    p2 = {k: (dict(v) if isinstance(v, dict) else v)
+          for k, v in params.items()}
+    for grp in ("dense_layers", "moe_layers"):
+        if p2[grp] is not None:
+            p2[grp] = {k: v for k, v in p2[grp].items()
+                       if k not in ("uk", "uv")}
+    lb, _ = model.forward(p2, jnp.asarray(tokens[T0:], jnp.int32),
+                          kv, md1)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                               rtol=2e-4, atol=2e-4)
