@@ -171,9 +171,19 @@ class MatcherFactory:
         self.table = token_table
         self._dfa_cache: Dict[str, DFA] = {}
 
-    def create(self, params) -> Optional[GrammarMatcher]:
+    def compile_dfa(self, params):
+        """(cache_key, DFA) for the request's grammar, or None when the
+        params carry no constraint. The key identifies the compiled
+        grammar — device-pool segments are shared/refcounted by it."""
         if params is None:
             return None
+        if params.structural_tag:
+            spec = params.structural_tag
+            key = spec if isinstance(spec, str) else json.dumps(
+                spec, sort_keys=True)
+            if key not in self._dfa_cache:
+                self._dfa_cache[key] = self._build_structural(spec)
+            return key, self._dfa_cache[key]
         if params.regex:
             pattern = params.regex
         elif params.json is not None:
@@ -188,31 +198,31 @@ class MatcherFactory:
         elif params.grammar:
             from .ebnf import ebnf_to_regex
             pattern = ebnf_to_regex(params.grammar)
-        elif params.structural_tag:
-            return self._create_structural(params.structural_tag)
         else:
             return None
         if pattern not in self._dfa_cache:
             self._dfa_cache[pattern] = compile_regex(pattern)
-        return GrammarMatcher(self._dfa_cache[pattern], self.table)
+        return pattern, self._dfa_cache[pattern]
 
-    def _create_structural(self, spec) -> GrammarMatcher:
+    def create(self, params) -> Optional[GrammarMatcher]:
+        compiled = self.compile_dfa(params)
+        if compiled is None:
+            return None
+        return GrammarMatcher(compiled[1], self.table)
+
+    def _build_structural(self, spec):
         """xgrammar structural-tag spec: {"structures": [{"begin",
         "schema"|"content_regex", "end"}], "triggers": [...]} (triggers
         are implied by the begin literals in the DFA engine)."""
         from .regex_dfa import build_structural_dfa
-        key = spec if isinstance(spec, str) else json.dumps(
-            spec, sort_keys=True)
-        if key not in self._dfa_cache:
-            obj = json.loads(spec) if isinstance(spec, str) else spec
-            triples = []
-            for st in obj["structures"]:
-                if "content_regex" in st:
-                    content = st["content_regex"]
-                elif st.get("schema"):
-                    content = schema_to_regex(st["schema"])
-                else:
-                    content = None
-                triples.append((st["begin"], content, st["end"]))
-            self._dfa_cache[key] = build_structural_dfa(triples)
-        return GrammarMatcher(self._dfa_cache[key], self.table)
+        obj = json.loads(spec) if isinstance(spec, str) else spec
+        triples = []
+        for st in obj["structures"]:
+            if "content_regex" in st:
+                content = st["content_regex"]
+            elif st.get("schema"):
+                content = schema_to_regex(st["schema"])
+            else:
+                content = None
+            triples.append((st["begin"], content, st["end"]))
+        return build_structural_dfa(triples)
