@@ -22,12 +22,44 @@ from .grammar_matcher import GrammarMatcher, MatcherFactory, TokenTable
 class GuidedDecoder:
     def __init__(self, token_table: TokenTable, max_batch_size: int):
         self.factory = MatcherFactory(token_table)
+        self.table = token_table
         self.vocab_size = token_table.vocab_size
         self.max_batch_size = max_batch_size
         self._matchers: Dict[int, GrammarMatcher] = {}
+        self.device = None  # DeviceGuidedManager when device-resident
+
+    # ------------------------------------------------------------------ #
+    # device-resident mode (guided/device_guided.py): the grammar walk
+    # lives on the TPU, so guided requests ride the overlap scheduler and
+    # the K-step decode window with zero per-token host work
+    # ------------------------------------------------------------------ #
+    def attach_engine(self, engine, pool_states: int = 8192) -> None:
+        from .device_guided import DeviceGuidedManager
+        self.device = DeviceGuidedManager(self.factory, self.table,
+                                          engine, pool_states)
+
+    def on_slot_assigned(self, req: LlmRequest, engine) -> None:
+        """Device admission: land (or share) the grammar segment and point
+        the request's slot at its state — resumed past any tokens already
+        generated (pause/evict recompute)."""
+        gp = req.sampling_params.guided_decoding
+        if self.device is None or gp is None:
+            return
+        self.device.acquire(gp)
+        state = self.device.state_after(gp, req.output_token_ids)
+        engine.guided_set_state(req.seq_slot, int(state))
+        req.guided_device = True
+
+    def on_slot_released(self, req: LlmRequest, engine) -> None:
+        if self.device is None or not getattr(req, "guided_device", False):
+            return
+        engine.guided_set_state(req.seq_slot, -1)
+        self.device.release(req.sampling_params.guided_decoding)
+        req.guided_device = False
 
     def has_guided(self, batch: ScheduledRequests) -> bool:
         return any(r.sampling_params.guided_decoding is not None
+                   and not getattr(r, "guided_device", False)
                    for r in batch.all_requests)
 
     def build_mask(self, batch: ScheduledRequests) -> Optional[np.ndarray]:
@@ -39,8 +71,8 @@ class GuidedDecoder:
         reqs = batch.context_requests + batch.generation_requests
         for i, req in enumerate(reqs):
             gp = req.sampling_params.guided_decoding
-            if gp is None:
-                continue
+            if gp is None or getattr(req, "guided_device", False):
+                continue  # device-resident rows mask in-graph
             if req.is_context_init_state and not req.is_last_context_chunk:
                 continue  # no output sampled this step
             m = self._matchers.get(req.request_id)
@@ -53,6 +85,8 @@ class GuidedDecoder:
         return mask
 
     def observe_token(self, req: LlmRequest, token_id: int) -> None:
+        if getattr(req, "guided_device", False):
+            return  # the device walk already advanced
         m = self._matchers.get(req.request_id)
         if m is not None:
             m.accept_token(token_id)

@@ -450,6 +450,15 @@ class LLM:
                                     range(self.model.vocab_size)],
                                    eos_token_id=0)
             guided_decoder = GuidedDecoder(table, args.max_batch_size)
+            # device-resident grammar walk (guided/device_guided.py):
+            # guided requests ride the overlap scheduler + multi-step
+            # window. Opt out (host-sync bitmasks) with backend
+            # "dfa-host" or when explicitly running the sync scheduler.
+            if args.guided_decoding_backend != "dfa-host":
+                guided_decoder.attach_engine(
+                    self.engine,
+                    pool_states=int(os.environ.get(
+                        "TLLM_TPU_GUIDED_POOL_STATES", "8192")))
         from ..disaggregation.transceiver import (InProcessKvTransport,
                                                   KvCacheTransceiver,
                                                   TcpKvTransport)

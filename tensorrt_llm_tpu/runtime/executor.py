@@ -231,8 +231,13 @@ class PyExecutor:
         self.max_active_requests = max_active_requests or \
             4 * engine.max_batch_size
         self._pending_disagg: "queue.Queue" = queue.Queue()
-        if guided_decoder is not None and enable_overlap:
-            enable_overlap = False  # matcher must see token t before t+1
+        if guided_decoder is not None and guided_decoder.device is None \
+                and enable_overlap:
+            # host-matcher fallback: the matcher must see token t before
+            # masking t+1. Device-resident guided decoding (the default;
+            # guided/device_guided.py) has no such sync — it rides the
+            # overlap loop and the multi-step window.
+            enable_overlap = False
         if drafter is not None and enable_overlap:
             # draft proposal needs the host-visible token history; the
             # overlap loop runs one iteration ahead of it (reference
@@ -635,8 +640,7 @@ class PyExecutor:
                         req.request_id, req.num_total_tokens)
             self.kv.free_resources(req, store_for_reuse=True)
             if req.seq_slot is not None:
-                self._free_slots.append(req.seq_slot)
-                req.seq_slot = None
+                self._release_slot(req)
             req.pause_for_recompute()
             if req in batch.generation_requests:
                 batch.generation_requests.remove(req)
@@ -665,6 +669,24 @@ class PyExecutor:
                     req.seq_slot = None
                     deferred.append(req)
                     continue
+                if self.guided_decoder is not None and \
+                        req.sampling_params.guided_decoding is not None:
+                    try:
+                        self.guided_decoder.on_slot_assigned(
+                            req, self.engine)
+                    except Exception as e:
+                        from ..guided.device_guided import NoPoolSpaceError
+                        self.kv.free_resources(req, store_for_reuse=False)
+                        self._free_slots.append(req.seq_slot)
+                        req.seq_slot = None
+                        deferred.append(req)
+                        if not isinstance(e, NoPoolSpaceError):
+                            # grammar can never fit: fail the request
+                            req.state = LlmRequestState.GENERATION_COMPLETE
+                            res = self._results.get(req.request_id)
+                            if res is not None:
+                                res._on_error(e)
+                        continue
                 new_slots.append(req.seq_slot)
                 if getattr(req, "cross_states", None) is not None:
                     # cross-attention VLMs (mllama): upload the request's
@@ -726,7 +748,10 @@ class PyExecutor:
         return self._multi_rows_ok(batch.generation_requests)
 
     def _multi_rows_ok(self, gen_requests) -> bool:
-        if self.drafter is not None or self.guided_decoder is not None:
+        if self.drafter is not None:
+            return False
+        if self.guided_decoder is not None and \
+                self.guided_decoder.device is None:
             return False
         if self.engine.max_draft_len:
             return False
@@ -735,6 +760,9 @@ class PyExecutor:
             if (sp.use_beam_search or sp.logprobs or sp.bad_token_ids
                     or r.lora_task_id is not None or r.draft_tokens
                     or len(sp.stop_id_list()) > self.engine.NSTOP):
+                return False
+            if sp.guided_decoding is not None and \
+                    not getattr(r, "guided_device", False):
                 return False
         return True
 
@@ -1018,6 +1046,12 @@ class PyExecutor:
         self._reap_finished()
         self._update_beam_groups()
 
+    def _release_slot(self, req: LlmRequest) -> None:
+        if self.guided_decoder is not None:
+            self.guided_decoder.on_slot_released(req, self.engine)
+        self._free_slots.append(req.seq_slot)
+        req.seq_slot = None
+
     def _reap_finished(self):
         """Complete requests finished out-of-band (cancellation)."""
         for req in [r for r in self._active if r.is_finished]:
@@ -1026,8 +1060,7 @@ class PyExecutor:
             for req in self.kv_connector.poll_finished_saves():
                 self.kv.free_resources(req)
                 if req.seq_slot is not None:
-                    self._free_slots.append(req.seq_slot)
-                    req.seq_slot = None
+                    self._release_slot(req)
                 if req in self._save_parked:
                     self._save_parked.remove(req)
 
@@ -1150,8 +1183,7 @@ class PyExecutor:
             return
         self.kv.free_resources(req)
         if req.seq_slot is not None:
-            self._free_slots.append(req.seq_slot)
-            req.seq_slot = None
+            self._release_slot(req)
         if req in self._active:
             self._active.remove(req)
         with self._lock:

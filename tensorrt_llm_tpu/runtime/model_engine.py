@@ -131,6 +131,51 @@ class ModelEngine:
         # multi-adapter LoRA (reference: PeftCacheManager + loraOp)
         self.lora_manager = None
         self.lora_params = None
+        # device-resident guided decoding (guided/device_guided.py)
+        self.g_enabled = False
+        self._g_upload_fn = None
+        self._g_set_fn = None
+
+    # ------------------------------------------------------------------ #
+    # Device-resident guided decoding state (pool arrays are jit operands;
+    # allocation policy lives in guided/device_guided.py)
+    # ------------------------------------------------------------------ #
+    def enable_guided(self, token_bytes: np.ndarray, token_lens: np.ndarray,
+                      eos_id: int, pool_states: int = 8192) -> None:
+        V = self.model.vocab_size
+        Vb = -(-V // 8)
+        self.g_eos_id = int(eos_id)
+        self.g_token_bytes = jnp.asarray(token_bytes.astype(np.uint8))
+        self.g_token_lens = jnp.asarray(token_lens.astype(np.int32))
+        self.g_byte_table = jnp.full((pool_states, 256), -1, jnp.int16)
+        self.g_mask_bits = jnp.zeros((pool_states, Vb), jnp.uint8)
+        self.g_eos_ok = jnp.zeros((pool_states,), bool)
+        self.g_state = jnp.full((self.max_batch_size,), -1, jnp.int32)
+        self.g_enabled = True
+
+    def guided_upload(self, base: int, byte_table: np.ndarray,
+                      mask_bits: np.ndarray, eos_ok: np.ndarray) -> None:
+        """Land one grammar segment in the pool (rows [base, base+n);
+        n is BLOCK-quantized by the manager so jit variants stay few)."""
+        if self._g_upload_fn is None:
+            def up(bt_pool, mb_pool, eos_pool, bt, mb, eos, base):
+                return (jax.lax.dynamic_update_slice(bt_pool, bt, (base, 0)),
+                        jax.lax.dynamic_update_slice(mb_pool, mb, (base, 0)),
+                        jax.lax.dynamic_update_slice(eos_pool, eos, (base,)))
+            self._g_upload_fn = jax.jit(up, donate_argnums=(0, 1, 2))
+        self.g_byte_table, self.g_mask_bits, self.g_eos_ok = \
+            self._g_upload_fn(self.g_byte_table, self.g_mask_bits,
+                              self.g_eos_ok, jnp.asarray(byte_table),
+                              jnp.asarray(mask_bits), jnp.asarray(eos_ok),
+                              base)
+
+    def guided_set_state(self, slot: int, state: int) -> None:
+        """state = pool-global grammar state; -1 clears the slot."""
+        if self._g_set_fn is None:
+            def st(gs, slot, val):
+                return gs.at[slot].set(val)
+            self._g_set_fn = jax.jit(st, donate_argnums=(0,))
+        self.g_state = self._g_set_fn(self.g_state, slot, state)
 
     # ------------------------------------------------------------------ #
     # Sizing
@@ -220,7 +265,8 @@ class ModelEngine:
     def _build_step(self, use_penalties: bool, use_mask: bool = False,
                     all_greedy: bool = False, num_logprobs: int = 0,
                     use_embeds: bool = False, use_lora: bool = False,
-                    use_hidden: bool = False, use_tree: bool = False):
+                    use_hidden: bool = False, use_tree: bool = False,
+                    use_guided: bool = False):
         model = self.model
         G = self.max_draft_len + 1  # logits gathered per sequence
         S = self.max_batch_size
@@ -228,7 +274,8 @@ class ModelEngine:
 
         def step(params, kv_pages, prev_tokens, token_counts,
                  ints_t, ints_s, page_indices, floats, logits_mask,
-                 input_embeds, lora_params):
+                 input_embeds, lora_params, g_state, g_byte, g_mask,
+                 g_eos_ok, g_tok_bytes, g_tok_lens):
             # Per-step host metadata arrives packed in four arrays (the
             # tunnel/PCIe round-trip per transfer is the decode-latency
             # floor, so transfers are minimized):
@@ -310,6 +357,23 @@ class ModelEngine:
                     mask = jnp.repeat(mask, G, axis=0)
                 logits = jnp.where(mask, logits,
                                    jnp.finfo(jnp.float32).min)
+            g_act = g_cur = None
+            if use_guided:
+                # device-resident grammar mask (guided/device_guided.py):
+                # per-row state → packed per-state token bitmask. Rows
+                # whose slot carries no grammar (state -1), padding and
+                # mid-chunk rows (out_slots -1) pass through unmasked.
+                g_cur = g_state[jnp.clip(out_slots, 0)]
+                g_act = (out_slots >= 0) & (g_cur >= 0)
+                gsc = jnp.clip(g_cur, 0)
+                mb = g_mask[gsc]                            # [S, Vb] u8
+                bits = (mb[:, :, None] >>
+                        jnp.arange(8, dtype=jnp.uint8)) & 1
+                allowed = bits.reshape(S, -1)[:, :logits.shape[-1]]
+                allowed = allowed.astype(bool).at[:, self.g_eos_id].set(
+                    g_eos_ok[gsc])
+                neg = jnp.asarray(jnp.finfo(jnp.float32).min, logits.dtype)
+                logits = jnp.where(g_act[:, None] & ~allowed, neg, logits)
             # token_counts is SLOT-indexed [num_slots, V]; logits rows are
             # batch-ordered — gather each row's count history by its slot
             # (rows with out_slots == -1 are padding/mid-chunk: row 0's
@@ -368,6 +432,23 @@ class ModelEngine:
             nslots = prev_tokens.shape[0]
             slot_idx = jnp.where(out_slots >= 0, out_slots, nslots)
             prev_tokens = prev_tokens.at[slot_idx].set(first, mode="drop")
+            if use_guided:
+                # advance the grammar: walk the sampled token's bytes
+                # through the pooled byte DFA (the token-level transition
+                # matrix never materializes on device)
+                fb = g_tok_bytes[first].astype(jnp.int32)   # [S, L]
+                flen = g_tok_lens[first]                    # [S]
+
+                def walk(j, st):
+                    nxt = g_byte[jnp.clip(st, 0), fb[:, j]].astype(
+                        jnp.int32)
+                    return jnp.where((j < flen) & (st >= 0), nxt, st)
+                ns = jax.lax.fori_loop(0, fb.shape[1], walk,
+                                       g_cur.astype(jnp.int32))
+                ns = jnp.where(first == self.g_eos_id, g_cur, ns)
+                g_state = g_state.at[
+                    jnp.where(g_act, out_slots, S)].set(
+                        jnp.where(g_act, ns, g_cur), mode="drop")
             if use_penalties:
                 token_counts = token_counts.at[slot_idx, first].add(
                     1, mode="drop")
@@ -377,9 +458,9 @@ class ModelEngine:
             else:
                 tl_vals = tl_ids = jnp.zeros((0,), jnp.int32)
             return (new_tokens, logprobs, tl_vals, tl_ids, prev_tokens,
-                    token_counts, kv_pages, hidden)
+                    token_counts, kv_pages, hidden, g_state)
 
-        donate = (1, 2, 3)  # kv_pages, prev_tokens, token_counts
+        donate = (1, 2, 3, 11)  # kv_pages, prev_tokens, token_counts, g_state
         return jax.jit(step, donate_argnums=donate)
 
     # ------------------------------------------------------------------ #
@@ -395,7 +476,7 @@ class ModelEngine:
     NSTOP = 8  # stop-token ids checked in-graph per row
 
     def _build_multi_step(self, K: int, Sb: int, use_penalties: bool,
-                          all_greedy: bool):
+                          all_greedy: bool, use_guided: bool = False):
         model = self.model
         ps, P = self.page_size, self.pages_per_seq
         num_slots_oob = self.num_kv_pages * self.page_size
@@ -403,7 +484,9 @@ class ModelEngine:
         NSTOP = self.NSTOP
 
         def multi_step(params, kv_pages, prev_tokens, token_counts,
-                       ints, stop_ids, page_indices, floats, counter):
+                       ints, stop_ids, page_indices, floats, counter,
+                       g_state, g_byte, g_mask, g_eos_ok, g_tok_bytes,
+                       g_tok_lens):
             # ints i32[10, Sb]: token_ids, prev_slot, start_pos, out_slots,
             #   top_k, greedy, max_new, stop_gate, row_seeds, (spare)
             (token_ids, prev_slot, start_pos, out_slots, top_k, greedy_i,
@@ -424,10 +507,14 @@ class ModelEngine:
             first = jnp.where(from_prev,
                               prev_tokens[jnp.clip(prev_slot, 0)], token_ids)
             active0 = valid & (max_new > 0)
+            # per-row grammar state rides the scan carry; scattered back
+            # to the slot-indexed array once at window end
+            gst0 = g_state[jnp.clip(out_slots, 0)] if use_guided else \
+                jnp.zeros((Sb,), jnp.int32)
 
             def live(carry):
                 (kv_pages, prev_tokens, token_counts, cur, pos, active,
-                 emitted, key) = carry
+                 emitted, key, gst) = carry
                 kv_len = jnp.where(valid, pos + 1, 1)
                 page_row = page_indices[iota, jnp.clip(pos // ps, 0, P - 1)]
                 slot_map = jnp.where(active, page_row * ps + pos % ps,
@@ -440,6 +527,20 @@ class ModelEngine:
                 logits, kv_pages = model.forward(params, cur, kv_pages,
                                                  metadata)
                 key = jax.random.fold_in(key, 1)
+                g_act = None
+                if use_guided:
+                    g_act = valid & (gst >= 0)
+                    gsc = jnp.clip(gst, 0)
+                    mb = g_mask[gsc]
+                    bits = (mb[:, :, None] >>
+                            jnp.arange(8, dtype=jnp.uint8)) & 1
+                    allowed = bits.reshape(Sb, -1)[:, :logits.shape[-1]]
+                    allowed = allowed.astype(bool).at[
+                        :, self.g_eos_id].set(g_eos_ok[gsc])
+                    neg = jnp.asarray(jnp.finfo(jnp.float32).min,
+                                      logits.dtype)
+                    logits = jnp.where(g_act[:, None] & ~allowed, neg,
+                                       logits)
                 if use_penalties:
                     counts_rows = token_counts[jnp.clip(out_slots, 0)]
                 else:
@@ -468,9 +569,21 @@ class ModelEngine:
                 if use_penalties:
                     token_counts = token_counts.at[slot_idx, tok].add(
                         1, mode="drop")
+                if use_guided:
+                    fb = g_tok_bytes[tok].astype(jnp.int32)    # [Sb, L]
+                    flen = g_tok_lens[tok]
+
+                    def walk(j, st):
+                        nxt = g_byte[jnp.clip(st, 0),
+                                     fb[:, j]].astype(jnp.int32)
+                        return jnp.where((j < flen) & (st >= 0), nxt, st)
+                    ns = jax.lax.fori_loop(0, fb.shape[1], walk,
+                                           gst.astype(jnp.int32))
+                    ns = jnp.where(tok == self.g_eos_id, gst, ns)
+                    gst = jnp.where(emit & g_act, ns, gst)
                 pos = pos + emit.astype(jnp.int32)
                 return ((kv_pages, prev_tokens, token_counts, tok, pos,
-                         nxt_active, new_emitted, key), (tok, lp))
+                         nxt_active, new_emitted, key, gst), (tok, lp))
 
             def dead(carry):
                 return carry, (jnp.zeros((Sb,), jnp.int32),
@@ -481,20 +594,25 @@ class ModelEngine:
                 return jax.lax.cond(jnp.any(carry[5]), live, dead, carry)
 
             carry0 = (kv_pages, prev_tokens, token_counts, first, start_pos,
-                      active0, jnp.zeros((Sb,), jnp.int32), key0)
+                      active0, jnp.zeros((Sb,), jnp.int32), key0, gst0)
             carry, (toks, lps) = jax.lax.scan(body, carry0, None, length=K)
             (kv_pages, prev_tokens, token_counts, _, _, _, emitted,
-             _) = carry
-            return (toks, lps, emitted, prev_tokens, token_counts, kv_pages)
+             _, gst) = carry
+            if use_guided:
+                g_state = g_state.at[
+                    jnp.where(valid & (gst0 >= 0), out_slots,
+                              prev_tokens.shape[0])].set(gst, mode="drop")
+            return (toks, lps, emitted, prev_tokens, token_counts, kv_pages,
+                    g_state)
 
-        return jax.jit(multi_step, donate_argnums=(1, 2, 3))
+        return jax.jit(multi_step, donate_argnums=(1, 2, 3, 9))
 
     def _get_multi_step_fn(self, K: int, Sb: int, use_penalties: bool,
-                           all_greedy: bool):
-        key = ("multi", K, Sb, use_penalties, all_greedy)
+                           all_greedy: bool, use_guided: bool = False):
+        key = ("multi", K, Sb, use_penalties, all_greedy, use_guided)
         if key not in self._step_fns:
             self._step_fns[key] = self._build_multi_step(
-                K, Sb, use_penalties, all_greedy)
+                K, Sb, use_penalties, all_greedy, use_guided)
         return self._step_fns[key]
 
     def _pick_row_bucket(self, n: int) -> int:
@@ -562,28 +680,45 @@ class ModelEngine:
         if use_penalties and counts is None:
             counts = jnp.zeros((self.max_batch_size, self.model.vocab_size),
                                jnp.int32)
-        fn = self._get_multi_step_fn(K, Sb, use_penalties, all_greedy)
+        use_guided = self.g_enabled and any(
+            r.sampling_params.guided_decoding is not None for r in reqs)
+        fn = self._get_multi_step_fn(K, Sb, use_penalties, all_greedy,
+                                     use_guided)
         out = fn(self.params, self.kv_pages, self.prev_tokens,
                  counts if use_penalties else jnp.zeros((1, 1), jnp.int32),
                  jnp.asarray(ints), jnp.asarray(stop_ids),
                  jnp.asarray(page_indices), jnp.asarray(floats),
-                 self.iter_counter)
+                 self.iter_counter, *self._guided_args(use_guided))
         (tokens, logprobs, emitted, self.prev_tokens, new_counts,
-         self.kv_pages) = out
+         self.kv_pages, g_state) = out
+        if use_guided:
+            self.g_state = g_state
         if use_penalties:
             self.token_counts = new_counts
         return tokens, logprobs, emitted
 
+    def _guided_args(self, use_guided: bool):
+        """The six device-guided jit operands (dummies when unused so the
+        arity is stable; the step fns never touch the dummies)."""
+        if use_guided:
+            return (self.g_state, self.g_byte_table, self.g_mask_bits,
+                    self.g_eos_ok, self.g_token_bytes, self.g_token_lens)
+        z1 = jnp.zeros((1,), jnp.int32)
+        return (z1, jnp.zeros((1, 1), jnp.int16),
+                jnp.zeros((1, 1), jnp.uint8), jnp.zeros((1,), bool),
+                jnp.zeros((1, 1), jnp.uint8), z1)
+
     def _get_step_fn(self, use_penalties: bool, use_mask: bool = False,
                      all_greedy: bool = False, num_logprobs: int = 0,
                      use_embeds: bool = False, use_lora: bool = False,
-                     use_hidden: bool = False, use_tree: bool = False):
+                     use_hidden: bool = False, use_tree: bool = False,
+                     use_guided: bool = False):
         key = (use_penalties, use_mask, all_greedy, num_logprobs,
-               use_embeds, use_lora, use_hidden, use_tree)
+               use_embeds, use_lora, use_hidden, use_tree, use_guided)
         if key not in self._step_fns:
             self._step_fns[key] = self._build_step(
                 use_penalties, use_mask, all_greedy, num_logprobs,
-                use_embeds, use_lora, use_hidden, use_tree)
+                use_embeds, use_lora, use_hidden, use_tree, use_guided)
         return self._step_fns[key]
 
     def calibrate_kv_scales(self, token_ids: np.ndarray) -> Optional[np.ndarray]:
@@ -937,8 +1072,9 @@ class ModelEngine:
                           jnp.asarray(ints_t), jnp.asarray(ints_s),
                           jnp.asarray(page_indices), jnp.asarray(floats),
                           jnp.zeros((1, 1), bool),
-                          jnp.zeros((1, 1), jnp.float32), 0)
-            _, _, _, _, self.prev_tokens, _, self.kv_pages, _ = out
+                          jnp.zeros((1, 1), jnp.float32), 0,
+                          *self._guided_args(False))
+            _, _, _, _, self.prev_tokens, _, self.kv_pages, _, _ = out
             last = out[0]
             logger.info("warmed bucket T=%d", T)
         if last is not None:
@@ -957,8 +1093,9 @@ class ModelEngine:
                          jnp.zeros((1, 1), jnp.int32), jnp.asarray(ints),
                          jnp.full((Sb, self.NSTOP), -1, jnp.int32),
                          jnp.zeros((Sb, self.pages_per_seq), jnp.int32),
-                         jnp.ones((6, Sb), jnp.float32), 0)
-                (_, _, _, self.prev_tokens, _, self.kv_pages) = out
+                         jnp.ones((6, Sb), jnp.float32), 0,
+                         *self._guided_args(False))
+                (_, _, _, self.prev_tokens, _, self.kv_pages, _) = out
                 logger.info("warmed multi-step window K=%d rows=%d", K, Sb)
             jax.block_until_ready(self.kv_pages)
         # reset device-side token state touched by the fake steps
@@ -1167,9 +1304,14 @@ class ModelEngine:
         use_lora = (self.lora_manager is not None
                     and self.lora_params is not None
                     and any(r.lora_task_id is not None for r in reqs))
+        # device-guided masking handles only the G==1 layout (guided +
+        # drafts stays on the host-sync path, as in the reference)
+        use_guided = self.g_enabled and G == 1 and any(
+            r.sampling_params.guided_decoding is not None
+            and getattr(r, "guided_device", False) for r in reqs)
         step_fn = self._get_step_fn(use_penalties, use_mask, all_greedy,
                                     num_logprobs, use_embeds, use_lora,
-                                    collect_hidden, use_tree)
+                                    collect_hidden, use_tree, use_guided)
         mask_arr = jnp.asarray(logits_mask) if use_mask else \
             jnp.zeros((1, 1), bool)
         embeds_arr = jnp.asarray(embeds) if use_embeds else \
@@ -1182,9 +1324,12 @@ class ModelEngine:
                                             inp.page_indices_sw])
                                   if self._vswa else inp.page_indices),
                       jnp.asarray(floats),
-                      mask_arr, embeds_arr, lora_arg)
+                      mask_arr, embeds_arr, lora_arg,
+                      *self._guided_args(use_guided))
         (tokens, logprobs, tl_vals, tl_ids, self.prev_tokens, new_counts,
-         self.kv_pages, hidden) = out
+         self.kv_pages, hidden, g_state) = out
+        if use_guided:
+            self.g_state = g_state
         if use_penalties:
             self.token_counts = new_counts
         top_lp = (tl_vals, tl_ids) if num_logprobs else None
