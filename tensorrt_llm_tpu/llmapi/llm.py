@@ -326,12 +326,20 @@ class LLM:
                 else:
                     from ..speculative.mtp import MtpDrafter
                     cls = MtpDrafter
+                # device windows fuse propose/verify/accept in-graph
+                # (runtime/spec_window.py); the drafter then only
+                # supplies the head fn + params, so its own host-path
+                # KV pool shrinks to one slot
+                spec_device = sc.device_window and \
+                    self.mapping.world_size == 1
                 drafter = cls(
                     self.model, self._params,
                     max_draft_len=max_draft_len,
-                    max_slots=min(32, args.max_batch_size),
+                    max_slots=1 if spec_device
+                    else min(32, args.max_batch_size),
                     max_seq_len=args.max_seq_len,
                     head_state_dict=head_sd)
+                drafter.device_window = spec_device
             else:
                 raise NotImplementedError(
                     f"speculative mode {sc.mode} not yet supported")
@@ -344,11 +352,19 @@ class LLM:
             if args.decode_multi_step > 1:
                 args.decode_multi_step = 1   # single-step until the
                 # multi-step window learns dual pools
+        spec_device = getattr(drafter, "device_window", False)
         self.engine = ModelEngine(
             self.model, self._params, args,
             mapping=self.mapping, mesh=self.mesh,
-            max_draft_len=max_draft_len)
+            # device-window speculation verifies inside the fused window;
+            # the plain step stays single-logit (G=1)
+            max_draft_len=0 if spec_device else max_draft_len)
         del self._params
+        if spec_device:
+            from ..runtime.spec_window import enable_spec_device
+            K = sc.device_window_iters or max(
+                1, args.decode_multi_step // (max_draft_len + 1))
+            enable_spec_device(self.engine, drafter, max_draft_len, K)
         # a single sequence can never exceed the KV pool: clamp the
         # engine-wide max_seq_len to pool capacity so no request is
         # admitted that could pause/recompute forever without ever

@@ -130,6 +130,13 @@ class SpeculativeConfig(StrictBaseModel):
     # ngram
     ngram_max_matching_ngram_size: int = 4
     ngram_prompt_lookup_num_tokens: int = 4
+    # EAGLE3/MTP: run propose->verify->accept fused on device
+    # (runtime/spec_window.py) so speculation rides the overlap
+    # scheduler; False = host-orchestrated drafting (sync scheduler)
+    device_window: bool = True
+    # spec iterations per fused dispatch (0 = derive from
+    # decode_multi_step)
+    device_window_iters: int = 0
 
 
 class CacheTransceiverConfig(StrictBaseModel):

@@ -168,10 +168,11 @@ class _InflightBatch:
     tokens: Any                 # device array future [S] or [K, S] (multi)
     logprobs: Any
     top_logprobs: Any = None    # optional (vals [S,K], ids [S,K])
-    kind: str = "single"        # "single" | "multi"
-    emitted: Any = None         # multi: device i32[S] valid-token counts
-    planned: Optional[List[int]] = None  # multi: per-row token budget
+    kind: str = "single"        # "single" | "multi" | "spec"
+    emitted: Any = None         # multi/spec: device i32[S] token totals
+    planned: Optional[List[int]] = None  # multi/spec: per-row budget
     hidden: Any = None          # EAGLE features [S*G, H] (device future)
+    counts: Any = None          # spec: device i32[K, S] per-iter emits
 
 
 @dataclasses.dataclass
@@ -238,10 +239,13 @@ class PyExecutor:
             # guided/device_guided.py) has no such sync — it rides the
             # overlap loop and the multi-step window.
             enable_overlap = False
-        if drafter is not None and enable_overlap:
-            # draft proposal needs the host-visible token history; the
-            # overlap loop runs one iteration ahead of it (reference
-            # couples spec decode with disable_overlap_scheduler too)
+        if drafter is not None and engine.sd is None and enable_overlap:
+            # host-orchestrated drafting needs the host-visible token
+            # history one iteration ahead — sync scheduler. Device
+            # windows (runtime/spec_window.py) have no such coupling:
+            # proposal, verification and acceptance all run in-graph,
+            # so EAGLE3/MTP ride the overlap loop (reference runs its
+            # drafter inside the overlap loop too, py_executor.py:2671).
             enable_overlap = False
         self.enable_overlap = enable_overlap
         self.stream_interval = stream_interval
@@ -380,10 +384,18 @@ class PyExecutor:
                         self._broadcast_schedule(batch, paused)
                     if paused:
                         self._pause_requests(paused, batch)
-                multi = not batch.is_empty and \
-                    self._multi_step_ok(batch)
-                # mixed ctx+gen batch whose gen rows qualify for the
-                # K-step window: split into two dispatches — a prefill
+                # window kind for pure-decode batches: "spec" = fused
+                # speculative window (runtime/spec_window.py), "multi" =
+                # K-step decode window, None = plain single step
+                wkind = None
+                if not batch.is_empty and not batch.context_requests:
+                    if self._spec_window_ok(batch.generation_requests):
+                        wkind = "spec"
+                    elif self._multi_step_ok(batch):
+                        wkind = "multi"
+                multi = wkind is not None
+                # mixed ctx+gen batch whose gen rows qualify for a
+                # window: split into two dispatches — a prefill
                 # step and a decode window — so continuous re-admission
                 # of new prompts doesn't demote every decode row to
                 # one-token steps (the reference fuses ctx+gen into one
@@ -391,24 +403,35 @@ class PyExecutor:
                 # back-to-back serve the same purpose without giving up
                 # the device-resident decode loop)
                 gen_window = None
-                if (not multi and self.multi_step > 1
-                        and batch.context_requests
-                        and batch.generation_requests
-                        and self._multi_rows_ok(batch.generation_requests)):
-                    gen_window = ScheduledRequests(
-                        generation_requests=batch.generation_requests)
-                    batch = ScheduledRequests(
-                        context_requests=batch.context_requests)
+                gwkind = None
+                if (not multi and batch.context_requests
+                        and batch.generation_requests):
+                    if self._spec_window_ok(batch.generation_requests):
+                        gwkind = "spec"
+                    elif self.multi_step > 1 and \
+                            self._multi_rows_ok(batch.generation_requests):
+                        gwkind = "multi"
+                    if gwkind is not None:
+                        gen_window = ScheduledRequests(
+                            generation_requests=batch.generation_requests)
+                        batch = ScheduledRequests(
+                            context_requests=batch.context_requests)
                 if not batch.is_empty or gen_window is not None:
                     if self.drafter is not None and not multi \
+                            and self.engine.sd is None \
                             and self.role != "follower":
                         self._prepare_drafts(batch)
-                    if multi:
+                    if wkind == "spec":
+                        self._prepare_resources_spec(batch)
+                    elif multi:
                         self._prepare_resources_multi(batch)
                     else:
                         self._prepare_resources(batch)
                     if gen_window is not None:
-                        self._prepare_resources_multi(gen_window)
+                        if gwkind == "spec":
+                            self._prepare_resources_spec(gen_window)
+                        else:
+                            self._prepare_resources_multi(gen_window)
                     if self.kv_connector is not None:
                         # ship connector metadata + land external KV in
                         # the freshly allocated pages before forward
@@ -421,21 +444,37 @@ class PyExecutor:
                 if multi or (gen_window is not None
                              and gen_window.generation_requests):
                     wb = batch if multi else gen_window
-                    use_pen = any(r.sampling_params.needs_penalties
-                                  for r in wb.all_requests)
-                    tokens, logprobs, emitted = \
-                        self.engine.forward_multi_step(
-                            wb, self.multi_step, use_penalties=use_pen)
-                    try:
-                        tokens.copy_to_host_async()
-                        logprobs.copy_to_host_async()
-                        emitted.copy_to_host_async()
-                    except Exception:
-                        pass
-                    entries, planned = self._advance_multi(wb)
-                    self._inflight.append(_InflightBatch(
-                        entries, tokens, logprobs, kind="multi",
-                        emitted=emitted, planned=planned))
+                    kind = wkind if multi else gwkind
+                    if kind == "spec":
+                        tokens, logprobs, counts, emitted = \
+                            self.engine.forward_spec_window(wb)
+                        try:
+                            tokens.copy_to_host_async()
+                            logprobs.copy_to_host_async()
+                            counts.copy_to_host_async()
+                        except Exception:
+                            pass
+                        entries, planned = self._advance_spec(wb)
+                        self._inflight.append(_InflightBatch(
+                            entries, tokens, logprobs, kind="spec",
+                            emitted=emitted, planned=planned,
+                            counts=counts))
+                    else:
+                        use_pen = any(r.sampling_params.needs_penalties
+                                      for r in wb.all_requests)
+                        tokens, logprobs, emitted = \
+                            self.engine.forward_multi_step(
+                                wb, self.multi_step, use_penalties=use_pen)
+                        try:
+                            tokens.copy_to_host_async()
+                            logprobs.copy_to_host_async()
+                            emitted.copy_to_host_async()
+                        except Exception:
+                            pass
+                        entries, planned = self._advance_multi(wb)
+                        self._inflight.append(_InflightBatch(
+                            entries, tokens, logprobs, kind="multi",
+                            emitted=emitted, planned=planned))
                 if not multi and not batch.is_empty:
                     use_pen = any(r.sampling_params.needs_penalties
                                   for r in batch.all_requests)
@@ -443,9 +482,32 @@ class PyExecutor:
                     if self.guided_decoder is not None:
                         mask = self.guided_decoder.build_mask(batch)
                     mask = self._apply_bad_words(batch, mask)
+                    use_sd = self.engine.sd is not None
                     wants_hidden = getattr(self.drafter,
-                                           "wants_hidden_states", False)
-                    if wants_hidden:
+                                           "wants_hidden_states", False) \
+                        and not use_sd
+                    # device-window speculation: sampled rows seed the
+                    # draft head's pending (token, feature) pair without
+                    # leaving the device (spec_window.spec_seed)
+                    seed_rows, seed_slots = [], []
+                    seed_pos, seed_emit = [], []
+                    if use_sd:
+                        # only context rows seed: generation rows on the
+                        # single-step path were disqualified from spec
+                        # windows for reasons that never change
+                        # (sampling mode, logprobs, ...), so reseeding
+                        # them is pointless
+                        for i, r in enumerate(batch.context_requests):
+                            if not r.is_last_context_chunk or \
+                                    r.seq_slot is None:
+                                continue
+                            seed_rows.append(i)
+                            seed_slots.append(r.seq_slot)
+                            seed_pos.append(r.context_len)
+                            seed_emit.append(
+                                r.context_len - r.prompt_len + 1)
+                            r.spec_seeded = True
+                    if wants_hidden or seed_rows:
                         tokens, logprobs, top_lp, hidden = \
                             self.engine.forward_step(
                                 batch, use_penalties=use_pen,
@@ -454,6 +516,11 @@ class PyExecutor:
                         hidden = None
                         tokens, logprobs, top_lp = self.engine.forward_step(
                             batch, use_penalties=use_pen, logits_mask=mask)
+                    if seed_rows:
+                        self.engine.spec_seed(tokens, hidden, seed_rows,
+                                              seed_slots, seed_pos,
+                                              seed_emit)
+                        hidden = None  # device-consumed; host never reads
                     try:  # start the D2H copy as soon as the step finishes
                         tokens.copy_to_host_async()
                         logprobs.copy_to_host_async()
@@ -853,6 +920,115 @@ class PyExecutor:
             self._finish_request(req)
         self._reap_finished()
 
+    # ------------------------------------------------------------------ #
+    # Fused speculative window (runtime/spec_window.py)
+    # ------------------------------------------------------------------ #
+    def _spec_window_ok(self, gen_requests) -> bool:
+        """Rows may take the fused propose/verify/accept window when all
+        are greedy, seeded (prefill sampled through this engine), and
+        free of per-token host interventions. Anything else decodes
+        plainly (no speculation) — correct, just unaccelerated."""
+        sd = self.engine.sd
+        if sd is None or not gen_requests:
+            return False
+        for r in gen_requests:
+            sp = r.sampling_params
+            if (not sp.greedy or sp.use_beam_search or sp.logprobs
+                    or sp.bad_token_ids or sp.needs_penalties
+                    or r.lora_task_id is not None
+                    or sp.guided_decoding is not None
+                    or len(sp.stop_id_list()) > self.engine.NSTOP
+                    or not getattr(r, "spec_seeded", False)):
+                return False
+            outs = r.num_device_tokens - r.prompt_len
+            room = self.engine.max_seq_len - r.num_device_tokens - sd.d
+            if min(sp.max_tokens - outs, room) < 1:
+                return False
+        return True
+
+    def _prepare_resources_spec(self, batch: ScheduledRequests):
+        """KV pre-allocation for the fused window: the emission budget
+        plus d slots of draft overshoot (the verify pass writes d+1
+        positions per iteration; rejected-draft KV is overwritten by the
+        next iteration's writes, never rewound)."""
+        sd = self.engine.sd
+        W = sd.K * (sd.d + 1)
+        starved = []
+        for req in batch.generation_requests:
+            sp = req.sampling_params
+            ndt = req.num_device_tokens
+            outs = ndt - req.prompt_len
+            budget = max(1, min(W, sp.max_tokens - outs,
+                                self.engine.max_seq_len - ndt - sd.d))
+            try:
+                self.kv.add_tokens(req, budget + sd.d)
+                req.spec_budget = budget
+            except NoFreeBlocksError:
+                try:
+                    self.kv.add_tokens(req, 1 + sd.d)
+                    req.spec_budget = 1
+                except NoFreeBlocksError:
+                    starved.append(req)
+        for req in starved:
+            batch.generation_requests.remove(req)
+
+    def _advance_spec(self, batch: ScheduledRequests):
+        entries, planned = [], []
+        for req in batch.generation_requests:
+            req.num_device_tokens += req.spec_budget
+            req.host_token_override = None
+            entries.append(_BatchEntry(req, samples_output=True))
+            planned.append(req.spec_budget)
+        return entries, planned
+
+    def _process_spec(self, ib: _InflightBatch) -> None:
+        import jax
+        tokens, logprobs, counts = jax.device_get(
+            (ib.tokens, ib.logprobs, ib.counts))  # [K, Sb, d+1], [K, Sb]
+        K = tokens.shape[0]
+        finished: List[LlmRequest] = []
+        for i, entry in enumerate(ib.entries):
+            req = entry.request
+            if req.is_finished:
+                continue
+            plan = ib.planned[i]
+            accepted = 0
+            done = False
+            check_stop = bool(req.sampling_params.stop) and \
+                self.tokenizer is not None
+            for k in range(K):
+                ck = int(counts[k, i])
+                if ck > 0 and self.drafter is not None:
+                    # acceptance stats: ck-1 drafts accepted + 1 bonus
+                    self.drafter.update(req, [0] * (ck - 1))
+                for j in range(ck):
+                    done = req.add_output_token(
+                        int(tokens[k, i, j]), float(logprobs[k, i, j]))
+                    accepted += 1
+                    if not done and check_stop:
+                        done = self._check_stop_strings(req)
+                    if done:
+                        break
+                if done:
+                    break
+            if accepted < plan:
+                # normal for speculation: the plan is an emission CAP —
+                # rejected drafts emit nothing. Roll host bookkeeping
+                # back to what the device actually produced.
+                req.num_device_tokens -= plan - accepted
+            res = self._results.get(req.request_id)
+            if res is not None and not done and req.streaming and \
+                    req.num_output_tokens - req.num_tokens_streamed >= \
+                    self.stream_interval:
+                new = req.output_token_ids[req.num_tokens_streamed:]
+                req.num_tokens_streamed = req.num_output_tokens
+                res._on_tokens(new)
+            if done:
+                finished.append(req)
+        for req in finished:
+            self._finish_request(req)
+        self._reap_finished()
+
     def _advance_device_state(self, batch: ScheduledRequests
                               ) -> List[_BatchEntry]:
         entries = []
@@ -918,6 +1094,9 @@ class PyExecutor:
         batch = self._inflight.popleft()
         if batch.kind == "multi":
             self._process_multi(batch)
+            return
+        if batch.kind == "spec":
+            self._process_spec(batch)
             return
         import jax
         tokens, logprobs = jax.device_get(

@@ -135,6 +135,8 @@ class ModelEngine:
         self.g_enabled = False
         self._g_upload_fn = None
         self._g_set_fn = None
+        # device-resident speculative windows (runtime/spec_window.py)
+        self.sd = None
 
     # ------------------------------------------------------------------ #
     # Device-resident guided decoding state (pool arrays are jit operands;
@@ -696,6 +698,16 @@ class ModelEngine:
         if use_penalties:
             self.token_counts = new_counts
         return tokens, logprobs, emitted
+
+    def forward_spec_window(self, batch: ScheduledRequests):
+        """Fused speculative decode window (runtime/spec_window.py)."""
+        from .spec_window import forward_spec_window
+        return forward_spec_window(self, batch)
+
+    def spec_seed(self, tokens, hidden, rows, slots, positions,
+                  emitted) -> None:
+        from .spec_window import spec_seed
+        spec_seed(self, tokens, hidden, rows, slots, positions, emitted)
 
     def _guided_args(self, use_guided: bool):
         """The six device-guided jit operands (dummies when unused so the

@@ -1,0 +1,110 @@
+"""Fused device-resident speculative windows (runtime/spec_window.py):
+EAGLE3/MTP propose→verify→accept in one dispatch, riding the overlap
+scheduler (reference contract: drafter inside the overlap loop,
+py_executor.py:2671)."""
+import pytest
+
+from tensorrt_llm_tpu import LLM, KvCacheConfig, SamplingParams
+from tensorrt_llm_tpu.llmapi.llm_args import SpeculativeConfig
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+    torch.manual_seed(3)
+    cfg = LlamaConfig(vocab_size=64, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, max_position_embeddings=512)
+    return LlamaForCausalLM(cfg).eval()
+
+
+def make_llm(tiny_model, **kw):
+    defaults = dict(model=tiny_model, skip_tokenizer_init=True,
+                    dtype="float32", max_batch_size=8, max_input_len=64,
+                    max_seq_len=128, max_num_tokens=256,
+                    kv_cache_config=KvCacheConfig(tokens_per_block=16,
+                                                  max_tokens=2048))
+    defaults.update(kw)
+    return LLM(**defaults)
+
+
+def test_eagle3_rides_overlap(tiny_model):
+    """The VERDICT-r2 contract: EAGLE3 runs with
+    disable_overlap_scheduler=False and stays lossless."""
+    prompts = [[5, 9, 23, 44, 17], [3, 3, 7, 3, 3, 7, 3, 3]]
+    sp = SamplingParams(max_tokens=12, top_k=1)
+    base = make_llm(tiny_model)
+    ref = [o.outputs[0].token_ids for o in base.generate(prompts, sp)]
+    base.shutdown()
+    spec = make_llm(tiny_model, speculative_config=SpeculativeConfig(
+        mode="EAGLE3", max_draft_len=3))
+    assert spec.executor.enable_overlap          # NOT forced sync
+    assert spec.engine.sd is not None            # device windows armed
+    got = [o.outputs[0].token_ids for o in spec.generate(prompts, sp)]
+    # a fused window actually compiled and ran
+    assert any(k[0] == "spec" for k in spec.engine.sd.fns)
+    spec.shutdown()
+    assert got == ref
+
+
+def test_spec_window_stop_ids_and_budget(tiny_model):
+    """Stop tokens inside a window truncate in-graph; max_tokens is an
+    absolute gate on the device-resident emitted count."""
+    spec = make_llm(tiny_model, speculative_config=SpeculativeConfig(
+        mode="EAGLE3", max_draft_len=3, device_window_iters=4))
+    base = make_llm(tiny_model)
+    prompt = [5, 9, 23, 44, 17]
+    ref_out = base.generate(
+        [prompt], SamplingParams(max_tokens=20, top_k=1)
+    )[0].outputs[0].token_ids
+    base.shutdown()
+    # stop on the 4th reference token: the spec run must cut there
+    stop_tok = ref_out[3]
+    sp = SamplingParams(max_tokens=20, top_k=1, stop_token_ids=[stop_tok])
+    got = spec.generate([prompt], sp)[0].outputs[0].token_ids
+    assert got == ref_out[:4]
+    # absolute max_tokens cap
+    sp2 = SamplingParams(max_tokens=5, top_k=1)
+    got2 = spec.generate([prompt], sp2)[0].outputs[0].token_ids
+    assert got2 == ref_out[:5]
+    spec.shutdown()
+
+
+def test_spec_window_streams_and_cancel(tiny_model):
+    """Windows under continuous batching: concurrent requests with
+    different lengths, one streaming."""
+    spec = make_llm(tiny_model, speculative_config=SpeculativeConfig(
+        mode="EAGLE3", max_draft_len=2))
+    futs = [spec.generate_async([i + 1, i + 2, i + 3],
+                                SamplingParams(max_tokens=6 + i, top_k=1))
+            for i in range(4)]
+    outs = [f.result(timeout=300).outputs[0].token_ids for f in futs]
+    for i, o in enumerate(outs):
+        assert len(o) == 6 + i
+    base = make_llm(tiny_model)
+    for i in range(4):
+        ref = base.generate([[i + 1, i + 2, i + 3]],
+                            SamplingParams(max_tokens=6 + i, top_k=1))
+        assert outs[i] == ref[0].outputs[0].token_ids
+    base.shutdown()
+    spec.shutdown()
+
+
+def test_non_greedy_rows_fall_back(tiny_model):
+    """Sampled rows can't take the greedy-acceptance window; they decode
+    plainly (and seeded-greedy rows still match baseline)."""
+    spec = make_llm(tiny_model, speculative_config=SpeculativeConfig(
+        mode="EAGLE3", max_draft_len=2))
+    f1 = spec.generate_async([5, 9, 23], SamplingParams(
+        max_tokens=8, top_k=1))
+    f2 = spec.generate_async([7, 8, 9], SamplingParams(
+        max_tokens=8, temperature=0.9, top_k=0, seed=7))
+    g1 = f1.result(timeout=300).outputs[0].token_ids
+    f2.result(timeout=300)
+    spec.shutdown()
+    base = make_llm(tiny_model)
+    ref = base.generate([[5, 9, 23]], SamplingParams(max_tokens=8,
+                                                     top_k=1))
+    base.shutdown()
+    assert g1 == ref[0].outputs[0].token_ids
