@@ -15,6 +15,7 @@ msgpack-serialized (no pickle across trust boundaries).
 from __future__ import annotations
 
 import dataclasses
+import queue
 import socket
 import struct
 import threading
@@ -74,6 +75,8 @@ class SerializableBatch:
             d["request_id"] = r.request_id
             d["prompt_token_ids"] = list(r.prompt_token_ids)
             d["cache_salt"] = r.cache_salt
+            d["dp_rank"] = r.dp_rank
+            d["streaming"] = r.streaming
             return d
         return cls(
             iter_id=iter_id,
@@ -94,10 +97,13 @@ class SerializableBatch:
         out = []
         for d in self.new_requests:
             sp = SamplingParams(**{f: d[f] for f in _SP_FIELDS})
-            out.append(LlmRequest(prompt_token_ids=d["prompt_token_ids"],
-                                  sampling_params=sp,
-                                  request_id=d["request_id"],
-                                  cache_salt=d["cache_salt"]))
+            req = LlmRequest(prompt_token_ids=d["prompt_token_ids"],
+                             sampling_params=sp,
+                             request_id=d["request_id"],
+                             cache_salt=d["cache_salt"],
+                             streaming=bool(d.get("streaming", False)))
+            req.dp_rank = d.get("dp_rank")
+            out.append(req)
         return out
 
 
@@ -176,6 +182,53 @@ class RequestBroadcaster:
                 raise ConnectionError("leader closed")
             buf += chunk
         return buf
+
+    # dp-group return channel (attention-DP across processes: each rank
+    # executes its own request partition and streams results back to the
+    # leader on the same full-duplex socket) -------------------------- #
+    def start_result_reader(self) -> None:
+        """Leader: spawn one reader thread per follower connection;
+        messages drain via ``poll_results``."""
+        self._results_q: "queue.Queue" = queue.Queue()
+
+        def reader(conn):
+            def read_exact(n):
+                buf = b""
+                while len(buf) < n:
+                    chunk = conn.recv(n - len(buf))
+                    if not chunk:
+                        raise ConnectionError("follower closed")
+                    buf += chunk
+                return buf
+            try:
+                while True:
+                    (n,) = struct.unpack("<Q", read_exact(8))
+                    self._results_q.put(
+                        msgpack.unpackb(read_exact(n), raw=False,
+                                        strict_map_key=False))
+            except (ConnectionError, OSError):
+                return
+
+        for c in self._conns:
+            threading.Thread(target=reader, args=(c,), daemon=True,
+                             name="tllm-dp-results").start()
+
+    def poll_results(self) -> List[dict]:
+        out = []
+        if not hasattr(self, "_results_q"):
+            return out
+        while True:
+            try:
+                out.append(self._results_q.get_nowait())
+            except queue.Empty:
+                return out
+
+    def send_result(self, payload: dict) -> None:
+        """Follower: ship one result/heartbeat message to the leader."""
+        raw = msgpack.packb(payload, use_bin_type=True)
+        with self._lock:
+            self._sock.sendall(struct.pack("<Q", len(raw)))
+            self._sock.sendall(raw)
 
     def close(self) -> None:
         for c in self._conns:

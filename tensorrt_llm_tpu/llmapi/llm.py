@@ -509,17 +509,33 @@ class LLM:
                     **kc.get("kwargs", {}))
             worker.register_engine(self.engine)
             kv_connector = KvConnectorManager(worker, sched)
-        role, bcaster = "single", None
+        role, bcaster, adp_router, dp_rank_id = "single", None, None, 0
         oc = args.orchestrator_config
         if oc:
             from ..executor_orchestration.broadcast import \
                 RequestBroadcaster
             role = oc["role"]
-            bcaster = RequestBroadcaster(rank=0 if role == "leader" else 1)
-            if role == "leader":
+            is_leader = role in ("leader", "dp_leader")
+            bcaster = RequestBroadcaster(rank=0 if is_leader else 1)
+            if is_leader:
                 bcaster.serve(oc["port"], oc.get("num_followers", 1))
             else:
                 bcaster.connect(oc.get("host", "127.0.0.1"), oc["port"])
+            if role == "dp_leader":
+                # attention-DP process group: the leader routes requests
+                # across dp ranks by the ADP Balance policy (reference:
+                # scheduler/adp_router.py:259, AttentionDpConfig)
+                from ..runtime.adp_router import (DefaultADPRouter,
+                                                  KVCacheAwareADPRouter)
+                n = oc.get("num_followers", 1) + 1
+                cls_r = KVCacheAwareADPRouter \
+                    if oc.get("router") == "kv_aware" else DefaultADPRouter
+                adp_router = cls_r(
+                    num_ranks=n,
+                    timeout_iters=oc.get("timeout_iters", 50),
+                    batching_wait_iters=oc.get("batching_wait_iters", 10))
+            if role == "dp_follower":
+                dp_rank_id = oc.get("dp_rank", 1)
         self.executor = PyExecutor(
             self.engine, self.kv_cache_manager,
             RequestScheduler(capacity, micro),
@@ -533,6 +549,7 @@ class LLM:
             pipeline_depth=args.max_inflight_steps,
             decode_multi_step=args.decode_multi_step,
             role=role, broadcaster=bcaster,
+            adp_router=adp_router, dp_rank_id=dp_rank_id,
             kv_connector=kv_connector,
             waiting_queue_policy=args.scheduler_config.waiting_queue_policy,
             max_active_requests=args.scheduler_config.max_active_requests,

@@ -151,6 +151,162 @@ def moe_mlp_ep(x: jax.Array,              # [T, H] (replicated)
         out_specs=P())(x, w_gate, w_up, w_down, probs, expert_idx)
 
 
+def moe_mlp_adp(x: jax.Array,             # [T_local, H] dp-SHARDED tokens
+                w_gate: jax.Array,        # [E, H, I] sharded over dp axis
+                w_up: jax.Array,
+                w_down: jax.Array,        # [E, I, H]
+                probs: jax.Array,         # [T_local, k] dp-sharded
+                expert_idx: jax.Array,    # i32[T_local, k]
+                mesh,
+                dp_axis: str = "dp",
+                capacity: Optional[int] = None,
+                use_ragged: Optional[bool] = None) -> jax.Array:
+    """Attention-DP MoE dispatch/combine: tokens sharded over ``dp_axis``
+    and experts sharded over the SAME devices (the reference's DEPn
+    layout — attention-DP with EP across n GPUs,
+    moeAlltoAllKernels.cu / DeepEP dispatch).
+
+    Each shard sorts its (token, expert) pairs by owning shard, ships
+    them with an all-to-all, runs the grouped GEMMs over the received
+    rows, and ships the expert outputs back with the mirrored
+    all-to-all before the weighted scatter-combine.
+
+    Two transports:
+      * padded ``lax.all_to_all`` (default): per-destination chunks pad
+        to ``capacity`` rows (None = T_local*k, lossless). Static
+        shapes — the GShard/Switch expert-capacity idiom, XLA-native on
+        every backend. Overflow pairs beyond a finite capacity drop to
+        zero contribution (standard capacity-drop semantics).
+      * ``jax.lax.ragged_all_to_all`` (``use_ragged=True``; default on
+        TPU): exact-size transfers, no padding traffic. Unsupported by
+        XLA:CPU, so CPU-mesh tests and the multichip dryrun take the
+        padded path.
+    """
+    if mesh.shape.get(dp_axis, 1) <= 1:
+        return moe_mlp_ragged(x, w_gate, w_up, w_down, probs, expert_idx)
+    R = mesh.shape[dp_axis]
+    E = w_gate.shape[0]
+    if E % R != 0:
+        raise ValueError(f"ADP MoE needs experts ({E}) divisible by the "
+                         f"dp axis ({R})")
+    E_local = E // R
+    if use_ragged is None:
+        use_ragged = jax.default_backend() == "tpu"
+
+    def local_moe(x, w_gate, w_up, w_down, probs, expert_idx):
+        r = jax.lax.axis_index(dp_axis)
+        T_l, H = x.shape
+        k = expert_idx.shape[1]
+        M = T_l * k
+        C = capacity or M
+        flat = expert_idx.reshape(M)
+        dest = flat // E_local
+        order = jnp.argsort(dest)               # pairs grouped by dest
+        dest_s = dest[order]
+        local_e_s = (flat - dest * E_local)[order]
+        tok_of = order // k
+        send_sizes = jnp.bincount(dest, length=R).astype(jnp.int32)
+        off = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                               jnp.cumsum(send_sizes)[:-1]])
+        within = jnp.arange(M, dtype=jnp.int32) - off[dest_s]
+        S_all = jax.lax.all_gather(send_sizes, dp_axis)     # [R, R]
+
+        if use_ragged:
+            # exact-size transfers: sender computes its landing offset in
+            # each receiver's buffer from the gathered size matrix
+            recv_sizes = S_all[:, r]
+            out_off = (jnp.cumsum(S_all, axis=0) - S_all)[r, :] \
+                .astype(jnp.int32)
+            buf = jnp.zeros((R * C, H), x.dtype)
+            xs = x[tok_of]
+            payload = jnp.concatenate(
+                [xs, probs.reshape(M)[order][:, None].astype(x.dtype),
+                 local_e_s[:, None].astype(x.dtype)], axis=1)
+            pbuf = jnp.zeros((R * C, H + 2), x.dtype)
+            got = jax.lax.ragged_all_to_all(
+                payload, pbuf, off, send_sizes, out_off,
+                recv_sizes.astype(jnp.int32), axis_name=dp_axis)
+            roff = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                    jnp.cumsum(recv_sizes)[:-1]])
+            n_recv = jnp.sum(recv_sizes)
+            rrow = jnp.arange(R * C, dtype=jnp.int32)
+            rvalid = rrow < n_recv
+            xr = got[:, :H]
+            pr = got[:, H].astype(jnp.float32)
+            er = got[:, H + 1].astype(jnp.int32)
+        else:
+            # padded chunks: snd[i, c] = c-th pair destined to shard i
+            keep = within < C
+            xs = x[tok_of]
+            snd = jnp.zeros((R, C, H), x.dtype).at[
+                jnp.where(keep, dest_s, R), within % C].set(
+                    xs, mode="drop")
+            pe = jnp.stack([probs.reshape(M)[order].astype(jnp.float32),
+                            local_e_s.astype(jnp.float32)], axis=1)
+            snd_pe = jnp.full((R, C, 2), -1.0, jnp.float32).at[
+                jnp.where(keep, dest_s, R), within % C].set(
+                    pe, mode="drop")
+            got = jax.lax.all_to_all(snd, dp_axis, 0, 0, tiled=True)
+            got_pe = jax.lax.all_to_all(snd_pe, dp_axis, 0, 0, tiled=True)
+            got = got.reshape(R * C, H)
+            got_pe = got_pe.reshape(R * C, 2)
+            # validity: row c of chunk j is live iff c < min(S_all[j,r],C)
+            lim = jnp.minimum(S_all[:, r], C)
+            rvalid = (jnp.arange(R * C, dtype=jnp.int32) % C) < \
+                jnp.repeat(lim, C)
+            xr = got
+            pr = jnp.where(rvalid, got_pe[:, 0], 0.0)
+            er = got_pe[:, 1].astype(jnp.int32)
+
+        # grouped GEMMs over received pairs (invalid rows -> sentinel
+        # group E_local, past every real group)
+        e_key = jnp.where(rvalid, jnp.clip(er, 0, E_local - 1), E_local)
+        order2 = jnp.argsort(e_key)
+        xe = xr[order2]
+        group_sizes = jnp.bincount(e_key, length=E_local + 1)[
+            :E_local].astype(jnp.int32)
+        m_live = jnp.sum(group_sizes)
+        h_gate = jax.lax.ragged_dot(xe, w_gate, group_sizes)
+        h_up = jax.lax.ragged_dot(xe, w_up, group_sizes)
+        h = jax.nn.silu(h_gate.astype(jnp.float32)).astype(x.dtype) * h_up
+        ye = jax.lax.ragged_dot(h, w_down, group_sizes)
+        row_ok = jnp.arange(ye.shape[0], dtype=jnp.int32) < m_live
+        ye = jnp.where(row_ok[:, None], ye, 0)
+        # unsort to recv order, weight by routing prob
+        y = jnp.zeros_like(ye).at[order2].set(ye)
+        y = (y.astype(jnp.float32) * pr[:, None]).astype(x.dtype)
+
+        # return trip: mirrored transfer back to the senders
+        if use_ragged:
+            ret = jnp.zeros((R * C, H), x.dtype)
+            # i's chunk to me started at its input offset for me:
+            # sum over destinations j < r of S_all[i, j]
+            back_out_off = (jnp.cumsum(S_all, axis=1)
+                            - S_all)[:, r].astype(jnp.int32)
+            ret = jax.lax.ragged_all_to_all(
+                y, ret, roff, recv_sizes.astype(jnp.int32),
+                back_out_off, send_sizes, axis_name=dp_axis)
+            y_pair = ret[off[dest_s] + within]
+            pair_ok = jnp.ones((M,), bool)
+        else:
+            back = jax.lax.all_to_all(y.reshape(R, C, H), dp_axis, 0, 0,
+                                      tiled=True).reshape(R * C, H)
+            keep = within < C
+            y_pair = back[dest_s * C + within % C]
+            pair_ok = keep
+
+        out = jnp.zeros((T_l, H), jnp.float32).at[tok_of].add(
+            jnp.where(pair_ok[:, None], y_pair, 0).astype(jnp.float32))
+        return out.astype(x.dtype)
+
+    dspec = P(dp_axis, None)
+    espec = P(dp_axis, None, None)
+    return _shard_map(
+        local_moe, mesh=mesh,
+        in_specs=(dspec, espec, espec, espec, dspec, dspec),
+        out_specs=dspec)(x, w_gate, w_up, w_down, probs, expert_idx)
+
+
 def moe_mlp_wide_ep(x, w_gate_slots, w_up_slots, w_down_slots,
                     probs, expert_idx, rep_count, rep_slots,
                     mesh, ep_axes=("cp", "tp")):
@@ -244,8 +400,19 @@ def moe_mlp(x, w_gate, w_up, w_down, router_w, top_k: int,
                                      renormalize=renormalize)
     if backend == "auto":
         multi = mapping is not None and mapping.world_size > 1
-        backend = ("ep" if mesh is not None else "dense") if multi \
-            else "ragged"
+        if (multi and mesh is not None
+                and getattr(mapping, "enable_attention_dp", False)
+                and mesh.shape.get("dp", 1) > 1
+                and w_gate.shape[0] % mesh.shape["dp"] == 0):
+            # attention-DP: tokens dp-sharded, experts on the same
+            # devices, all-to-all dispatch (reference DEPn layout)
+            backend = "adp"
+        else:
+            backend = ("ep" if mesh is not None else "dense") if multi \
+                else "ragged"
+    if backend == "adp":
+        return moe_mlp_adp(x, w_gate, w_up, w_down, probs, expert_idx,
+                           mesh, dp_axis="dp")
     if backend == "ep":
         return moe_mlp_ep(x, w_gate, w_up, w_down, probs, expert_idx,
                           mesh, ep_axes=ep_axes)

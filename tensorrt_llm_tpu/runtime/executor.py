@@ -202,6 +202,8 @@ class PyExecutor:
                  decode_multi_step: int = 1,
                  role: str = "single",
                  broadcaster=None,
+                 adp_router=None,
+                 dp_rank_id: int = 0,
                  kv_connector=None,
                  waiting_queue_policy: str = "fcfs",
                  max_active_requests: Optional[int] = None,
@@ -258,18 +260,31 @@ class PyExecutor:
         self.pipeline_depth = max(1, pipeline_depth) if enable_overlap else 1
 
         # multi-host orchestration (reference: executor_request_queue.py:42
-        # rank-0 dequeue + broadcast): "single" | "leader" | "follower".
-        # The leader runs the scheduler and broadcasts each iteration's
-        # SerializableBatch; followers replay it through the SAME code
-        # path (identical jit calls, deterministic KV/slot allocation).
+        # rank-0 dequeue + broadcast): "single" | "leader" | "follower" |
+        # "dp_leader" | "dp_follower".
+        # leader/follower = SPMD replay: the leader schedules, followers
+        # replay the identical jit calls (one logical engine).
+        # dp_leader/dp_follower = ATTENTION-DP process groups (reference:
+        # adp_router.py + AttentionDpConfig): each rank is a full engine
+        # owning its request partition; the leader routes new requests by
+        # the ADP balance policy (request.dp_rank) and followers stream
+        # results back over the same socket.
         self.role = role
         self.broadcaster = broadcaster
+        self.adp_router = adp_router
+        self.dp_rank_id = dp_rank_id
+        if role == "dp_leader":
+            broadcaster.start_result_reader()
         self._new_since_broadcast: List[LlmRequest] = []
         self._finished_since_broadcast: List[int] = []
         self._by_id: Dict[int, LlmRequest] = {}
         # follower: request_id -> generated token ids (parity checking /
         # local observability; the leader serves the actual clients)
         self.completed_tokens: Dict[int, List[int]] = {}
+        # dp-group bookkeeping: routed cost estimates + assignment log
+        self._dp_cost: Dict[int, Tuple[int, int]] = {}
+        self._dp_relaxed: List[LlmRequest] = []
+        self.dp_assignments: Dict[int, int] = {}
 
         self._request_queue: "queue.Queue" = queue.Queue()
         self._results: Dict[int, GenerationResult] = {}
@@ -291,6 +306,12 @@ class PyExecutor:
         from .hang_detector import HangDetector
         self._hang_detector = HangDetector(timeout_s=600.0)
         self._hang_detector.start()
+
+        if role == "dp_follower":
+            self._dp_recv_thread = threading.Thread(
+                target=self._dp_follower_recv, daemon=True,
+                name="tllm-dp-recv")
+            self._dp_recv_thread.start()
 
         self._thread = threading.Thread(target=self._executor_loop,
                                         daemon=True, name="tllm-tpu-executor")
@@ -552,6 +573,13 @@ class PyExecutor:
             # drain at shutdown
             while self._inflight:
                 self._process_inflight()
+            if self.role == "dp_leader" and self.broadcaster is not None:
+                from ..executor_orchestration.broadcast import \
+                    SerializableBatch
+                self.broadcaster.broadcast(SerializableBatch(
+                    iter_id=-1, new_requests=[], context_chunks={},
+                    scheduled_ctx_ids=[], scheduled_gen_ids=[],
+                    draft_tokens={}, shutdown=True))
             if self.role == "leader" and self.broadcaster is not None:
                 from ..executor_orchestration.broadcast import \
                     SerializableBatch
@@ -571,6 +599,8 @@ class PyExecutor:
 
     # ------------------------------------------------------------------ #
     def _fetch_new_requests(self):
+        if self.role == "dp_leader":
+            self._dp_leader_fetch()
         while True:
             try:
                 req = self._request_queue.get_nowait()
@@ -1225,6 +1255,112 @@ class PyExecutor:
         self._reap_finished()
         self._update_beam_groups()
 
+    # ------------------------------------------------------------------ #
+    # Attention-DP process groups (reference: scheduler/adp_router.py +
+    # AttentionDpConfig "ADP Balance"): the leader routes each new
+    # request to a dp rank; every rank runs its own full engine over its
+    # partition; followers stream finished results back.
+    # ------------------------------------------------------------------ #
+    def _dp_follower_recv(self):
+        while not self._shutdown.is_set():
+            try:
+                sb = self.broadcaster.recv_timeout(0.5)
+            except (ConnectionError, OSError):
+                break
+            if sb is None:
+                continue
+            if sb.shutdown:
+                self._shutdown.set()
+                self._work_event.set()
+                break
+            for rid in sb.finished_ids:      # leader-side cancellations
+                self.cancel(rid)
+            for req in sb.materialize_new_requests():
+                if req.dp_rank == self.dp_rank_id:
+                    self.submit(req)
+
+    def _dp_leader_fetch(self):
+        from ..executor_orchestration.broadcast import SerializableBatch
+        for msg in self.broadcaster.poll_results():
+            self._dp_handle_result(msg)
+        new = list(getattr(self, "_dp_relaxed", []))
+        self._dp_relaxed = []
+        while True:
+            try:
+                new.append(self._request_queue.get_nowait())
+            except queue.Empty:
+                break
+        if not new:
+            return
+        ranks = self.adp_router.route_requests(new)
+        routed, remote = [], []
+        for req, r in zip(new, ranks):
+            if r < 0:
+                self._dp_relaxed.append(req)   # Balance relax window
+                continue
+            cost = req.context_len + req.sampling_params.max_tokens
+            self.adp_router.rank_states[r].num_active_tokens += cost
+            self._dp_cost[req.request_id] = (r, cost)
+            self.dp_assignments[req.request_id] = r
+            routed.append(req)
+            if r != self.dp_rank_id:
+                remote.append(req)
+        if remote:
+            self.broadcaster.broadcast(SerializableBatch.from_schedule(
+                self.iter_counter, ScheduledRequests(),
+                new_requests=remote))
+        for req in routed:
+            if req.dp_rank == self.dp_rank_id:
+                self.waiting.add_request(req)
+
+    def _dp_handle_result(self, msg: dict):
+        if msg.get("stats"):
+            from .adp_router import RankState
+            self.adp_router.update_rank_states(
+                [RankState.deserialize(msg["stats"])])
+        if msg.get("type") == "tokens":
+            with self._lock:
+                res = self._results.get(msg["request_id"])
+            if res is not None:
+                res._on_tokens(msg["token_ids"])
+            return
+        if msg.get("type") != "finish":
+            return
+        rid = msg["request_id"]
+        rk, cost = self._dp_cost.pop(rid, (msg.get("rank", 0), 0))
+        self.adp_router.rank_states[rk].num_active_tokens -= cost
+        with self._lock:
+            res = self._results.pop(rid, None)
+        if res is None:
+            return
+        req = res.request
+        req.output_token_ids = list(msg["token_ids"])
+        req.logprobs = [{t: lp} for t, lp in
+                        zip(msg["token_ids"], msg.get("logprobs") or [])]
+        req.cum_logprob = sum(msg.get("logprobs") or [])
+        req.finish_by_reason(FinishReason[msg["finish_reason"]])
+        res._on_finish()
+
+    def _dp_send_finish(self, req: LlmRequest):
+        lps = [next(iter(d.values())) for d in (req.logprobs or [])]
+        from .adp_router import RankState
+        stats = RankState(
+            rank=self.dp_rank_id,
+            num_active_requests=len(self._active),
+            num_active_tokens=sum(r.num_total_tokens
+                                  for r in self._active),
+            kv_free_blocks=self.kv.get_num_free_blocks()).serialize()
+        try:
+            self.broadcaster.send_result({
+                "type": "finish", "rank": self.dp_rank_id,
+                "request_id": req.request_id,
+                "token_ids": list(req.output_token_ids),
+                "logprobs": lps,
+                "finish_reason": req.finish_reason.name,
+                "stats": stats})
+        except (ConnectionError, OSError):
+            logger.error("dp follower: leader connection lost")
+
     def _release_slot(self, req: LlmRequest) -> None:
         if self.guided_decoder is not None:
             self.guided_decoder.on_slot_released(req, self.engine)
@@ -1337,6 +1473,10 @@ class PyExecutor:
             self.completed_tokens[req.request_id] = \
                 list(req.output_token_ids)
             self._by_id.pop(req.request_id, None)
+        if self.role == "dp_follower":
+            self.completed_tokens[req.request_id] = \
+                list(req.output_token_ids)
+            self._dp_send_finish(req)
         if self.guided_decoder is not None:
             self.guided_decoder.drop(req.request_id)
         if self.drafter is not None and hasattr(self.drafter,

@@ -411,3 +411,48 @@ def test_wide_ep_e2e_rebalance(tmp_path):
     got = llm.generate([5, 9, 23, 44], sp).outputs[0].token_ids
     llm.shutdown()
     assert got == ref
+
+
+def test_mixtral_adp_forward_matches_single_device():
+    """Attention-DP Mixtral: tokens dp-sharded, experts EP over the same
+    devices, ragged all-to-all-style dispatch (ops/moe.py moe_mlp_adp;
+    reference DEPn layout, moeAlltoAllKernels.cu) — logits match the
+    unsharded forward."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tensorrt_llm_tpu.mapping import Mapping
+    from tensorrt_llm_tpu.models import ModelConfig, get_model_class
+    from transformers import MixtralConfig
+    import __graft_entry__ as ge
+
+    hf = MixtralConfig(vocab_size=128, hidden_size=64,
+                       intermediate_size=96, num_hidden_layers=2,
+                       num_attention_heads=8, num_key_value_heads=4,
+                       num_local_experts=8, num_experts_per_tok=2,
+                       max_position_embeddings=256)
+    mapping = Mapping.from_sizes(tp=2, dp=4, enable_attention_dp=True)
+    mc = ModelConfig(hf_config=hf, dtype=jnp.float32, mapping=mapping)
+    model = get_model_class(hf.model_type)(mc)
+    params = model.init_params(jax.random.PRNGKey(0))
+    T = 8
+    tokens = jnp.asarray(np.arange(T) % 120, jnp.int32)
+    md = ge._example_metadata(T, max_seqs=2, pages_per_seq=8)
+    ref_logits, _ = model.forward(params, tokens,
+                                  model.make_kv_pages(16, 16), md)
+
+    mesh = mapping.build_mesh()
+    model.mesh = mesh
+    pspecs = model.param_pspecs(params)
+    shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
+                             is_leaf=lambda x: isinstance(x, P))
+    sparams = jax.device_put(params, shardings)
+    skv = jax.device_put(model.make_kv_pages(16, 16),
+                         NamedSharding(mesh, model.kv_pspec()))
+
+    @jax.jit
+    def fwd(p, t, k, m):
+        return model.forward(p, t, k, m)
+
+    with mesh:
+        logits, _ = fwd(sparams, tokens, skv, md)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               rtol=5e-3, atol=5e-3)
