@@ -173,9 +173,10 @@ class Mapping:
     def from_sizes(cls, tp: int = 1, pp: int = 1, cp: int = 1, dp: int = 1,
                    moe_tp: int = -1, moe_ep: int = -1,
                    enable_attention_dp: bool = False,
-                   enable_dwdp: bool = False) -> "Mapping":
+                   enable_dwdp: bool = False,
+                   cp_type: "CpType" = CpType.ULYSSES) -> "Mapping":
         return cls(world_size=tp * pp * cp * dp, tp_size=tp, pp_size=pp,
                    cp_size=cp, dp_size=dp, moe_tp_size=moe_tp,
                    moe_ep_size=moe_ep,
                    enable_attention_dp=enable_attention_dp,
-                   enable_dwdp=enable_dwdp)
+                   enable_dwdp=enable_dwdp, cp_type=cp_type)

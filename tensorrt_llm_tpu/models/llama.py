@@ -255,6 +255,16 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
             q_norm = k_norm = None
 
         shard_mesh, shard_axis = self.attn_shard_args()
+        ring = self.ring_cp_active()
+        if ring:
+            # KV-page-sharded ring CP (ops/cp_ring.py): attention runs
+            # its own shard_map over cp (+ tp heads); pass the mesh even
+            # when no head axis sharded
+            shard_mesh = self.mesh
+            if shard_axis is None and self.config.mapping.tp_size > 1 \
+                    and (2 * self.num_kv_heads) % \
+                    self.config.mapping.tp_size == 0:
+                shard_axis = "tp"
         tok_spec = self.token_pspec()
 
         def constrain(t):
@@ -290,7 +300,8 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
                     kv_scale=layer.get("kv_scale", self.config.kv_scale),
                     rope_cos_sin=cs,
                     q_norm=q_norm, k_norm=k_norm,
-                    mesh=shard_mesh, tp_axis=shard_axis, lora_fn=lf,
+                    mesh=shard_mesh, tp_axis=shard_axis, ring_cp=ring,
+                    lora_fn=lf,
                     collect_kv_stats=collect_kv_stats)
 
             cs = self._layer_rope(layer, rope_variants)
@@ -504,7 +515,9 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
     def kv_pspec(self) -> P:
         """Shard KV pools: layer dim over pp, kv heads over (cp, tp) —
         the head axes attention runs shard_map over (Ulysses CP shards
-        KV heads exactly like TP does; reference: attention.py:1276)."""
+        KV heads exactly like TP does; reference: attention.py:1276).
+        RING CP instead shards the PAGE dim over cp (each rank stores
+        1/cp of the context; ops/cp_ring.py)."""
         m = self.config.mapping
         pp = "pp" if m.pp_size > 1 else None
         _, head_axes = self.attn_shard_args() if self.mesh is not None \
@@ -513,6 +526,7 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
             head_axes = "tp" if (m.tp_size > 1 and
                                  (2 * self.num_kv_heads) % m.tp_size == 0) \
                 else None
-        if pp is None and head_axes is None:
+        page_axis = "cp" if self.ring_cp_active() else None
+        if pp is None and head_axes is None and page_axis is None:
             return P()
-        return P(pp, None, None, head_axes, None)
+        return P(pp, page_axis, None, head_axes, None)

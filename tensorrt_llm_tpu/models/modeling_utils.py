@@ -131,6 +131,7 @@ def attention_block(params: Dict[str, Any],
                     rope_cos_sin: Optional[Tuple[jax.Array, jax.Array]] = None,
                     mesh=None,
                     tp_axis: Optional[str] = None,
+                    ring_cp: bool = False,
                     lora_fn: Optional[Callable] = None,
                     pre_o: Optional[Callable] = None,
                     collect_kv_stats: bool = False
@@ -167,6 +168,28 @@ def attention_block(params: Dict[str, Any],
         k = rope_ops.apply_rope(k, cos, sin, spec.is_neox)
     quant = kv_pages.dtype in (jnp.int8, jnp.float8_e4m3fn)
     ks = kv_scale if quant else None
+    if ring_cp:
+        # ring/helix context parallelism: KV pages sharded over cp,
+        # ownership-masked write + exact LSE combine (ops/cp_ring.py)
+        from .. import ops as _ops  # noqa: F401 (import cycle guard)
+        from ..ops.cp_ring import ring_write_and_attend
+        attn, kv_pages = ring_write_and_attend(
+            q, k, v, kv_pages, metadata, mesh=mesh,
+            sm_scale=spec.sm_scale, cp_axis="cp", tp_axis=tp_axis,
+            sliding_window=spec.sliding_window, soft_cap=spec.soft_cap,
+            k_scale=ks, v_scale=ks)
+        attn_flat = attn.reshape(T, nq * hd)
+        if pre_o is not None:
+            attn_flat = pre_o(params, x, attn_flat)
+        out = o_method.apply(params["o"], attn_flat)
+        if lora_fn is not None:
+            out = lora_fn("o", attn_flat, out)
+        if collect_kv_stats:
+            stat = jnp.maximum(
+                jnp.max(jnp.abs(k.astype(jnp.float32))),
+                jnp.max(jnp.abs(v.astype(jnp.float32))))
+            return out, kv_pages, stat
+        return out, kv_pages
     kv_pages = write_kv(kv_pages, k, v, metadata.slot_mapping,
                         k_scale=ks, v_scale=ks)
     attn = ragged_paged_attention(
@@ -176,6 +199,24 @@ def attention_block(params: Dict[str, Any],
         sinks=params["sinks"] if spec.use_sinks else None,
         k_scale=ks, v_scale=ks, backend=attn_backend,
         mesh=mesh, tp_axis=tp_axis)
+    if mesh is not None and tp_axis is not None and \
+            "cp" in ((tp_axis,) if isinstance(tp_axis, str) else tp_axis):
+        # Ulysses boundary: attention output leaves head-sharded over
+        # (cp x tp) and re-enters the sequence-sharded layout — trade
+        # ONLY the cp share of the head axis for a cp share of the
+        # token axis (heads stay tp-sharded for the row-parallel
+        # o-projection). Making this reshard explicit on the 3-D
+        # [T, nq, hd] tensor lets GSPMD emit the Ulysses all-to-all;
+        # without it the flatten below mixes the sharded head axis into
+        # hd and SPMD falls back to an "involuntary full
+        # rematerialization" (replicate-then-split)
+        # (reference: distributed/ops.py:1019 all_to_all_4d).
+        from jax.sharding import NamedSharding, PartitionSpec
+        axes_t = (tp_axis,) if isinstance(tp_axis, str) else tuple(tp_axis)
+        head_rest = tuple(a for a in axes_t if a != "cp") or None
+        attn = jax.lax.with_sharding_constraint(
+            attn, NamedSharding(mesh,
+                                PartitionSpec("cp", head_rest, None)))
     attn_flat = attn.reshape(T, nq * hd)
     if pre_o is not None:
         # output gate hook (Qwen3-Next gated attention: attn · σ(gate))
@@ -212,6 +253,14 @@ class DecoderModelForCausalLM:
         # set by the engine when running under a device mesh
         self.mesh = None
 
+    def ring_cp_active(self) -> bool:
+        """KV-page-sharded ring/helix CP (ops/cp_ring.py): on when the
+        mapping asks for RING and a cp mesh axis exists."""
+        from ..mapping import CpType
+        m = self.config.mapping
+        return (self.mesh is not None and m.cp_size > 1
+                and m.cp_type == CpType.RING)
+
     def attn_shard_args(self):
         """(mesh, axes) for head-sharded attention under shard_map, or
         (None, None) when attention runs unsharded/replicated.
@@ -224,7 +273,9 @@ class DecoderModelForCausalLM:
         if self.mesh is None:
             return None, None
         axes = []
-        if m.cp_size > 1:
+        from ..mapping import CpType
+        if m.cp_size > 1 and m.cp_type == CpType.ULYSSES:
+            # RING CP shards KV pages, not heads (ops/cp_ring.py)
             axes.append("cp")
         if m.tp_size > 1:
             axes.append("tp")
@@ -245,8 +296,10 @@ class DecoderModelForCausalLM:
         with_sharding_constraint on hidden states so QKV/MLP FLOPs
         split across the cp group too."""
         from jax.sharding import PartitionSpec as P
+        from ..mapping import CpType
         m = self.config.mapping
-        if self.mesh is not None and m.cp_size > 1:
+        if self.mesh is not None and m.cp_size > 1 \
+                and m.cp_type == CpType.ULYSSES:
             return P("cp", None)
         return None
 
