@@ -135,9 +135,11 @@ class LLM:
         import jax.numpy as jnp
         dtype = {"auto": jnp.bfloat16, "bfloat16": jnp.bfloat16,
                  "float32": jnp.float32}[self.args.dtype]
+        sac = self.args.sparse_attention_config
         model_config = ModelConfig(
             hf_config=hf_config, dtype=dtype,
-            quant_config=self.args.quant_config, mapping=self.mapping)
+            quant_config=self.args.quant_config, mapping=self.mapping,
+            sparse_keep_pages=sac.keep_pages if sac else None)
         model_cls = get_model_class(hf_config.model_type)
         self.model = model_cls(model_config)
         backend_map = {"AUTO": "auto", "RPA": "rpa",

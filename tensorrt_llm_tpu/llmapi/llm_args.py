@@ -139,6 +139,16 @@ class SpeculativeConfig(StrictBaseModel):
     device_window_iters: int = 0
 
 
+class SparseAttentionConfig(StrictBaseModel):
+    """Top-k page-sparse decode attention (reference:
+    _torch/attention_backend/sparse/ — RocketKV block top-k, DSA
+    indexer; llm_args.py:253-477). ``keep_pages`` bounds the pages a
+    decode step attends per sequence (sink + tail pages always kept);
+    contexts within the budget stay exact."""
+    algo: Literal["ROCKET_TOPK"] = "ROCKET_TOPK"
+    keep_pages: int = 16
+
+
 class CacheTransceiverConfig(StrictBaseModel):
     """KV-transfer transport for disaggregated serving (reference:
     llm_args.py CacheTransceiverConfig / cacheTransceiver.cpp backends —
@@ -206,6 +216,7 @@ class LlmArgs(StrictBaseModel):
     quant_config: QuantConfig = Field(default_factory=QuantConfig)
     moe_config: MoeConfig = Field(default_factory=MoeConfig)
     speculative_config: Optional[SpeculativeConfig] = None
+    sparse_attention_config: Optional[SparseAttentionConfig] = None
     attention_dp_config: Optional[AttentionDpConfig] = None
     cache_transceiver_config: Optional[CacheTransceiverConfig] = None
 

@@ -301,6 +301,7 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
                     rope_cos_sin=cs,
                     q_norm=q_norm, k_norm=k_norm,
                     mesh=shard_mesh, tp_axis=shard_axis, ring_cp=ring,
+                    sparse_keep_pages=self.config.sparse_keep_pages,
                     lora_fn=lf,
                     collect_kv_stats=collect_kv_stats)
 

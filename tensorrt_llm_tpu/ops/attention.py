@@ -144,7 +144,8 @@ def ragged_paged_attention(
         v_scale: Optional[float] = None,
         backend: str = "auto",
         mesh=None,
-        tp_axis: Optional[str] = None) -> jax.Array:
+        tp_axis: Optional[str] = None,
+        sparse_keep_pages: Optional[int] = None) -> jax.Array:
     """Mixed prefill/decode attention over the paged KV pool.
 
     With ``mesh``/``tp_axis`` set, the op runs under ``shard_map`` over
@@ -196,13 +197,43 @@ def ragged_paged_attention(
                     q_l, kv_l, metadata, sm_scale=sm_scale,
                     sliding_window=sliding_window, soft_cap=soft_cap,
                     alibi_slopes=local_slopes, sinks=local_sinks,
-                    k_scale=k_scale, v_scale=v_scale, backend=backend)
+                    k_scale=k_scale, v_scale=v_scale, backend=backend,
+                    sparse_keep_pages=sparse_keep_pages)
 
             return shard_map(
                 local_attn, mesh=mesh,
                 in_specs=(P(None, axes, None),
                           P(None, None, axes, None)),
                 out_specs=P(None, axes, None))(q, kv_pages)
+
+    if (sparse_keep_pages is not None
+            and q.shape[0] == metadata.kv_lens.shape[0]
+            and metadata.tree_masks is None
+            and metadata.mm_groups_q is None
+            and alibi_slopes is None and sinks is None
+            and sliding_window is None):
+        # top-k page-sparse decode (ops/sparse_attention.py; reference:
+        # attention_backend/sparse/ RocketKV + DSA indexer). Applies only
+        # to decode-shaped batches (one query per sequence) — verified
+        # dynamically so prefill chunks of coincident size stay dense.
+        from .sparse_attention import sparse_paged_decode_attention
+        S = metadata.kv_lens.shape[0]
+        n = metadata.num_seqs[0]
+        decode_only = metadata.cu_q_lens[jnp.minimum(n, S)] == n
+
+        def sparse_path(_):
+            return sparse_paged_decode_attention(
+                q, kv_pages, metadata, sm_scale=sm_scale,
+                keep_pages=sparse_keep_pages, soft_cap=soft_cap,
+                k_scale=k_scale, v_scale=v_scale)
+
+        def dense_path(_):
+            return ragged_paged_attention(
+                q, kv_pages, metadata, sm_scale=sm_scale,
+                soft_cap=soft_cap, k_scale=k_scale, v_scale=v_scale,
+                backend=backend, mesh=mesh, tp_axis=tp_axis)
+
+        return jax.lax.cond(decode_only, sparse_path, dense_path, None)
 
     if metadata.tree_masks is not None:
         # tree-draft ancestry mask: reference path only
