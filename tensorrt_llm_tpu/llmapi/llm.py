@@ -538,6 +538,8 @@ class LLM:
                     batching_wait_iters=oc.get("batching_wait_iters", 10))
             if role == "dp_follower":
                 dp_rank_id = oc.get("dp_rank", 1)
+        from .tracing import RequestTracer
+        tracer = RequestTracer.from_env()
         self.executor = PyExecutor(
             self.engine, self.kv_cache_manager,
             RequestScheduler(capacity, micro),
@@ -552,6 +554,7 @@ class LLM:
             decode_multi_step=args.decode_multi_step,
             role=role, broadcaster=bcaster,
             adp_router=adp_router, dp_rank_id=dp_rank_id,
+            tracer=tracer,
             kv_connector=kv_connector,
             waiting_queue_policy=args.scheduler_config.waiting_queue_policy,
             max_active_requests=args.scheduler_config.max_active_requests,
@@ -583,7 +586,8 @@ class LLM:
                        streaming: bool = False,
                        lora_request=None,
                        cache_salt: Optional[str] = None,
-                       disaggregated_params=None) -> RequestOutput:
+                       disaggregated_params=None,
+                       trace_headers=None) -> RequestOutput:
         # never mutate the caller's object: LLM.generate shares one
         # SamplingParams across every prompt in a batch, so the per-request
         # clamps below must land on a private copy (the reference
@@ -717,12 +721,17 @@ class LLM:
             prompt_lp = prompt_logprob_dicts(
                 self.model, self.engine.params, token_ids,
                 top_k=int(sampling_params.prompt_logprobs))
+        trace_ctx = None
+        if trace_headers is not None:
+            from .tracing import extract_trace_context
+            trace_ctx = extract_trace_context(trace_headers)
         req = LlmRequest(prompt_token_ids=token_ids,
                          sampling_params=sampling_params,
                          streaming=streaming, cache_salt=cache_salt,
                          request_type=rtype,
                          lora_task_id=lora_task_id,
                          prompt_embeds=prompt_embeds)
+        req.trace_ctx = trace_ctx
         if prompt_lp is not None:
             req.prompt_logprobs_result = prompt_lp
         if mm_data is not None and mm_extra:

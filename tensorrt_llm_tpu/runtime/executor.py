@@ -204,6 +204,7 @@ class PyExecutor:
                  broadcaster=None,
                  adp_router=None,
                  dp_rank_id: int = 0,
+                 tracer=None,
                  kv_connector=None,
                  waiting_queue_policy: str = "fcfs",
                  max_active_requests: Optional[int] = None,
@@ -273,6 +274,8 @@ class PyExecutor:
         self.broadcaster = broadcaster
         self.adp_router = adp_router
         self.dp_rank_id = dp_rank_id
+        # per-request OTLP spans (llmapi/tracing.py RequestTracer)
+        self.tracer = tracer
         if role == "dp_leader":
             broadcaster.start_result_reader()
         self._new_since_broadcast: List[LlmRequest] = []
@@ -1460,6 +1463,8 @@ class PyExecutor:
         return False
 
     def _finish_request(self, req: LlmRequest):
+        if self.tracer is not None:
+            self.tracer.on_request_finished(req)
         if self.role == "leader":
             # followers replay eos/length finishes from the identical
             # token stream; only host-side finishes need broadcasting

@@ -160,11 +160,13 @@ class OpenAIServer:
 
     # ------------------------------------------------------------------ #
     async def _generate_async(self, prompt, sampling_params, streaming=False,
-                              disaggregated_params=None):
+                              disaggregated_params=None,
+                              trace_headers=None):
         loop = asyncio.get_running_loop()
         fut = self.llm.generate_async(
             prompt, sampling_params, streaming=streaming,
-            disaggregated_params=disaggregated_params)
+            disaggregated_params=disaggregated_params,
+            trace_headers=trace_headers)
         if streaming:
             return fut
         return await loop.run_in_executor(None, lambda: fut.result(3600))
@@ -206,7 +208,8 @@ class OpenAIServer:
             return await self._stream_completion(request, body, prompts[0],
                                                  sp, dp)
         outs = await asyncio.gather(*[
-            self._generate_async(p, sp, disaggregated_params=dp)
+            self._generate_async(p, sp, disaggregated_params=dp,
+                                 trace_headers=request.headers)
             for p in prompts])
         choices, usage = [], UsageInfo()
         is_ctx = dp is not None and dp.request_type == "context_only"
