@@ -92,6 +92,19 @@ class GptOssForCausalLM(DecoderModelForCausalLM):
         p = "model.layers.{}."
         a = p + "self_attn."
         e = p + "mlp.experts."
+        if any(k.endswith("gate_up_proj_blocks") for k in sd):
+            # MXFP4 checkpoint (the GPT-OSS release format): dequantize
+            # *_blocks/*_scales pairs (quantization/mxfp4.py; reference:
+            # modeling_gpt_oss.py:703, linear.py:2053) — blocks store
+            # [E, out, in], the bf16 layout this loader expects is
+            # [E, in, out]
+            from ..quantization.mxfp4 import normalize_mxfp4_state_dict
+            sd = normalize_mxfp4_state_dict(sd)
+            for i in range(L):
+                for nm in ("gate_up_proj", "down_proj"):
+                    kk = e.format(i) + nm
+                    sd[kk] = np.ascontiguousarray(
+                        np.transpose(np.asarray(sd[kk]), (0, 2, 1)))
         # de-interleave the packed gate/up columns once at load
         gates, ups = [], []
         for i in range(L):

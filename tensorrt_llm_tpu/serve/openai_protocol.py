@@ -151,6 +151,8 @@ class CompletionResponse(BaseModel):
 class ChatMessage(BaseModel):
     role: str
     content: Optional[Union[str, List[Dict[str, Any]]]] = None
+    # harmony analysis channel (GPT-OSS; reference: harmony_adapter.py)
+    reasoning_content: Optional[str] = None
     name: Optional[str] = None
     tool_calls: Optional[List[Dict[str, Any]]] = None
     tool_call_id: Optional[str] = None

@@ -40,6 +40,12 @@ class OpenAIServer:
         if tool_parser:
             from .tool_parser import create_tool_parser
             self.tool_parser = create_tool_parser(tool_parser)
+        # GPT-OSS speaks harmony (serve/harmony.py; reference:
+        # harmony_adapter.py): channeled prompts + channeled output
+        # parsing on chat/responses
+        mt = getattr(getattr(getattr(llm, "model", None), "hf", None),
+                     "model_type", "")
+        self.use_harmony = mt == "gpt_oss"
         self.app = web.Application()
         self._num_requests = 0
         self._num_tokens_out = 0
@@ -262,17 +268,26 @@ class OpenAIServer:
         if tokenizer is None:
             return self._error("chat endpoint requires a tokenizer")
         msgs = [m.model_dump(exclude_none=True) for m in body.messages]
-        try:
-            prompt_ids = tokenizer.apply_chat_template(
-                msgs, tokenize=True,
-                add_generation_prompt=body.add_generation_prompt,
-                chat_template=body.chat_template,
-                **(body.chat_template_kwargs or {}))
-        except Exception:
-            text = "\n".join(f"{m['role']}: {m.get('content','')}"
-                             for m in msgs) + "\nassistant:"
-            prompt_ids = tokenizer.encode(text)
+        if self.use_harmony:
+            from .harmony import STOP_STRINGS, render_prompt
+            text = render_prompt(msgs, tools=body.tools)
+            prompt_ids = tokenizer.encode(text,
+                                          add_special_tokens=False)
+        else:
+            try:
+                prompt_ids = tokenizer.apply_chat_template(
+                    msgs, tokenize=True,
+                    add_generation_prompt=body.add_generation_prompt,
+                    chat_template=body.chat_template,
+                    **(body.chat_template_kwargs or {}))
+            except Exception:
+                text = "\n".join(f"{m['role']}: {m.get('content','')}"
+                                 for m in msgs) + "\nassistant:"
+                prompt_ids = tokenizer.encode(text)
         sp = body.to_sampling_params()
+        if self.use_harmony:
+            from .harmony import STOP_STRINGS
+            sp.stop = list(sp.stop or []) + STOP_STRINGS
         self._num_requests += 1
         dp = body.disaggregated_params.to_params() \
             if body.disaggregated_params else None
@@ -288,7 +303,21 @@ class OpenAIServer:
             total_tokens=len(prompt_ids) + len(o.token_ids))
         is_ctx = dp is not None and dp.request_type == "context_only"
         content, tool_calls, finish = o.text, None, o.finish_reason
-        if self.tool_parser is not None and body.tools:
+        reasoning = None
+        if self.use_harmony:
+            from .harmony import parse_output
+            parsed = parse_output(o.text or "")
+            content = parsed["content"] or None
+            reasoning = parsed["reasoning"]
+            if parsed["tool_calls"]:
+                tool_calls = [{
+                    "id": f"call_{i}", "type": "function",
+                    "function": {"name": c["name"],
+                                 "arguments": c["arguments"]}}
+                    for i, c in enumerate(parsed["tool_calls"])]
+                finish = "tool_calls"
+        if self.tool_parser is not None and body.tools \
+                and not self.use_harmony:
             parsed = self.tool_parser.parse(o.text or "")
             if parsed.tool_calls:
                 content = parsed.content or None
@@ -299,6 +328,7 @@ class OpenAIServer:
             choices=[ChatCompletionResponseChoice(
                 index=0,
                 message=ChatMessage(role="assistant", content=content,
+                                    reasoning_content=reasoning,
                                     tool_calls=tool_calls),
                 finish_reason=finish,
                 disaggregated_params=(self._ctx_response_params(out)
@@ -326,17 +356,27 @@ class OpenAIServer:
                             "content": body["instructions"]})
         if tokenizer is None:
             return self._error("responses endpoint requires a tokenizer")
-        try:
-            prompt_ids = tokenizer.apply_chat_template(
-                msgs, tokenize=True, add_generation_prompt=True)
-        except Exception:
-            text = "\n".join(f"{m['role']}: {m['content']}"
-                             for m in msgs) + "\nassistant:"
-            prompt_ids = tokenizer.encode(text)
+        if self.use_harmony:
+            from .harmony import render_prompt
+            effort = (body.get("reasoning") or {}).get("effort", "medium")
+            text = render_prompt(msgs, tools=body.get("tools"),
+                                 reasoning_effort=effort)
+            prompt_ids = tokenizer.encode(text, add_special_tokens=False)
+        else:
+            try:
+                prompt_ids = tokenizer.apply_chat_template(
+                    msgs, tokenize=True, add_generation_prompt=True)
+            except Exception:
+                text = "\n".join(f"{m['role']}: {m['content']}"
+                                 for m in msgs) + "\nassistant:"
+                prompt_ids = tokenizer.encode(text)
         from ..sampling_params import SamplingParams as SP
         sp = SP(max_tokens=body.get("max_output_tokens", 512),
                 temperature=body.get("temperature", 1.0),
                 top_p=body.get("top_p", 1.0))
+        if self.use_harmony:
+            from .harmony import STOP_STRINGS
+            sp.stop = STOP_STRINGS
         self._num_requests += 1
         out = await self._generate_async(prompt_ids, sp)
         o = out.outputs[0]
@@ -349,17 +389,41 @@ class OpenAIServer:
             "created_at": int(_time.time()),
             "status": "completed",
             "model": body.get("model", self.model_name),
-            "output": [{
-                "type": "message", "role": "assistant",
-                "status": "completed",
-                "content": [{"type": "output_text", "text": o.text,
-                             "annotations": []}],
-            }],
+            "output": self._responses_output(o.text),
             "usage": {"input_tokens": len(out.prompt_token_ids),
                       "output_tokens": len(o.token_ids),
                       "total_tokens": len(out.prompt_token_ids)
                       + len(o.token_ids)},
         })
+
+    def _responses_output(self, text: str) -> list:
+        """Responses-API output items; harmony models contribute a
+        reasoning item + function_call items from channel parsing."""
+        items = []
+        content = text
+        if self.use_harmony:
+            from .harmony import parse_output
+            parsed = parse_output(text or "")
+            if parsed["reasoning"]:
+                items.append({
+                    "type": "reasoning",
+                    "summary": [],
+                    "content": [{"type": "reasoning_text",
+                                 "text": parsed["reasoning"]}]})
+            for i, c in enumerate(parsed["tool_calls"]):
+                items.append({"type": "function_call",
+                              "call_id": f"call_{i}",
+                              "name": c["name"],
+                              "arguments": c["arguments"],
+                              "status": "completed"})
+            content = parsed["content"]
+        items.append({
+            "type": "message", "role": "assistant",
+            "status": "completed",
+            "content": [{"type": "output_text", "text": content,
+                         "annotations": []}],
+        })
+        return items
 
     async def _stream_chat(self, request, body, prompt_ids, sp, dp=None):
         resp = web.StreamResponse(headers={
