@@ -428,6 +428,16 @@ class LLM:
                 secondary_offload_min_priority=(
                     args.kv_cache_config.secondary_offload_min_priority
                     or 0))
+            if args.kv_cache_config.disk_cache_dir:
+                # third tier: host-LRU victims demote to disk
+                # (runtime/kv_tiers.py; reference: kv_cache_manager_v2)
+                from ..runtime.kv_tiers import DiskKvStore
+                dbytes = args.kv_cache_config.disk_cache_size
+                kv_kwargs["disk_store"] = DiskKvStore(
+                    args.kv_cache_config.disk_cache_dir,
+                    max_blocks=max(1, dbytes //
+                                   self.engine.bytes_per_kv_block)
+                    if dbytes else 1 << 20)
         self.kv_cache_manager = kv_cls(
             num_blocks=self.engine.num_kv_pages,
             tokens_per_block=args.kv_cache_config.tokens_per_block,

@@ -31,6 +31,10 @@ class KvCacheConfig(StrictBaseModel):
     sink_token_length: int = 0
     free_gpu_memory_fraction: float = Field(0.9, gt=0.0, le=1.0)
     host_cache_size: Optional[int] = None
+    # tertiary KV tier: host-LRU victims demote to disk (reference:
+    # kv_cache_manager_v2 multi-tier storage); None = two tiers only
+    disk_cache_dir: Optional[str] = None
+    disk_cache_size: Optional[int] = None   # bytes
     enable_partial_reuse: bool = False
     copy_on_partial_reuse: bool = True
     event_buffer_max_size: int = 0

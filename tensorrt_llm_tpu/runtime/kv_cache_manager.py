@@ -69,7 +69,7 @@ class RadixNode:
     """Reuse-tree node: holds either a primary block, offloaded host
     data, or (transiently) neither before being pruned."""
     __slots__ = ("key", "parent", "children", "block", "host_data",
-                 "priority", "_lru_tick", "content_hash")
+                 "disk_key", "priority", "_lru_tick", "content_hash")
 
     def __init__(self, key: Optional[BlockKey] = None,
                  parent: Optional["RadixNode"] = None):
@@ -79,6 +79,7 @@ class RadixNode:
         self.children: Dict[BlockKey, "RadixNode"] = {}
         self.block: Optional["Block"] = None
         self.host_data = None
+        self.disk_key = None
         self.priority = DEFAULT_PRIORITY
         self._lru_tick = 0
 
@@ -118,6 +119,8 @@ class KvCacheStats:
     missed_blocks: int = 0
     cache_hit_rate: float = 0.0
     offloaded_blocks: int = 0
+    disk_blocks: int = 0
+    disk_onboarded_blocks: int = 0
     onboarded_blocks: int = 0
     host_blocks: int = 0
 
@@ -148,7 +151,8 @@ class KVCacheManager:
                  host_cache_blocks: int = 0,
                  offload_fn: Optional[Callable[[int], object]] = None,
                  onboard_fn: Optional[Callable[[int, object], None]] = None,
-                 secondary_offload_min_priority: int = 0):
+                 secondary_offload_min_priority: int = 0,
+                 disk_store=None):
         if tokens_per_block <= 0:
             raise ValueError("tokens_per_block must be positive")
         self.num_blocks = num_blocks
@@ -162,6 +166,10 @@ class KVCacheManager:
         self._onboard_fn = onboard_fn
         self.secondary_offload_min_priority = secondary_offload_min_priority
         self._host_lru: "OrderedDict[RadixNode, None]" = OrderedDict()
+        # tertiary tier (runtime/kv_tiers.py DiskKvStore; reference:
+        # kv_cache_manager_v2/_storage_manager.py CacheTier.DISK): host
+        # LRU victims demote to disk instead of dropping
+        self._disk = disk_store
 
         self._blocks = [Block(i) for i in range(num_blocks)]
         self._free: List[int] = list(range(num_blocks - 1, -1, -1))  # LIFO
@@ -406,6 +414,26 @@ class KVCacheManager:
             block.node = node
             self._stats.onboarded_blocks += 1
             return block
+        dkey = getattr(node, "disk_key", None)
+        if dkey is not None and self._disk is not None \
+                and self._onboard_fn is not None:
+            data = self._disk.get(dkey)
+            if data is None:
+                node.disk_key = None
+                return None
+            try:
+                block = self._allocate_block()
+            except NoFreeBlocksError:
+                return None
+            # disk -> device promotion (skips the host tier on a hit)
+            self._onboard_fn(block.block_id, data)
+            self._disk.drop(dkey)
+            node.disk_key = None
+            node.block = block
+            block.node = node
+            self._stats.onboarded_blocks += 1
+            self._stats.disk_onboarded_blocks += 1
+            return block
         return None
 
     def _release_block(self, block: Block) -> None:
@@ -468,8 +496,17 @@ class KVCacheManager:
             else hash(node.key)])
         while len(self._host_lru) > self.host_cache_blocks:
             victim, _ = self._host_lru.popitem(last=False)
+            if self._disk is not None:
+                # demote host -> disk (async copy engine; the executor
+                # loop never blocks on the write)
+                victim.disk_key = self._disk.put(victim.host_data)
+                victim.host_data = None
+                self._stats.disk_blocks += 1
+                self._push_event("demoted_disk", [
+                    victim.content_hash if victim.content_hash
+                    is not None else hash(victim.key)])
             # only detach subtree-safe (leaf) victims; non-leaves wait
-            if victim.is_leaf:
+            elif victim.is_leaf:
                 victim.detach()
             else:
                 victim.host_data = None
@@ -477,7 +514,8 @@ class KVCacheManager:
     def _maybe_prune(self, node: Optional[RadixNode]) -> None:
         """Remove dataless interior nodes that became childless."""
         while (node is not None and node is not self._root and node.is_leaf
-               and node.block is None and node.host_data is None):
+               and node.block is None and node.host_data is None
+               and getattr(node, "disk_key", None) is None):
             parent = node.parent
             node.detach()
             node = parent
