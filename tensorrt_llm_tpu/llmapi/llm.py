@@ -333,7 +333,8 @@ class LLM:
                 # supplies the head fn + params, so its own host-path
                 # KV pool shrinks to one slot
                 spec_device = sc.device_window and \
-                    self.mapping.world_size == 1
+                    self.mapping.world_size == 1 and \
+                    sc.eagle_tree_width <= 1
                 drafter = cls(
                     self.model, self._params,
                     max_draft_len=max_draft_len,
@@ -342,6 +343,8 @@ class LLM:
                     max_seq_len=args.max_seq_len,
                     head_state_dict=head_sd)
                 drafter.device_window = spec_device
+                if hasattr(drafter, "tree_width"):
+                    drafter.tree_width = sc.eagle_tree_width
             else:
                 raise NotImplementedError(
                     f"speculative mode {sc.mode} not yet supported")

@@ -141,6 +141,10 @@ class SpeculativeConfig(StrictBaseModel):
     # spec iterations per fused dispatch (0 = derive from
     # decode_multi_step)
     device_window_iters: int = 0
+    # EAGLE3 top-b TREE proposal (reference: eagle3.py dynamic tree):
+    # b nodes per level, max_draft_len//b levels; 0 = linear chain.
+    # Trees run on the host-orchestrated path (greedy tree verify).
+    eagle_tree_width: int = 0
 
 
 class SparseAttentionConfig(StrictBaseModel):

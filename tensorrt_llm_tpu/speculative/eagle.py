@@ -79,6 +79,9 @@ class Eagle3Drafter(Drafter):
             lm_w = jnp.asarray(lm["weight"], self.dtype)
         self.lm_head = jax.device_put({"weight": lm_w})
         self.acceptance_window: List[int] = []  # accepted-per-step stats
+        # top-b tree proposal (0/1 = linear chain): b nodes per level,
+        # depth = max_draft_len // b levels
+        self.tree_width = 0
 
     # ------------------------------------------------------------------ #
     def _load_head(self, sd, target_params):
@@ -234,6 +237,119 @@ class Eagle3Drafter(Drafter):
             self._fns[T] = self._build_fn(T)
         return self._fns[T]
 
+    # ------------------------------------------------------------------ #
+    # Tree proposal (reference: eagle3.py top-b tree drafting +
+    # speculativeDecoding tree kernels). The head expands a BEAM of b
+    # nodes per level: every node occupies its own head-KV slot at
+    # position base+node_idx and attends [verified history + ancestors]
+    # via the ancestry-bitmask attention (AttentionMetadata.tree_masks —
+    # the same mask machinery the target uses to VERIFY the tree).
+    # Output per request: draft_tokens in BFS order + draft_parents.
+    # ------------------------------------------------------------------ #
+    def _build_tree_fn(self, T: int, b: int, depth: int):
+        import jax
+        import jax.numpy as jnp
+        from ..ops.attention import AttentionMetadata
+
+        B = self.max_slots
+        P = self.pages_per_slot
+        ps = self.page_size
+        N = b * depth
+        oob = B * P * ps
+        page_indices = jnp.asarray(self._page_indices)
+        iota_b = jnp.arange(B, dtype=jnp.int32)
+
+        def propose(params, kv, embed_w, lm_head_w, feats, tok_ids,
+                    positions, slot_map, kv_lens, cu_q, logits_idx,
+                    next_pos, active):
+            # --- catch-up over the verified (token, feature) stream ---
+            md = AttentionMetadata(
+                kv_lens=kv_lens, page_indices=page_indices,
+                cu_q_lens=cu_q, num_seqs=jnp.full((1,), B, jnp.int32),
+                slot_mapping=slot_map, positions=positions,
+                logits_indices=logits_idx)
+            h, kv = self._head_forward(params, feats, tok_ids, kv, md,
+                                       embed_w)
+            f0 = h[logits_idx]                          # [B, H]
+            lg = jax.nn.log_softmax(
+                jnp.dot(f0, lm_head_w,
+                        preferred_element_type=jnp.float32), -1)
+            lp0, tok0 = jax.lax.top_k(lg, b)            # [B, b]
+
+            node_tok = jnp.zeros((B, N), jnp.int32)
+            node_par = jnp.full((B, N), -1, jnp.int32)
+            node_tok = node_tok.at[:, :b].set(tok0)
+            # frontier state: the b newest nodes per request
+            fr_feat = jnp.broadcast_to(f0[:, None, :],
+                                       (B, b, f0.shape[-1]))
+            fr_tok = tok0
+            fr_mask = jnp.broadcast_to(
+                (1 << jnp.arange(b, dtype=jnp.int32))[None], (B, b))
+            fr_lp = lp0
+            fr_idx = jnp.broadcast_to(
+                jnp.arange(b, dtype=jnp.int32)[None], (B, b))
+
+            def level(carry, l):
+                kv, node_tok, node_par, fr_feat, fr_tok, fr_mask, \
+                    fr_lp, fr_idx = carry
+                # write + expand the frontier: B*b rows, node positions
+                pos = (next_pos[:, None] + fr_idx).reshape(-1)
+                sm = jnp.where(
+                    jnp.repeat(active, b),
+                    page_indices[jnp.repeat(iota_b, b),
+                                 jnp.clip(pos // ps, 0, P - 1)] * ps
+                    + pos % ps, oob)
+                kvl = jnp.where(active, next_pos + l * b, 1)
+                md = AttentionMetadata(
+                    kv_lens=kvl, page_indices=page_indices,
+                    cu_q_lens=jnp.arange(B + 1, dtype=jnp.int32) * b,
+                    num_seqs=jnp.full((1,), B, jnp.int32),
+                    slot_mapping=sm, positions=pos,
+                    logits_indices=jnp.arange(B * b, dtype=jnp.int32),
+                    tree_masks=fr_mask.reshape(-1),
+                    tree_lens=jnp.where(active, l * b, 0))
+                hh, kv = self._head_forward(
+                    params, fr_feat.reshape(B * b, -1),
+                    fr_tok.reshape(-1), kv, md, embed_w)
+                lg = jax.nn.log_softmax(
+                    jnp.dot(hh, lm_head_w,
+                            preferred_element_type=jnp.float32), -1)
+                clp, ctok = jax.lax.top_k(lg.reshape(B, b, -1), b)
+                # b*b candidates per request -> global top-b by cum lp
+                cum = (fr_lp[:, :, None] + clp).reshape(B, b * b)
+                best_lp, flat = jax.lax.top_k(cum, b)   # [B, b]
+                par_row = flat // b                     # frontier row
+                new_idx = l * b + jnp.arange(b, dtype=jnp.int32)[None]
+                new_tok = jnp.take_along_axis(
+                    ctok.reshape(B, b * b), flat, axis=1)
+                node_tok = jax.lax.dynamic_update_slice(
+                    node_tok, new_tok, (0, l * b))
+                node_par = jax.lax.dynamic_update_slice(
+                    node_par, jnp.take_along_axis(fr_idx, par_row, axis=1),
+                    (0, l * b))
+                nfeat = jnp.take_along_axis(
+                    hh.reshape(B, b, -1), par_row[:, :, None], axis=1)
+                nmask = jnp.take_along_axis(fr_mask, par_row, axis=1) | \
+                    (1 << new_idx)
+                return (kv, node_tok, node_par, nfeat, new_tok, nmask,
+                        best_lp, jnp.broadcast_to(new_idx, (B, b))), None
+
+            if depth > 1:
+                carry = (kv, node_tok, node_par, fr_feat, fr_tok,
+                         fr_mask, fr_lp, fr_idx)
+                carry, _ = jax.lax.scan(level, carry,
+                                        jnp.arange(1, depth))
+                kv, node_tok, node_par = carry[0], carry[1], carry[2]
+            return node_tok, node_par, kv
+
+        return jax.jit(propose, donate_argnums=(1,))
+
+    def _get_tree_fn(self, T: int, b: int, depth: int):
+        key = ("tree", T, b, depth)
+        if key not in self._fns:
+            self._fns[key] = self._build_tree_fn(T, b, depth)
+        return self._fns[key]
+
     def _pick_bucket(self, n: int) -> int:
         for b in self.token_buckets:
             if n <= b:
@@ -297,21 +413,34 @@ class Eagle3Drafter(Drafter):
         cu_q[1:len(work) + 1] = np.cumsum([len(w[3]) for w in work])
         cu_q[len(work) + 1:] = cu_q[len(work)]
 
-        fn = self._get_fn(T)
-        toks, self.kv = fn(self.params, self.kv, self.embed,
-                           self.lm_head["weight"],
-                           jnp.asarray(feats_arr), jnp.asarray(tok_ids),
-                           jnp.asarray(positions), jnp.asarray(slot_map),
-                           jnp.asarray(kv_lens), jnp.asarray(cu_q),
-                           jnp.asarray(logits_idx), jnp.asarray(next_pos),
-                           jnp.asarray(active))
-        toks = np.asarray(toks)
+        args = (self.params, self.kv, self.embed,
+                self.lm_head["weight"],
+                jnp.asarray(feats_arr), jnp.asarray(tok_ids),
+                jnp.asarray(positions), jnp.asarray(slot_map),
+                jnp.asarray(kv_lens), jnp.asarray(cu_q),
+                jnp.asarray(logits_idx), jnp.asarray(next_pos),
+                jnp.asarray(active))
+        tree_b = self.tree_width if self.tree_width > 1 else 0
+        if tree_b and self.max_draft_len // tree_b >= 1:
+            depth = self.max_draft_len // tree_b
+            node_tok, node_par, self.kv = self._get_tree_fn(
+                T, tree_b, depth)(*args)
+            node_tok = np.asarray(node_tok)
+            node_par = np.asarray(node_par)
+        else:
+            tree_b = 0
+            toks, self.kv = self._get_fn(T)(*args)
+            toks = np.asarray(toks)
         for i, (req, slot, pos0, feats) in enumerate(work):
             # verified features are now resident up to pos0 + n; the
             # proposal's own KV beyond that is scratch (masked, then
             # overwritten by the next catch-up)
             self._state[req.request_id] = (slot, pos0 + len(feats))
             req.eagle_feats = req.eagle_feats[len(feats):]
+            if tree_b:
+                req.draft_tokens = [int(x) for x in node_tok[i]]
+                req.draft_parents = [int(x) for x in node_par[i]]
+                continue
             req.draft_tokens = [int(x) for x in toks[:, i]]
 
     def update(self, request: LlmRequest, accepted: List[int]) -> None:

@@ -120,3 +120,66 @@ def test_tree_and_chain_mixed_batch(repeat_model):
     ref = _run(repeat_model, prompts, sp)
     got = _run(repeat_model, prompts, sp, MixDrafter(2), 2)
     assert got == ref
+
+
+def test_eagle3_tree_proposal_lossless(repeat_model):
+    """EAGLE3 with top-b TREE proposal (speculative/eagle.py
+    _build_tree_fn): random head => ~zero acceptance, but the node-
+    indexed head KV, ancestry-mask expansion and tree verify must stay
+    lossless vs baseline greedy."""
+    from tensorrt_llm_tpu import LLM, KvCacheConfig
+    from tensorrt_llm_tpu.llmapi.llm_args import SpeculativeConfig
+
+    prompts = [[5, 9, 23, 44, 17], [3, 3, 7, 3, 3, 7, 3, 3]]
+    sp = SamplingParams(max_tokens=12, top_k=1)
+    kw = dict(model=repeat_model, skip_tokenizer_init=True,
+              dtype="float32", max_batch_size=8, max_input_len=64,
+              max_seq_len=160, max_num_tokens=256,
+              kv_cache_config=KvCacheConfig(tokens_per_block=16,
+                                            max_tokens=2048))
+    base = LLM(**kw)
+    ref = [o.outputs[0].token_ids for o in base.generate(prompts, sp)]
+    base.shutdown()
+    spec = LLM(speculative_config=SpeculativeConfig(
+        mode="EAGLE3", max_draft_len=6, eagle_tree_width=2), **kw)
+    assert spec.engine.sd is None       # trees take the host path
+    assert spec.executor.drafter.tree_width == 2
+    got = [o.outputs[0].token_ids for o in spec.generate(prompts, sp)]
+    spec.shutdown()
+    assert got == ref
+
+
+def test_eagle3_tree_shape_contract(repeat_model):
+    """The tree drafter emits BFS-ordered nodes with valid parents."""
+    from tensorrt_llm_tpu import LLM, KvCacheConfig
+    from tensorrt_llm_tpu.llmapi.llm_args import SpeculativeConfig
+
+    kw = dict(model=repeat_model, skip_tokenizer_init=True,
+              dtype="float32", max_batch_size=4, max_input_len=32,
+              max_seq_len=96, max_num_tokens=128,
+              kv_cache_config=KvCacheConfig(tokens_per_block=16,
+                                            max_tokens=1024))
+    spec = LLM(speculative_config=SpeculativeConfig(
+        mode="EAGLE3", max_draft_len=6, eagle_tree_width=3), **kw)
+    drafter = spec.executor.drafter
+    seen = {}
+    orig = drafter.prepare_draft_tokens
+
+    def spy(reqs):
+        orig(reqs)
+        for r in reqs:
+            if r.draft_tokens:
+                seen[r.request_id] = (list(r.draft_tokens),
+                                      list(r.draft_parents or []))
+    drafter.prepare_draft_tokens = spy
+    spec.generate([5, 9, 23], SamplingParams(max_tokens=8, top_k=1))
+    spec.shutdown()
+    assert seen, "tree drafter never proposed"
+    toks, parents = next(iter(seen.values()))
+    assert len(toks) == len(parents) == 6      # b=3 x depth=2
+    for j, p in enumerate(parents):
+        assert p < j                            # BFS: parent before child
+        if j < 3:
+            assert p == -1                      # level-0 roots
+        else:
+            assert 0 <= p < 3                   # children of level 0
