@@ -564,8 +564,9 @@ class PyExecutor:
                     ngen = len(batch.generation_requests) + \
                         (len(gen_window.generation_requests)
                          if gen_window is not None else 0)
-                    kind = "multi" if multi else \
-                        ("split" if gen_window is not None else "single")
+                    kind = wkind if multi else \
+                        (f"split+{gwkind}" if gen_window is not None
+                         else "single")
                     print(f"# iter {self.iter_counter}: sched={1e3*(t1-t0):.1f} "
                           f"fwd={1e3*(t2-t1):.1f} proc={1e3*(t3-t2):.1f} "
                           f"ctx={len(batch.context_requests)} "
