@@ -31,6 +31,7 @@ BOS = 256
 SEQ = 512
 BATCH = 16
 STEPS = 1200
+TIME_BUDGET_S = 2100   # save whatever we have at the budget
 LR = 3e-3
 
 
@@ -72,6 +73,15 @@ def main():
     rng = np.random.default_rng(0)
     model.train()
     t0 = time.time()
+
+    def save(vloss, step):
+        OUT.mkdir(parents=True, exist_ok=True)
+        model.save_pretrained(OUT, safe_serialization=True)
+        (OUT / "meta.json").write_text(json.dumps({
+            "val_loss": round(vloss, 4), "train_steps": step,
+            "corpus": "tensorrt_llm_tpu/**/*.py (byte-level)",
+            "params": n_params}, indent=1))
+
     for step, x in enumerate(batches(train, rng, STEPS)):
         out = model(input_ids=x, labels=x)
         out.loss.backward()
@@ -79,9 +89,14 @@ def main():
         opt.step()
         sched.step()
         opt.zero_grad(set_to_none=True)
-        if step % 100 == 0 or step == STEPS - 1:
+        if step % 50 == 0 or step == STEPS - 1:
             print(f"step {step:5d} loss {out.loss.item():.3f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
+        if step % 200 == 199:
+            save(float(out.loss.item()), step)   # crash insurance
+        if time.time() - t0 > TIME_BUDGET_S:
+            print(f"time budget hit at step {step}", flush=True)
+            break
 
     model.eval()
     with torch.no_grad():
@@ -93,14 +108,8 @@ def main():
     print(f"val loss {vloss:.3f} (ppl {math.exp(vloss):.2f}; "
           f"random init would be {math.log(257):.2f})")
 
-    OUT.mkdir(parents=True, exist_ok=True)
     model.to(torch.bfloat16)
-    model.save_pretrained(OUT, safe_serialization=True)
-    (OUT / "meta.json").write_text(json.dumps({
-        "val_loss": round(vloss, 4),
-        "train_steps": STEPS,
-        "corpus": "tensorrt_llm_tpu/**/*.py (byte-level)",
-        "params": n_params}, indent=1))
+    save(vloss, step)
     print(f"saved to {OUT}")
 
 
