@@ -106,11 +106,17 @@ def main():
     # (measured: 4.3x row deficit at bs256 128/128).
     max_tok = int(os.environ.get("BENCH_MAXTOK",
                                  str(max(2048, isl * (batch // 4)))))
+    # pipeline depth: windows in flight before the host blocks. Depth 4
+    # hides dispatch latency but delays slot release (and therefore next-
+    # wave prefill admission) by depth*K decode steps at wave boundaries
+    # — measured as a ~4-iteration near-empty drain bubble per wave.
+    depth = int(os.environ.get("BENCH_DEPTH", "2"))
     llm = LLM(model=cfg, skip_tokenizer_init=True,
               max_batch_size=batch, max_input_len=isl + 8,
               max_seq_len=max_seq, max_num_tokens=max_tok,
               quant_config=qc, load_format="dummy",
               decode_multi_step=multi_step,
+              max_inflight_steps=depth,
               kv_cache_config=KvCacheConfig(tokens_per_block=int(
                   os.environ.get("BENCH_PAGE", "32"))))
 

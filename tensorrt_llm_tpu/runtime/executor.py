@@ -302,6 +302,7 @@ class PyExecutor:
         self.iter_counter = 0
         import os
         self._trace_iters = os.environ.get("TLLM_TPU_TRACE_ITERS") == "1"
+        self._eager_drain = os.environ.get("TLLM_TPU_EAGER_DRAIN") == "1"
 
         # beam groups keyed by parent request id
         self._beam_groups: Dict[int, Any] = {}
@@ -557,6 +558,19 @@ class PyExecutor:
                         _InflightBatch(entries, tokens, logprobs, top_lp,
                                        hidden=hidden))
                 t2 = time.monotonic()
+                # opportunistically drain windows whose device results
+                # already landed: finished requests release slots/KV at
+                # the earliest possible iteration, so next-wave prefills
+                # admit without waiting for the pipeline to fill (the
+                # wave-boundary drain bubble measured in bench traces).
+                # OPT-IN: jax.Array.is_ready() wedges the tunneled axon
+                # backend (two reproduced hangs in device_get right
+                # after polling), so the default relies on pipeline
+                # depth alone.
+                if self._eager_drain:
+                    while self._inflight and self._inflight_ready(
+                            self._inflight[0]):
+                        self._process_inflight()
                 while len(self._inflight) >= self.pipeline_depth:
                     self._process_inflight()
                 t3 = time.monotonic()
@@ -1121,6 +1135,13 @@ class PyExecutor:
                 else:
                     req.draft_parents = \
                         list(req.draft_parents)[:len(req.draft_tokens)]
+
+    @staticmethod
+    def _inflight_ready(ib: _InflightBatch) -> bool:
+        try:
+            return bool(ib.tokens.is_ready())
+        except AttributeError:
+            return False
 
     def _process_inflight(self):
         if not self._inflight:
