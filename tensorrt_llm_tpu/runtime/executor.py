@@ -981,7 +981,10 @@ class PyExecutor:
             return False
         for r in gen_requests:
             sp = r.sampling_params
-            if (not sp.greedy or sp.use_beam_search or sp.logprobs
+            # sampled rows are welcome: seeded rows accept losslessly by
+            # position-keyed sample-and-match, unseeded by true
+            # rejection sampling (spec_window rejection_sample path)
+            if (sp.use_beam_search or sp.logprobs
                     or sp.bad_token_ids or sp.needs_penalties
                     or r.lora_task_id is not None
                     or sp.guided_decoding is not None

@@ -48,6 +48,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.attention import AttentionMetadata
+from ..ops.sampling_ops import SamplingTensors, rejection_sample
 
 
 @dataclasses.dataclass
@@ -149,7 +150,8 @@ def spec_seed(engine, tokens_dev, hidden_dev, rows: List[int],
         jnp.asarray(s), jnp.asarray(p), jnp.asarray(e))
 
 
-def build_spec_window(engine, K: int, Sb: int):
+def build_spec_window(engine, K: int, Sb: int,
+                      all_greedy: bool = True):
     sd = engine.sd
     model = engine.model
     d = sd.d
@@ -163,17 +165,31 @@ def build_spec_window(engine, K: int, Sb: int):
     H = model.hidden_size
     hf = sd.head_forward
 
+    import jax.random as jrandom
+    base_key = jrandom.PRNGKey(0)
+
     def window(params, kv_pages, prev_tokens, ints, stop_ids, page_indices,
-               hparams, hkv, embed_w, lm_head_w,
+               floats, counter, hparams, hkv, embed_w, lm_head_w,
                pend_toks_all, pend_feats_all, pend_n_all, pos_h_all,
                pos_t_all, emitted_t_all):
-        # ints i32[4, Sb]: out_slots, budget (window emission cap, bounds
+        # ints i32[7, Sb]: out_slots, budget (window emission cap, bounds
         # this window's KV writes to its pre-allocated pages), absolute
-        # max_tokens, absolute min_tokens. Positions + emitted counts are
-        # DEVICE state (pos_t/emitted_t): under overlap the host's
-        # num_device_tokens runs ahead by the unconsumed budget, so it
-        # can never be the source of truth for spec windows.
-        out_slots, budget, max_tok, min_tok = ints
+        # max_tokens, absolute min_tokens, top_k, greedy, row_seeds.
+        # floats f32[6, Sb]: temperature/top_p/min_p/penalties (penalty
+        # rows never take the window; slots are placeholders).
+        # Positions + emitted counts are DEVICE state (pos_t/emitted_t):
+        # under overlap the host's num_device_tokens runs ahead by the
+        # unconsumed budget, so it can never be the source of truth.
+        (out_slots, budget, max_tok, min_tok, top_k, greedy_i,
+         row_seeds) = ints
+        key0 = jrandom.fold_in(base_key, counter)
+        sampling = SamplingTensors(
+            temperature=floats[0], top_k=top_k, top_p=floats[1],
+            min_p=floats[2], greedy=greedy_i.astype(jnp.bool_),
+            repetition_penalty=floats[3],
+            presence_penalty=floats[4], frequency_penalty=floats[5])
+        sampling_r = jax.tree.map(lambda a: jnp.repeat(a, Dp, axis=0),
+                                  sampling)
         valid = out_slots >= 0
         slots_c = jnp.clip(out_slots, 0)
         iota = jnp.arange(Sb, dtype=jnp.int32)
@@ -195,7 +211,8 @@ def build_spec_window(engine, K: int, Sb: int):
 
         def live(carry):
             (kv_pages, hkv, ptoks, pfeats, pn, hpos, pos, active,
-             win, abs_e, last_tok) = carry
+             win, abs_e, last_tok, key) = carry
+            key = jrandom.fold_in(key, 1)
             # 1) head catch-up over pending pairs -> draft 0
             v = (jj[None] < pn[:, None]) & active[:, None]
             hp = hpos[:, None] + jj
@@ -266,13 +283,32 @@ def build_spec_window(engine, K: int, Sb: int):
                 params, qt.reshape(-1), kv_pages, md_t,
                 collect_hidden=True)
             lf = logits.astype(jnp.float32)
-            tgt = jnp.argmax(lf, -1).astype(jnp.int32).reshape(Sb, Dp)
-            logz = jax.nn.logsumexp(lf, -1)
-            chosen = jnp.take_along_axis(
-                lf, tgt.reshape(-1)[:, None], 1)[:, 0]
-            lp = (chosen - logz).reshape(Sb, Dp)
+            if all_greedy:
+                tgt = jnp.argmax(lf, -1).astype(jnp.int32).reshape(Sb, Dp)
+                logz = jax.nn.logsumexp(lf, -1)
+                chosen = jnp.take_along_axis(
+                    lf, tgt.reshape(-1)[:, None], 1)[:, 0]
+                lp = (chosen - logz).reshape(Sb, Dp)
+            else:
+                # lossless sampled acceptance (ops/sampling_ops.py
+                # rejection_sample): seeded rows draw the exact
+                # position-keyed sample the baseline would (bit-identical
+                # stream), unseeded rows true rejection sampling.
+                # Acceptance below (draft == emitted prefix) is the same
+                # rule either way.
+                dr = jnp.concatenate(
+                    [drafts, jnp.full((1, Sb), -1, jnp.int32)],
+                    axis=0).T.reshape(-1)               # row j <-> draft j
+                seeds_r = jnp.repeat(row_seeds, Dp, axis=0)
+                pos_r = jnp.repeat(pos + 1, Dp, axis=0) + \
+                    jnp.tile(jj, Sb)
+                toks_r, lp_r = rejection_sample(
+                    lf, sampling_r, key, dr,
+                    row_seeds=(seeds_r, pos_r))
+                tgt = toks_r.reshape(Sb, Dp)
+                lp = lp_r.reshape(Sb, Dp)
 
-            # 3) greedy acceptance: longest matching prefix + bonus
+            # 3) acceptance: longest draft==emitted prefix + bonus
             match = drafts.T == tgt[:, :d]
             acc = jnp.cumprod(match.astype(jnp.int32), axis=1).sum(axis=1)
             c0 = acc + 1
@@ -302,7 +338,7 @@ def build_spec_window(engine, K: int, Sb: int):
             new_last = jnp.where(emitted_any,
                                  tgt[iota, jnp.clip(c - 1, 0)], last_tok)
             return ((kv_pages, hkv, ptoks, pfeats, pn, hpos, pos + c,
-                     nxt_active, win + c, abs_e + c, new_last),
+                     nxt_active, win + c, abs_e + c, new_last, key),
                     (out_t, out_lp, c))
 
         def dead(carry):
@@ -315,11 +351,12 @@ def build_spec_window(engine, K: int, Sb: int):
 
         last0 = ptoks0[iota, jnp.clip(pn0 - 1, 0)]
         carry0 = (kv_pages, hkv, ptoks0, pfeats0, pn0, hpos0, pos0,
-                  active0, jnp.zeros((Sb,), jnp.int32), abs0, last0)
+                  active0, jnp.zeros((Sb,), jnp.int32), abs0, last0,
+                  key0)
         carry, (toks, lps, counts) = jax.lax.scan(body, carry0, None,
                                                   length=K)
         (kv_pages, hkv, ptoks, pfeats, pn, hpos, pos, _, win, abs_e,
-         last_tok) = carry
+         last_tok, _) = carry
         sidx = jnp.where(valid, out_slots, S)
         pend_toks_all = pend_toks_all.at[sidx].set(ptoks, mode="drop")
         pend_feats_all = pend_feats_all.at[sidx].set(pfeats, mode="drop")
@@ -332,7 +369,8 @@ def build_spec_window(engine, K: int, Sb: int):
                 pend_toks_all, pend_feats_all, pend_n_all, pos_h_all,
                 pos_t_all, emitted_t_all)
 
-    return jax.jit(window, donate_argnums=(1, 2, 7, 10, 11, 12, 13, 14, 15))
+    return jax.jit(window,
+                   donate_argnums=(1, 2, 9, 12, 13, 14, 15, 16, 17))
 
 
 def forward_spec_window(engine, batch) -> Any:
@@ -345,26 +383,40 @@ def forward_spec_window(engine, batch) -> Any:
     Sb = engine._pick_row_bucket(len(reqs))
     P = engine.pages_per_seq
     engine.iter_counter += 1
-    ints = np.zeros((4, Sb), np.int32)
+    ints = np.zeros((7, Sb), np.int32)
     ints[0] = -1
+    floats = np.zeros((6, Sb), np.float32)
+    floats[0] = 1.0
+    floats[1] = 1.0
+    floats[3] = 1.0
     stop_ids = np.full((Sb, engine.NSTOP), -1, np.int32)
     page_indices = np.zeros((Sb, P), np.int32)
+    all_greedy = True
     for i, r in enumerate(reqs):
         sp = r.sampling_params
         ints[0, i] = r.seq_slot
         ints[1, i] = r.spec_budget
         ints[2, i] = sp.max_tokens
         ints[3, i] = sp.min_tokens
+        ints[4, i] = sp.top_k
+        ints[5, i] = int(sp.greedy)
+        if sp.seed:
+            ints[6, i] = sp.seed & 0x7FFFFFFF or 1
+        all_greedy &= sp.greedy
+        floats[0, i] = max(sp.temperature, 1e-5)
+        floats[1, i] = sp.top_p
+        floats[2, i] = sp.min_p
         ids = list(sp.stop_id_list())[:engine.NSTOP]
         stop_ids[i, :len(ids)] = ids
         blocks = r.kv_block_ids
         page_indices[i, :len(blocks)] = blocks
-    key = ("spec", sd.K, Sb)
+    key = ("spec", sd.K, Sb, all_greedy)
     if key not in sd.fns:
-        sd.fns[key] = build_spec_window(engine, sd.K, Sb)
+        sd.fns[key] = build_spec_window(engine, sd.K, Sb, all_greedy)
     out = sd.fns[key](engine.params, engine.kv_pages, engine.prev_tokens,
                       jnp.asarray(ints), jnp.asarray(stop_ids),
-                      jnp.asarray(page_indices), sd.head_params, sd.kv,
+                      jnp.asarray(page_indices), jnp.asarray(floats),
+                      engine.iter_counter, sd.head_params, sd.kv,
                       sd.embed_w, sd.lm_head_w, sd.pend_toks,
                       sd.pend_feats, sd.pend_n, sd.pos_h, sd.pos_t,
                       sd.emitted_t)

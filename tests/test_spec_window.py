@@ -91,9 +91,29 @@ def test_spec_window_streams_and_cancel(tiny_model):
     spec.shutdown()
 
 
+def test_seeded_sampled_window_lossless(tiny_model):
+    """SEEDED sampled rows ride the window with position-keyed
+    sample-and-match acceptance: the emitted stream is bit-identical to
+    non-speculative seeded sampling (rejection_sample contract)."""
+    sp = SamplingParams(max_tokens=10, temperature=0.8, top_k=0,
+                        top_p=0.95, seed=1234)
+    base = make_llm(tiny_model)
+    ref = [o.outputs[0].token_ids
+           for o in base.generate([[5, 9, 23], [7, 8, 9, 10]], sp)]
+    base.shutdown()
+    spec = make_llm(tiny_model, speculative_config=SpeculativeConfig(
+        mode="EAGLE3", max_draft_len=3))
+    got = [o.outputs[0].token_ids
+           for o in spec.generate([[5, 9, 23], [7, 8, 9, 10]], sp)]
+    assert any(k[0] == "spec" and k[3] is False
+               for k in spec.engine.sd.fns), spec.engine.sd.fns.keys()
+    spec.shutdown()
+    assert got == ref
+
+
 def test_non_greedy_rows_fall_back(tiny_model):
-    """Sampled rows can't take the greedy-acceptance window; they decode
-    plainly (and seeded-greedy rows still match baseline)."""
+    """Mixed greedy + unseeded-sampled batch through the window path:
+    greedy rows still match baseline exactly."""
     spec = make_llm(tiny_model, speculative_config=SpeculativeConfig(
         mode="EAGLE3", max_draft_len=2))
     f1 = spec.generate_async([5, 9, 23], SamplingParams(
