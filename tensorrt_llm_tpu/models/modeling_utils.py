@@ -64,6 +64,8 @@ class ModelConfig:
     kv_scale: float = 1.0                 # per-tensor KV quant scale
     # top-k page-sparse decode (ops/sparse_attention.py); None = dense
     sparse_keep_pages: Optional[int] = None
+    # star attention prefill blocks (anchor+local); None = dense
+    star_block_size: Optional[int] = None
 
     def __post_init__(self):
         if self.kv_cache_dtype is None:
@@ -135,6 +137,7 @@ def attention_block(params: Dict[str, Any],
                     tp_axis: Optional[str] = None,
                     ring_cp: bool = False,
                     sparse_keep_pages: Optional[int] = None,
+                    star_block_size: Optional[int] = None,
                     lora_fn: Optional[Callable] = None,
                     pre_o: Optional[Callable] = None,
                     collect_kv_stats: bool = False
@@ -202,7 +205,8 @@ def attention_block(params: Dict[str, Any],
         sinks=params["sinks"] if spec.use_sinks else None,
         k_scale=ks, v_scale=ks, backend=attn_backend,
         mesh=mesh, tp_axis=tp_axis,
-        sparse_keep_pages=sparse_keep_pages)
+        sparse_keep_pages=sparse_keep_pages,
+        star_block_size=star_block_size)
     if mesh is not None and tp_axis is not None and \
             "cp" in ((tp_axis,) if isinstance(tp_axis, str) else tp_axis):
         # Ulysses boundary: attention output leaves head-sharded over

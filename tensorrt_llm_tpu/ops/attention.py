@@ -145,7 +145,8 @@ def ragged_paged_attention(
         backend: str = "auto",
         mesh=None,
         tp_axis: Optional[str] = None,
-        sparse_keep_pages: Optional[int] = None) -> jax.Array:
+        sparse_keep_pages: Optional[int] = None,
+        star_block_size: Optional[int] = None) -> jax.Array:
     """Mixed prefill/decode attention over the paged KV pool.
 
     With ``mesh``/``tp_axis`` set, the op runs under ``shard_map`` over
@@ -234,6 +235,14 @@ def ragged_paged_attention(
                 backend=backend, mesh=mesh, tp_axis=tp_axis)
 
         return jax.lax.cond(decode_only, sparse_path, dense_path, None)
+
+    if star_block_size is not None:
+        return _reference_attention(
+            q, kv_pages, metadata, sm_scale=sm_scale,
+            sliding_window=sliding_window, soft_cap=soft_cap,
+            alibi_slopes=alibi_slopes, sinks=sinks,
+            k_scale=k_scale, v_scale=v_scale,
+            star_block_size=star_block_size)
 
     if metadata.tree_masks is not None:
         # tree-draft ancestry mask: reference path only
@@ -333,7 +342,8 @@ def ragged_paged_attention(
 
 def _reference_attention(q, kv_pages, metadata, *, sm_scale,
                          sliding_window, soft_cap, k_scale, v_scale,
-                         alibi_slopes=None, sinks=None):
+                         alibi_slopes=None, sinks=None,
+                         star_block_size=None):
     """Dense gather-based paged attention, vectorized over sequences.
 
     Semantics match ref_ragged_paged_attention (jax.experimental RPA
@@ -392,6 +402,17 @@ def _reference_attention(q, kv_pages, metadata, *, sm_scale,
     valid = (kv_pos[None, :] <= tok_kv_pos[:, None]) & in_len
     if sliding_window is not None:
         valid &= kv_pos[None, :] > (tok_kv_pos[:, None] - sliding_window)
+    if star_block_size is not None:
+        # star attention (reference: attention_backend/star_flashinfer.py,
+        # the Star Attention scheme): context-phase tokens attend the
+        # ANCHOR block (block 0) plus their OWN block only; query-phase
+        # rows (decode: one q per seq) attend globally. Contexts within
+        # two blocks are exact by construction.
+        q_blk = tok_kv_pos[:, None] // star_block_size
+        kv_blk = kv_pos[None, :] // star_block_size
+        local = (kv_blk == 0) | (kv_blk == q_blk)
+        is_decode_row = (q_lens[seq_of_tok] == 1)[:, None]
+        valid &= local | is_decode_row
     if metadata.mm_group_pool is not None and \
             metadata.mm_groups_q is not None:
         # same-image q/kv pairs attend bidirectionally, overriding the
