@@ -468,8 +468,17 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
         # the TPU shape of DwdpManager.prefetch_first_layers
         dw = "dp" if (self.config.mapping.enable_dwdp
                       and self.config.mapping.dp_size > 1) else None
+        # HELIX CP (reference: mapping.py:533 repurpose_helix_cp_to_tp +
+        # kernels/helixKernels.cu): attention runs KV-page-sharded over
+        # cp (the ring path) while the cp ranks are REPURPOSED as extra
+        # tensor parallelism for the FFN — MLP weights shard over
+        # ("cp", "tp") so FFN FLOPs/bytes split across the whole group
+        from ..mapping import CpType
+        helix = (self.config.mapping.cp_size > 1
+                 and self.config.mapping.cp_type == CpType.HELIX)
+        mlp_tp = ("cp", "tp") if helix else "tp"
 
-        def linear_spec(p, col: bool):
+        def linear_spec(p, col: bool, tp="tp"):
             """col: output-dim sharded (P(None,'tp')); row: input-dim."""
             spec = {}
             for k, v in p.items():
@@ -478,19 +487,19 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
                     [None] * (nd - 2)
                 if k == "weight":
                     spec[k] = P(*lead,
-                                "tp" if not col else dw,
-                                "tp" if col else dw)
+                                tp if not col else dw,
+                                tp if col else dw)
                 elif k == "weight_scale":
                     if nd == 3:   # [L, K//G, N] groupwise: groups follow K
-                        spec[k] = P(pp, None if col else "tp",
-                                    "tp" if col else dw)
+                        spec[k] = P(pp, None if col else tp,
+                                    tp if col else dw)
                     else:         # [L, N] or [N] per-channel: follows N
                         spec[k] = P(*([pp] + [None] * max(0, nd - 2)
                                       if nd >= 2 else []),
-                                    "tp" if col else dw)
+                                    tp if col else dw)
                 else:             # bias / zeros follow output dim
                     spec[k] = P(*([pp] + [None] * (nd - 2) if nd >= 2
-                                  else []), "tp" if col else dw)
+                                  else []), tp if col else dw)
             return spec
 
         layers = params["layers"]
@@ -501,9 +510,9 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
             "k": linear_spec(layers["k"], col=True),
             "v": linear_spec(layers["v"], col=True),
             "o": linear_spec(layers["o"], col=False),
-            "gate": linear_spec(layers["gate"], col=True),
-            "up": linear_spec(layers["up"], col=True),
-            "down": linear_spec(layers["down"], col=False),
+            "gate": linear_spec(layers["gate"], col=True, tp=mlp_tp),
+            "up": linear_spec(layers["up"], col=True, tp=mlp_tp),
+            "down": linear_spec(layers["down"], col=False, tp=mlp_tp),
         }
         if "kv_scale" in layers:
             layer_specs["kv_scale"] = P(pp)

@@ -267,7 +267,7 @@ class DecoderModelForCausalLM:
         from ..mapping import CpType
         m = self.config.mapping
         return (self.mesh is not None and m.cp_size > 1
-                and m.cp_type == CpType.RING)
+                and m.cp_type in (CpType.RING, CpType.HELIX))
 
     def attn_shard_args(self):
         """(mesh, axes) for head-sharded attention under shard_map, or
@@ -283,7 +283,7 @@ class DecoderModelForCausalLM:
         axes = []
         from ..mapping import CpType
         if m.cp_size > 1 and m.cp_type == CpType.ULYSSES:
-            # RING CP shards KV pages, not heads (ops/cp_ring.py)
+            # RING/HELIX CP shard KV pages, not heads (ops/cp_ring.py)
             axes.append("cp")
         if m.tp_size > 1:
             axes.append("tp")

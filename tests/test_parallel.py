@@ -507,3 +507,50 @@ def test_ring_cp_forward_matches_single_device():
     # into the same global pool)
     np.testing.assert_allclose(np.asarray(new_kv), np.asarray(ref_kv),
                                rtol=5e-3, atol=5e-3)
+
+
+def test_helix_cp_forward_matches_single_device():
+    """HELIX CP (reference: mapping.py:533 repurpose_helix_cp_to_tp +
+    helixKernels.cu): ring-style KV-page-sharded attention with the cp
+    ranks repurposed as extra FFN tensor parallelism — MLP weights shard
+    over (cp, tp). Logits match the unsharded forward."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tensorrt_llm_tpu.mapping import CpType, Mapping
+    from tensorrt_llm_tpu.models import ModelConfig, get_model_class
+    from transformers import LlamaConfig
+    import __graft_entry__ as ge
+
+    hf = LlamaConfig(vocab_size=128, hidden_size=64,
+                     intermediate_size=128, num_hidden_layers=2,
+                     num_attention_heads=8, num_key_value_heads=4,
+                     max_position_embeddings=256)
+    mapping = Mapping.from_sizes(tp=2, cp=2, dp=2, cp_type=CpType.HELIX)
+    mc = ModelConfig(hf_config=hf, dtype=jnp.float32, mapping=mapping)
+    model = get_model_class(hf.model_type)(mc)
+    params = model.init_params(jax.random.PRNGKey(0))
+    T = 12
+    tokens = jnp.asarray(np.arange(T) % 120, jnp.int32)
+    md = ge._example_metadata(T, max_seqs=2, pages_per_seq=8)
+    ref_logits, _ = model.forward(params, tokens,
+                                  model.make_kv_pages(16, 16), md)
+
+    mesh = mapping.build_mesh()
+    model.mesh = mesh
+    assert model.ring_cp_active()
+    pspecs = model.param_pspecs(params)
+    # FFN weights really repurpose cp as tp
+    assert "cp" in str(pspecs["layers"]["gate"]["weight"])
+    shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
+                             is_leaf=lambda x: isinstance(x, P))
+    sparams = jax.device_put(params, shardings)
+    skv = jax.device_put(model.make_kv_pages(16, 16),
+                         NamedSharding(mesh, model.kv_pspec()))
+
+    @jax.jit
+    def fwd(p, t, k, m):
+        return model.forward(p, t, k, m)
+
+    with mesh:
+        logits, _ = fwd(sparams, tokens, skv, md)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               rtol=5e-3, atol=5e-3)
