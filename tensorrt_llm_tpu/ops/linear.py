@@ -155,8 +155,11 @@ class SmoothQuantMethod(LinearMethod):
 
 class Fp8QdqMethod(LinearMethod):
     """FP8 e4m3 per-tensor weights + dynamic per-tensor activations
-    (linear.py:600). On TPUs without native fp8 MXU paths XLA upcasts to
-    bf16 — correctness-equivalent, still half the weight HBM traffic."""
+    (linear.py:600). The weight stays fp8 in HBM (half the traffic); the
+    dot itself feeds XLA a NATIVE fp8xbf16 dot_general — probed working
+    on the attached TPU (chips without an fp8 MXU path upcast inside
+    XLA, numerically identical). TLLM_TPU_FP8_UPCAST=1 forces the
+    explicit bf16 upcast for comparison."""
     name = "fp8"
 
     def quantize_weights(self, w, dtype=jnp.bfloat16):
@@ -164,9 +167,16 @@ class Fp8QdqMethod(LinearMethod):
         return {"weight": q, "weight_scale": s}
 
     def apply(self, params, x):
-        w = params["weight"].astype(jnp.bfloat16)
-        out = jnp.dot(x.astype(jnp.bfloat16), w,
-                      preferred_element_type=jnp.float32)
+        import os
+        if os.environ.get("TLLM_TPU_FP8_UPCAST") == "1":
+            w = params["weight"].astype(jnp.bfloat16)
+            out = jnp.dot(x.astype(jnp.bfloat16), w,
+                          preferred_element_type=jnp.float32)
+        else:
+            out = jax.lax.dot_general(
+                x.astype(jnp.bfloat16), params["weight"],
+                (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
         out = (out * params["weight_scale"]).astype(x.dtype)
         if "bias" in params:
             out = out + params["bias"]
