@@ -409,6 +409,24 @@ class PyExecutor:
                         self._broadcast_schedule(batch, paused)
                     if paused:
                         self._pause_requests(paused, batch)
+                # mixed-eligibility decode batches: rows that qualify
+                # for the fused speculative window split into their own
+                # dispatch so one guided/logprobs/beam row doesn't
+                # demote everyone else's speculation
+                spec_side = None
+                if (self.engine.sd is not None and self.role == "single"
+                        and not batch.context_requests
+                        and batch.generation_requests):
+                    elig = [r for r in batch.generation_requests
+                            if self._spec_row_ok(r)]
+                    if elig and len(elig) < len(
+                            batch.generation_requests):
+                        rest = [r for r in batch.generation_requests
+                                if not self._spec_row_ok(r)]
+                        spec_side = ScheduledRequests(
+                            generation_requests=elig)
+                        batch = ScheduledRequests(
+                            generation_requests=rest)
                 # window kind for pure-decode batches: "spec" = fused
                 # speculative window (runtime/spec_window.py), "multi" =
                 # K-step decode window, None = plain single step
@@ -441,6 +459,16 @@ class PyExecutor:
                             generation_requests=batch.generation_requests)
                         batch = ScheduledRequests(
                             context_requests=batch.context_requests)
+                if spec_side is not None:
+                    self._prepare_resources_spec(spec_side)
+                    if spec_side.generation_requests:
+                        tokens, logprobs, counts, emitted = \
+                            self.engine.forward_spec_window(spec_side)
+                        entries, planned = self._advance_spec(spec_side)
+                        self._inflight.append(_InflightBatch(
+                            entries, tokens, logprobs, kind="spec",
+                            emitted=emitted, planned=planned,
+                            counts=counts))
                 if not batch.is_empty or gen_window is not None:
                     if self.drafter is not None and not multi \
                             and self.engine.sd is None \
@@ -979,23 +1007,24 @@ class PyExecutor:
         sd = self.engine.sd
         if sd is None or not gen_requests:
             return False
-        for r in gen_requests:
-            sp = r.sampling_params
-            # sampled rows are welcome: seeded rows accept losslessly by
-            # position-keyed sample-and-match, unseeded by true
-            # rejection sampling (spec_window rejection_sample path)
-            if (sp.use_beam_search or sp.logprobs
-                    or sp.bad_token_ids or sp.needs_penalties
-                    or r.lora_task_id is not None
-                    or sp.guided_decoding is not None
-                    or len(sp.stop_id_list()) > self.engine.NSTOP
-                    or not getattr(r, "spec_seeded", False)):
-                return False
-            outs = r.num_device_tokens - r.prompt_len
-            room = self.engine.max_seq_len - r.num_device_tokens - sd.d
-            if min(sp.max_tokens - outs, room) < 1:
-                return False
-        return True
+        return all(self._spec_row_ok(r) for r in gen_requests)
+
+    def _spec_row_ok(self, r) -> bool:
+        sd = self.engine.sd
+        sp = r.sampling_params
+        # sampled rows are welcome: seeded rows accept losslessly by
+        # position-keyed sample-and-match, unseeded by true
+        # rejection sampling (spec_window rejection_sample path)
+        if (sp.use_beam_search or sp.logprobs
+                or sp.bad_token_ids or sp.needs_penalties
+                or r.lora_task_id is not None
+                or sp.guided_decoding is not None
+                or len(sp.stop_id_list()) > self.engine.NSTOP
+                or not getattr(r, "spec_seeded", False)):
+            return False
+        outs = r.num_device_tokens - r.prompt_len
+        room = self.engine.max_seq_len - r.num_device_tokens - sd.d
+        return min(sp.max_tokens - outs, room) >= 1
 
     def _prepare_resources_spec(self, batch: ScheduledRequests):
         """KV pre-allocation for the fused window: the emission budget

@@ -128,3 +128,26 @@ def test_non_greedy_rows_fall_back(tiny_model):
                                                      top_k=1))
     base.shutdown()
     assert g1 == ref[0].outputs[0].token_ids
+
+
+def test_mixed_batch_splits_spec_from_logprobs_rows(tiny_model):
+    """A logprobs row shares the engine with spec-eligible rows: the
+    eligible rows still ride spec windows (split dispatch), everyone is
+    lossless vs baseline."""
+    spec = make_llm(tiny_model, speculative_config=SpeculativeConfig(
+        mode="EAGLE3", max_draft_len=2))
+    sp_fast = SamplingParams(max_tokens=12, top_k=1)
+    sp_lp = SamplingParams(max_tokens=12, top_k=1, logprobs=1)
+    f1 = spec.generate_async([5, 9, 23], sp_fast)
+    f2 = spec.generate_async([7, 8, 9], sp_lp)
+    g1 = f1.result(timeout=300).outputs[0].token_ids
+    o2 = f2.result(timeout=300).outputs[0]
+    assert any(k[0] == "spec" for k in spec.engine.sd.fns)
+    spec.shutdown()
+    base = make_llm(tiny_model)
+    r1 = base.generate([[5, 9, 23]], sp_fast)[0].outputs[0].token_ids
+    r2 = base.generate([[7, 8, 9]], sp_lp)[0].outputs[0]
+    base.shutdown()
+    assert g1 == r1
+    assert o2.token_ids == r2.token_ids
+    assert o2.logprobs is not None
