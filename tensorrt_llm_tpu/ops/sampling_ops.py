@@ -252,3 +252,48 @@ def top_logprobs(logits: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
     lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     vals, ids = jax.lax.top_k(lp, k)
     return vals, ids.astype(jnp.int32)
+
+
+NGRAM_MAX = 8  # largest supported no_repeat_ngram_size (static bound)
+
+
+def ngram_ban_mask(hist_rows: jax.Array,       # i32[S, L] per-row history
+                   ngram_n: jax.Array,         # i32[S] (0 = off)
+                   sample_idx: jax.Array,      # i32[S] seq index being sampled
+                   row_valid: jax.Array,       # bool[S]
+                   vocab_size: int) -> jax.Array:
+    """In-graph no-repeat-ngram ban (reference:
+    cpp/tensorrt_llm/kernels/banRepeatNgram/banRepeatNgram.cu — ban any
+    token v whose appended n-gram already occurs in the sequence).
+
+    ``hist_rows[s, i]`` holds the token at sequence index ``i`` (prompt +
+    committed outputs, written by the engine). The token about to be
+    sampled lands at index ``sample_idx[s]``; its preceding (n-1)-gram is
+    ``hist[sample_idx-n+1 : sample_idx]``. For every earlier start j with
+    ``hist[j : j+n-1]`` equal to that gram, token ``hist[j+n-1]`` is
+    banned. Returns bool[S, vocab] — True = banned.
+    """
+    S, L = hist_rows.shape
+    NM = NGRAM_MAX
+    n = ngram_n
+    pos = jnp.arange(L, dtype=jnp.int32)
+    # the trailing (n-1)-gram, gathered per row
+    i_iota = jnp.arange(NM - 1, dtype=jnp.int32)
+    pidx = sample_idx[:, None] - n[:, None] + 1 + i_iota[None, :]
+    pvalid = i_iota[None, :] < (n[:, None] - 1)
+    pref = jnp.take_along_axis(hist_rows, jnp.clip(pidx, 0, L - 1), axis=1)
+    # window match at every start j (shifted static-slice compares)
+    hp = jnp.pad(hist_rows, ((0, 0), (0, NM)), constant_values=-1)
+    match = jnp.ones((S, L), bool)
+    for i in range(NM - 1):
+        eq = hp[:, i:i + L] == pref[:, i][:, None]
+        match &= eq | ~pvalid[:, i][:, None]
+    # j must leave room for the full n-gram strictly before sample_idx
+    valid_j = (pos[None, :] <= sample_idx[:, None] - n[:, None]) & \
+        (n[:, None] > 0) & row_valid[:, None]
+    src = match & valid_j
+    bidx = jnp.clip(pos[None, :] + n[:, None] - 1, 0, L - 1)
+    btok = jnp.take_along_axis(hist_rows, bidx, axis=1)      # [S, L]
+    cols = jnp.where(src, btok, vocab_size)                  # drop non-hits
+    ban = jnp.zeros((S, vocab_size), bool)
+    return ban.at[jnp.arange(S)[:, None], cols].set(True, mode="drop")

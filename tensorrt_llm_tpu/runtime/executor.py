@@ -154,6 +154,34 @@ class GenerationResult:
             return ""
 
 
+def _host_sample(logits: np.ndarray, sp, step_idx: int):
+    """Host-side sampling for the logits-processor path (sync mode only;
+    reference: TorchSampler applies per-request processors between
+    forward and sample, sampler.py:1280)."""
+    lf = logits.astype(np.float64)
+    if sp.greedy:
+        tok = int(np.argmax(lf))
+    else:
+        l = lf / max(sp.temperature, 1e-5)
+        if sp.top_k > 0:
+            kth = np.partition(l, -sp.top_k)[-sp.top_k]
+            l = np.where(l < kth, -np.inf, l)
+        if sp.top_p < 1.0:
+            order = np.argsort(-l)
+            p = np.exp(l[order] - l[order[0]])
+            p = p / p.sum()
+            keep = np.cumsum(p) - p <= sp.top_p
+            mask = np.full_like(l, -np.inf)
+            mask[order[keep]] = l[order[keep]]
+            l = mask
+        p = np.exp(l - np.max(l))
+        p = p / p.sum()
+        rng = np.random.default_rng(((sp.seed or 0) << 20) ^ step_idx)
+        tok = int(rng.choice(len(p), p=p))
+    logz = np.logaddexp.reduce(lf)
+    return tok, float(lf[tok] - logz)
+
+
 @dataclasses.dataclass
 class _BatchEntry:
     request: LlmRequest
@@ -173,6 +201,7 @@ class _InflightBatch:
     planned: Optional[List[int]] = None  # multi/spec: per-row budget
     hidden: Any = None          # EAGLE features [S*G, H] (device future)
     counts: Any = None          # spec: device i32[K, S] per-iter emits
+    logits_rows: Any = None     # host logits-processor path: f32[S*G, V]
 
 
 @dataclasses.dataclass
@@ -329,6 +358,24 @@ class PyExecutor:
                kv_endpoint=None) -> GenerationResult:
         if self._shutdown.is_set():
             raise RuntimeError("executor is shut down")
+        sp = request.sampling_params
+        if sp.logits_processor is not None and self.enable_overlap:
+            raise ValueError(
+                "logits_processor needs the sync scheduler: build the LLM "
+                "with disable_overlap_scheduler=True (reference gates "
+                "per-request processors the same way)")
+        if sp.no_repeat_ngram_size > 0:
+            if sp.use_beam_search:
+                raise ValueError(
+                    "no_repeat_ngram_size is not supported with beam "
+                    "search")
+            if sp.logits_processor is not None:
+                raise ValueError(
+                    "no_repeat_ngram_size cannot combine with a "
+                    "logits_processor (the in-graph history would record "
+                    "the pre-processor sample)")
+            if sp.no_repeat_ngram_size > 8:
+                raise ValueError("no_repeat_ngram_size must be <= 8")
         res = GenerationResult(request, tokenizer=self.tokenizer,
                                streaming=request.streaming,
                                postproc_pool=self._postproc)
@@ -560,15 +607,22 @@ class PyExecutor:
                             seed_emit.append(
                                 r.context_len - r.prompt_len + 1)
                             r.spec_seeded = True
+                    use_proc = any(
+                        r.sampling_params.logits_processor is not None
+                        for r in batch.all_requests)
                     if wants_hidden or seed_rows:
                         tokens, logprobs, top_lp, hidden = \
                             self.engine.forward_step(
                                 batch, use_penalties=use_pen,
-                                logits_mask=mask, collect_hidden=True)
+                                logits_mask=mask, collect_hidden=True,
+                                collect_logits=use_proc)
                     else:
                         hidden = None
                         tokens, logprobs, top_lp = self.engine.forward_step(
-                            batch, use_penalties=use_pen, logits_mask=mask)
+                            batch, use_penalties=use_pen, logits_mask=mask,
+                            collect_logits=use_proc)
+                    logits_rows = self.engine._last_logits_rows \
+                        if use_proc else None
                     if seed_rows:
                         self.engine.spec_seed(tokens, hidden, seed_rows,
                                               seed_slots, seed_pos,
@@ -584,7 +638,8 @@ class PyExecutor:
                     entries = self._advance_device_state(batch)
                     self._inflight.append(
                         _InflightBatch(entries, tokens, logprobs, top_lp,
-                                       hidden=hidden))
+                                       hidden=hidden,
+                                       logits_rows=logits_rows))
                 t2 = time.monotonic()
                 # opportunistically drain windows whose device results
                 # already landed: finished requests release slots/KV at
@@ -831,6 +886,17 @@ class PyExecutor:
                                 res._on_error(e)
                         continue
                 new_slots.append(req.seq_slot)
+                sp = req.sampling_params
+                if sp.no_repeat_ngram_size > 0:
+                    # seed the device token history with the prompt
+                    self.engine.write_history(req.seq_slot,
+                                              req.prompt_token_ids)
+                if sp.embedding_bias is not None:
+                    self.engine.set_embedding_bias(req.seq_slot,
+                                                   sp.embedding_bias)
+                elif self.engine.bias_pool is not None:
+                    # recycled slot must not inherit a previous bias
+                    self.engine.set_embedding_bias(req.seq_slot, None)
                 if getattr(req, "cross_states", None) is not None:
                     # cross-attention VLMs (mllama): upload the request's
                     # per-layer vision K/V into its slot at admission
@@ -901,6 +967,7 @@ class PyExecutor:
         for r in gen_requests:
             sp = r.sampling_params
             if (sp.use_beam_search or sp.logprobs or sp.bad_token_ids
+                    or sp.logits_processor is not None
                     or r.lora_task_id is not None or r.draft_tokens
                     or len(sp.stop_id_list()) > self.engine.NSTOP):
                 return False
@@ -1017,6 +1084,8 @@ class PyExecutor:
         # rejection sampling (spec_window rejection_sample path)
         if (sp.use_beam_search or sp.logprobs
                 or sp.bad_token_ids or sp.needs_penalties
+                or sp.embedding_bias is not None
+                or sp.logits_processor is not None
                 or r.lora_task_id is not None
                 or sp.guided_decoding is not None
                 or len(sp.stop_id_list()) > self.engine.NSTOP
@@ -1145,6 +1214,7 @@ class PyExecutor:
             sp = r.sampling_params
             return (sp.guided_decoding is None
                     and not sp.needs_penalties
+                    and sp.logits_processor is None
                     and not sp.use_beam_search)
         gen = [r for r in batch.generation_requests if draftable(r)]
         self.drafter.prepare_draft_tokens(gen)
@@ -1188,6 +1258,11 @@ class PyExecutor:
         import jax
         tokens, logprobs = jax.device_get(
             (batch.tokens, batch.logprobs))    # sync point, one fetch
+        logits_np = None
+        if batch.logits_rows is not None:
+            logits_np = np.asarray(jax.device_get(batch.logits_rows))
+            tokens = np.array(tokens)          # writable for overrides
+            logprobs = np.array(logprobs)
         top_lp = None
         if batch.top_logprobs is not None:
             tl_vals, tl_ids = jax.device_get(batch.top_logprobs)
@@ -1209,6 +1284,25 @@ class PyExecutor:
                 continue  # stopped while this step was in flight
             if not entry.samples_output:
                 continue  # mid-context chunk: logits unused
+            proc = req.sampling_params.logits_processor
+            if proc is not None and logits_np is not None:
+                # host logits-processor path (sync mode): process the
+                # row's logits, re-sample on host, and override the
+                # device sample so every downstream consumer (stop
+                # strings, streaming, host_token_override) sees it
+                G_all = tokens.shape[1]
+                row = logits_np[i * G_all].copy()
+                try:
+                    out = proc(req.request_id, row,
+                               [list(req.output_token_ids)], None, None)
+                except TypeError:
+                    out = proc(row)
+                if out is not None:
+                    row = np.asarray(out, np.float64).reshape(-1)
+                tok_h, lp_h = _host_sample(row, req.sampling_params,
+                                           req.num_output_tokens)
+                tokens[i, 0] = tok_h
+                logprobs[i, 0] = lp_h
             # greedy draft verification (reference: speculativeDecoding
             # acceptance-by-logits): accept the longest prefix of drafts
             # matching the target's own samples, plus one bonus token.

@@ -137,6 +137,14 @@ class ModelEngine:
         self._g_set_fn = None
         # device-resident speculative windows (runtime/spec_window.py)
         self.sd = None
+        # no-repeat-ngram token history + embedding-bias pool (lazy;
+        # reference: banRepeatNgram kernels, embedding_bias in
+        # sampling_params.py:96). Slot-indexed like prev_tokens.
+        self.ngram_history = None
+        self.bias_pool = None
+        self._hist_set_fn = None
+        self._bias_set_fn = None
+        self._last_logits_rows = None
 
     # ------------------------------------------------------------------ #
     # Device-resident guided decoding state (pool arrays are jit operands;
@@ -170,6 +178,53 @@ class ModelEngine:
                               self.g_eos_ok, jnp.asarray(byte_table),
                               jnp.asarray(mask_bits), jnp.asarray(eos_ok),
                               base)
+
+    # ------------------------------------------------------------------ #
+    # no-repeat-ngram history + per-slot embedding bias (reference:
+    # cpp/tensorrt_llm/kernels/banRepeatNgram/, sampling_params.py:96)
+    # ------------------------------------------------------------------ #
+    def write_history(self, slot: int, tokens) -> None:
+        """Upload a request's prompt into the slot-indexed token history
+        (sampled tokens append in-graph)."""
+        if self.ngram_history is None:
+            self.ngram_history = jnp.zeros(
+                (self.max_batch_size, self.max_seq_len), jnp.int32)
+        row = np.zeros(self.max_seq_len, np.int32)
+        m = min(len(tokens), self.max_seq_len)
+        row[:m] = np.asarray(tokens[:m], np.int32)
+        if self._hist_set_fn is None:
+            def st(h, slot, row):
+                return h.at[slot].set(row)
+            self._hist_set_fn = jax.jit(st, donate_argnums=(0,))
+        self.ngram_history = self._hist_set_fn(
+            self.ngram_history, slot, jnp.asarray(row))
+
+    def set_embedding_bias(self, slot: int, bias) -> None:
+        """Land a request's [vocab] logit bias in the slot pool (None
+        clears — required for recycled slots once the pool exists)."""
+        if self.bias_pool is None:
+            if bias is None:
+                return
+            self.bias_pool = jnp.zeros(
+                (self.max_batch_size, self.model.vocab_size), jnp.float32)
+        V = self.model.vocab_size
+        vec = np.zeros(V, np.float32)
+        if bias is not None:
+            b = np.asarray(bias, np.float32).reshape(-1)
+            vec[:min(V, b.shape[0])] = b[:V]
+        if self._bias_set_fn is None:
+            def st(p, slot, row):
+                return p.at[slot].set(row)
+            self._bias_set_fn = jax.jit(st, donate_argnums=(0,))
+        self.bias_pool = self._bias_set_fn(self.bias_pool, slot,
+                                           jnp.asarray(vec))
+
+    def _aux_args(self, use_ngram: bool, use_bias: bool):
+        """(history, bias_pool) jit operands, dummies when unused."""
+        hist = self.ngram_history if use_ngram else \
+            jnp.zeros((1, 1), jnp.int32)
+        bias = self.bias_pool if use_bias else jnp.zeros((1, 1), jnp.float32)
+        return hist, bias
 
     def guided_set_state(self, slot: int, state: int) -> None:
         """state = pool-global grammar state; -1 clears the slot."""
@@ -268,7 +323,8 @@ class ModelEngine:
                     all_greedy: bool = False, num_logprobs: int = 0,
                     use_embeds: bool = False, use_lora: bool = False,
                     use_hidden: bool = False, use_tree: bool = False,
-                    use_guided: bool = False):
+                    use_guided: bool = False, use_ngram: bool = False,
+                    use_bias: bool = False, collect_logits: bool = False):
         model = self.model
         G = self.max_draft_len + 1  # logits gathered per sequence
         S = self.max_batch_size
@@ -277,7 +333,7 @@ class ModelEngine:
         def step(params, kv_pages, prev_tokens, token_counts,
                  ints_t, ints_s, page_indices, floats, logits_mask,
                  input_embeds, lora_params, g_state, g_byte, g_mask,
-                 g_eos_ok, g_tok_bytes, g_tok_lens):
+                 g_eos_ok, g_tok_bytes, g_tok_lens, hist, bias_pool):
             # Per-step host metadata arrives packed in four arrays (the
             # tunnel/PCIe round-trip per transfer is the decode-latency
             # floor, so transfers are minimized):
@@ -307,7 +363,8 @@ class ModelEngine:
             num_seqs = ints_s[o:o + 1]; o += 1
             counter = ints_s[o]; o += 1
             row_seeds = ints_s[o:o + S]; o += S
-            draft_ids = ints_s[o:o + S * G]  # -1 = no draft (G>1 only)
+            draft_ids = ints_s[o:o + S * G]; o += S * G  # -1 = no draft
+            ngram_n = ints_s[o:o + S]  # no_repeat_ngram_size per row
             tree_lens = None
             if use_tree:
                 _li = logits_indices.reshape(S, G)
@@ -376,6 +433,27 @@ class ModelEngine:
                     g_eos_ok[gsc])
                 neg = jnp.asarray(jnp.finfo(jnp.float32).min, logits.dtype)
                 logits = jnp.where(g_act[:, None] & ~allowed, neg, logits)
+            if use_bias:
+                # per-slot embedding bias folded into the logits
+                # (reference: embedding_bias in dynamic decode)
+                brow = bias_pool[jnp.clip(out_slots, 0)]
+                brow = jnp.where((out_slots >= 0)[:, None], brow, 0.0)
+                if G > 1:
+                    brow = jnp.repeat(brow, G, axis=0)
+                logits = logits + brow.astype(logits.dtype)
+            if use_ngram:
+                # no-repeat-ngram ban over the slot-indexed token history
+                # (reference: banRepeatNgram kernels). The token being
+                # sampled lands at sequence index kv_len.
+                from ..ops.sampling_ops import ngram_ban_mask
+                hrows = hist[jnp.clip(out_slots, 0)]
+                ban = ngram_ban_mask(
+                    hrows, ngram_n, kv_lens,
+                    (out_slots >= 0) & (ngram_n > 0), logits.shape[-1])
+                if G > 1:
+                    ban = jnp.repeat(ban, G, axis=0)
+                neg = jnp.asarray(jnp.finfo(jnp.float32).min, logits.dtype)
+                logits = jnp.where(ban, neg, logits)
             # token_counts is SLOT-indexed [num_slots, V]; logits rows are
             # batch-ordered — gather each row's count history by its slot
             # (rows with out_slots == -1 are padding/mid-chunk: row 0's
@@ -434,6 +512,13 @@ class ModelEngine:
             nslots = prev_tokens.shape[0]
             slot_idx = jnp.where(out_slots >= 0, out_slots, nslots)
             prev_tokens = prev_tokens.at[slot_idx].set(first, mode="drop")
+            if use_ngram:
+                # append the sampled token at its sequence index
+                Lh = hist.shape[1]
+                wrow = jnp.where((out_slots >= 0) & (kv_lens < Lh),
+                                 out_slots, nslots)
+                hist = hist.at[wrow, jnp.clip(kv_lens, 0, Lh - 1)].set(
+                    first, mode="drop")
             if use_guided:
                 # advance the grammar: walk the sampled token's bytes
                 # through the pooled byte DFA (the token-level transition
@@ -459,10 +544,15 @@ class ModelEngine:
                 tl_vals, tl_ids = top_logprobs(logits, num_logprobs)
             else:
                 tl_vals = tl_ids = jnp.zeros((0,), jnp.int32)
+            # host logits-processor path: ship the processed logits rows
+            logits_out = logits.astype(jnp.float32) if collect_logits \
+                else jnp.zeros((0,), jnp.float32)
             return (new_tokens, logprobs, tl_vals, tl_ids, prev_tokens,
-                    token_counts, kv_pages, hidden, g_state)
+                    token_counts, kv_pages, hidden, g_state, hist,
+                    logits_out)
 
-        donate = (1, 2, 3, 11)  # kv_pages, prev_tokens, token_counts, g_state
+        # kv_pages, prev_tokens, token_counts, g_state, ngram history
+        donate = (1, 2, 3, 11, 17)
         return jax.jit(step, donate_argnums=donate)
 
     # ------------------------------------------------------------------ #
@@ -478,7 +568,8 @@ class ModelEngine:
     NSTOP = 8  # stop-token ids checked in-graph per row
 
     def _build_multi_step(self, K: int, Sb: int, use_penalties: bool,
-                          all_greedy: bool, use_guided: bool = False):
+                          all_greedy: bool, use_guided: bool = False,
+                          use_ngram: bool = False, use_bias: bool = False):
         model = self.model
         ps, P = self.page_size, self.pages_per_seq
         num_slots_oob = self.num_kv_pages * self.page_size
@@ -488,11 +579,11 @@ class ModelEngine:
         def multi_step(params, kv_pages, prev_tokens, token_counts,
                        ints, stop_ids, page_indices, floats, counter,
                        g_state, g_byte, g_mask, g_eos_ok, g_tok_bytes,
-                       g_tok_lens):
+                       g_tok_lens, hist, bias_pool):
             # ints i32[10, Sb]: token_ids, prev_slot, start_pos, out_slots,
-            #   top_k, greedy, max_new, stop_gate, row_seeds, (spare)
+            #   top_k, greedy, max_new, stop_gate, row_seeds, ngram_n
             (token_ids, prev_slot, start_pos, out_slots, top_k, greedy_i,
-             max_new, stop_gate, row_seeds, _) = ints
+             max_new, stop_gate, row_seeds, ngram_n) = ints
             sampling = SamplingTensors(
                 temperature=floats[0], top_k=top_k, top_p=floats[1],
                 min_p=floats[2], greedy=greedy_i.astype(bool),
@@ -513,10 +604,14 @@ class ModelEngine:
             # to the slot-indexed array once at window end
             gst0 = g_state[jnp.clip(out_slots, 0)] if use_guided else \
                 jnp.zeros((Sb,), jnp.int32)
+            brow = None
+            if use_bias:
+                brow = bias_pool[jnp.clip(out_slots, 0)]
+                brow = jnp.where(valid[:, None], brow, 0.0)
 
             def live(carry):
                 (kv_pages, prev_tokens, token_counts, cur, pos, active,
-                 emitted, key, gst) = carry
+                 emitted, key, gst, hist) = carry
                 kv_len = jnp.where(valid, pos + 1, 1)
                 page_row = page_indices[iota, jnp.clip(pos // ps, 0, P - 1)]
                 slot_map = jnp.where(active, page_row * ps + pos % ps,
@@ -543,6 +638,18 @@ class ModelEngine:
                                       logits.dtype)
                     logits = jnp.where(g_act[:, None] & ~allowed, neg,
                                        logits)
+                if use_bias:
+                    logits = logits + brow.astype(logits.dtype)
+                if use_ngram:
+                    # ban over history; the sampled token lands at pos+1
+                    from ..ops.sampling_ops import ngram_ban_mask
+                    hrows = hist[jnp.clip(out_slots, 0)]
+                    ban = ngram_ban_mask(
+                        hrows, ngram_n, pos + 1,
+                        active & (ngram_n > 0), logits.shape[-1])
+                    neg = jnp.asarray(jnp.finfo(jnp.float32).min,
+                                      logits.dtype)
+                    logits = jnp.where(ban, neg, logits)
                 if use_penalties:
                     counts_rows = token_counts[jnp.clip(out_slots, 0)]
                 else:
@@ -571,6 +678,12 @@ class ModelEngine:
                 if use_penalties:
                     token_counts = token_counts.at[slot_idx, tok].add(
                         1, mode="drop")
+                if use_ngram:
+                    Lh = hist.shape[1]
+                    wrow = jnp.where(emit & (pos + 1 < Lh), out_slots,
+                                     nslots)
+                    hist = hist.at[wrow, jnp.clip(pos + 1, 0, Lh - 1)].set(
+                        tok, mode="drop")
                 if use_guided:
                     fb = g_tok_bytes[tok].astype(jnp.int32)    # [Sb, L]
                     flen = g_tok_lens[tok]
@@ -585,7 +698,8 @@ class ModelEngine:
                     gst = jnp.where(emit & g_act, ns, gst)
                 pos = pos + emit.astype(jnp.int32)
                 return ((kv_pages, prev_tokens, token_counts, tok, pos,
-                         nxt_active, new_emitted, key, gst), (tok, lp))
+                         nxt_active, new_emitted, key, gst, hist),
+                        (tok, lp))
 
             def dead(carry):
                 return carry, (jnp.zeros((Sb,), jnp.int32),
@@ -596,25 +710,29 @@ class ModelEngine:
                 return jax.lax.cond(jnp.any(carry[5]), live, dead, carry)
 
             carry0 = (kv_pages, prev_tokens, token_counts, first, start_pos,
-                      active0, jnp.zeros((Sb,), jnp.int32), key0, gst0)
+                      active0, jnp.zeros((Sb,), jnp.int32), key0, gst0,
+                      hist)
             carry, (toks, lps) = jax.lax.scan(body, carry0, None, length=K)
             (kv_pages, prev_tokens, token_counts, _, _, _, emitted,
-             _, gst) = carry
+             _, gst, hist) = carry
             if use_guided:
                 g_state = g_state.at[
                     jnp.where(valid & (gst0 >= 0), out_slots,
                               prev_tokens.shape[0])].set(gst, mode="drop")
             return (toks, lps, emitted, prev_tokens, token_counts, kv_pages,
-                    g_state)
+                    g_state, hist)
 
-        return jax.jit(multi_step, donate_argnums=(1, 2, 3, 9))
+        return jax.jit(multi_step, donate_argnums=(1, 2, 3, 9, 15))
 
     def _get_multi_step_fn(self, K: int, Sb: int, use_penalties: bool,
-                           all_greedy: bool, use_guided: bool = False):
-        key = ("multi", K, Sb, use_penalties, all_greedy, use_guided)
+                           all_greedy: bool, use_guided: bool = False,
+                           use_ngram: bool = False, use_bias: bool = False):
+        key = ("multi", K, Sb, use_penalties, all_greedy, use_guided,
+               use_ngram, use_bias)
         if key not in self._step_fns:
             self._step_fns[key] = self._build_multi_step(
-                K, Sb, use_penalties, all_greedy, use_guided)
+                K, Sb, use_penalties, all_greedy, use_guided, use_ngram,
+                use_bias)
         return self._step_fns[key]
 
     def _pick_row_bucket(self, n: int) -> int:
@@ -672,6 +790,7 @@ class ModelEngine:
             blocks = r.kv_block_ids
             page_indices[i, :len(blocks)] = blocks
             all_greedy &= sp.greedy
+            ints[9, i] = min(sp.no_repeat_ngram_size, 8)
             floats[0, i] = max(sp.temperature, 1e-5)
             floats[1, i] = sp.top_p
             floats[2, i] = sp.min_p
@@ -684,17 +803,23 @@ class ModelEngine:
                                jnp.int32)
         use_guided = self.g_enabled and any(
             r.sampling_params.guided_decoding is not None for r in reqs)
+        use_ngram = bool(ints[9].any()) and self.ngram_history is not None
+        use_bias = self.bias_pool is not None and any(
+            r.sampling_params.embedding_bias is not None for r in reqs)
         fn = self._get_multi_step_fn(K, Sb, use_penalties, all_greedy,
-                                     use_guided)
+                                     use_guided, use_ngram, use_bias)
         out = fn(self.params, self.kv_pages, self.prev_tokens,
                  counts if use_penalties else jnp.zeros((1, 1), jnp.int32),
                  jnp.asarray(ints), jnp.asarray(stop_ids),
                  jnp.asarray(page_indices), jnp.asarray(floats),
-                 self.iter_counter, *self._guided_args(use_guided))
+                 self.iter_counter, *self._guided_args(use_guided),
+                 *self._aux_args(use_ngram, use_bias))
         (tokens, logprobs, emitted, self.prev_tokens, new_counts,
-         self.kv_pages, g_state) = out
+         self.kv_pages, g_state, hist) = out
         if use_guided:
             self.g_state = g_state
+        if use_ngram:
+            self.ngram_history = hist
         if use_penalties:
             self.token_counts = new_counts
         return tokens, logprobs, emitted
@@ -724,13 +849,16 @@ class ModelEngine:
                      all_greedy: bool = False, num_logprobs: int = 0,
                      use_embeds: bool = False, use_lora: bool = False,
                      use_hidden: bool = False, use_tree: bool = False,
-                     use_guided: bool = False):
+                     use_guided: bool = False, use_ngram: bool = False,
+                     use_bias: bool = False, collect_logits: bool = False):
         key = (use_penalties, use_mask, all_greedy, num_logprobs,
-               use_embeds, use_lora, use_hidden, use_tree, use_guided)
+               use_embeds, use_lora, use_hidden, use_tree, use_guided,
+               use_ngram, use_bias, collect_logits)
         if key not in self._step_fns:
             self._step_fns[key] = self._build_step(
                 use_penalties, use_mask, all_greedy, num_logprobs,
-                use_embeds, use_lora, use_hidden, use_tree, use_guided)
+                use_embeds, use_lora, use_hidden, use_tree, use_guided,
+                use_ngram, use_bias, collect_logits)
         return self._step_fns[key]
 
     def calibrate_kv_scales(self, token_ids: np.ndarray) -> Optional[np.ndarray]:
@@ -1074,7 +1202,7 @@ class ModelEngine:
                 np.full(S, -1, np.int32), np.zeros(S, np.int32),
                 np.ones(S, np.int32), np.asarray([n_seqs], np.int32),
                 np.asarray([0], np.int32), np.zeros(S, np.int32),
-                np.full(S * G, -1, np.int32)])
+                np.full(S * G, -1, np.int32), np.zeros(S, np.int32)])
             page_indices = np.zeros((S, self.pages_per_seq), np.int32)
             if self._vswa:
                 page_indices = np.stack([page_indices, page_indices])
@@ -1085,8 +1213,10 @@ class ModelEngine:
                           jnp.asarray(page_indices), jnp.asarray(floats),
                           jnp.zeros((1, 1), bool),
                           jnp.zeros((1, 1), jnp.float32), 0,
-                          *self._guided_args(False))
-            _, _, _, _, self.prev_tokens, _, self.kv_pages, _, _ = out
+                          *self._guided_args(False),
+                          *self._aux_args(False, False))
+            (_, _, _, _, self.prev_tokens, _, self.kv_pages, _, _, _,
+             _) = out
             last = out[0]
             logger.info("warmed bucket T=%d", T)
         if last is not None:
@@ -1106,8 +1236,9 @@ class ModelEngine:
                          jnp.full((Sb, self.NSTOP), -1, jnp.int32),
                          jnp.zeros((Sb, self.pages_per_seq), jnp.int32),
                          jnp.ones((6, Sb), jnp.float32), 0,
-                         *self._guided_args(False))
-                (_, _, _, self.prev_tokens, _, self.kv_pages, _) = out
+                         *self._guided_args(False),
+                         *self._aux_args(False, False))
+                (_, _, _, self.prev_tokens, _, self.kv_pages, _, _) = out
                 logger.info("warmed multi-step window K=%d rows=%d", K, Sb)
             jax.block_until_ready(self.kv_pages)
         # reset device-side token state touched by the fake steps
@@ -1216,9 +1347,12 @@ class ModelEngine:
     def forward_step(self, batch: ScheduledRequests,
                      use_penalties: bool = False,
                      logits_mask: Optional[np.ndarray] = None,
-                     collect_hidden: bool = False):
+                     collect_hidden: bool = False,
+                     collect_logits: bool = False):
         """Launch one iteration; returns (tokens, logprobs) device futures
-        indexed by batch row."""
+        indexed by batch row. With ``collect_logits`` the processed
+        logits rows land in ``self._last_logits_rows`` (device future;
+        the host logits-processor path fetches them)."""
         inp = self.prepare_inputs(batch)
         T = self._pick_bucket(inp.num_tokens)
         pad = T - inp.num_tokens
@@ -1280,10 +1414,14 @@ class ModelEngine:
                 ds = r.draft_tokens[:self.max_draft_len]
                 row = (nc + i) * G
                 draft_ids[row:row + len(ds)] = ds
+        ngram_n = np.zeros(S, np.int32)
+        for i, r in enumerate(reqs):
+            ngram_n[i] = min(r.sampling_params.no_repeat_ngram_size, 8)
         ints_s = np.concatenate([
             inp.kv_lens, inp.cu_q_lens, inp.logits_indices, inp.out_slots,
             top_k, greedy, inp.num_seqs,
-            np.asarray([self.iter_counter], np.int32), seeds, draft_ids])
+            np.asarray([self.iter_counter], np.int32), seeds, draft_ids,
+            ngram_n])
 
         counts = getattr(self, "token_counts", None)
         if use_penalties and counts is None:
@@ -1321,9 +1459,13 @@ class ModelEngine:
         use_guided = self.g_enabled and G == 1 and any(
             r.sampling_params.guided_decoding is not None
             and getattr(r, "guided_device", False) for r in reqs)
+        use_ngram = bool(ngram_n.any()) and self.ngram_history is not None
+        use_bias = self.bias_pool is not None and any(
+            r.sampling_params.embedding_bias is not None for r in reqs)
         step_fn = self._get_step_fn(use_penalties, use_mask, all_greedy,
                                     num_logprobs, use_embeds, use_lora,
-                                    collect_hidden, use_tree, use_guided)
+                                    collect_hidden, use_tree, use_guided,
+                                    use_ngram, use_bias, collect_logits)
         mask_arr = jnp.asarray(logits_mask) if use_mask else \
             jnp.zeros((1, 1), bool)
         embeds_arr = jnp.asarray(embeds) if use_embeds else \
@@ -1337,14 +1479,19 @@ class ModelEngine:
                                   if self._vswa else inp.page_indices),
                       jnp.asarray(floats),
                       mask_arr, embeds_arr, lora_arg,
-                      *self._guided_args(use_guided))
+                      *self._guided_args(use_guided),
+                      *self._aux_args(use_ngram, use_bias))
         (tokens, logprobs, tl_vals, tl_ids, self.prev_tokens, new_counts,
-         self.kv_pages, hidden, g_state) = out
+         self.kv_pages, hidden, g_state, hist, logits_rows) = out
         if use_guided:
             self.g_state = g_state
+        if use_ngram:
+            self.ngram_history = hist
         if use_penalties:
             self.token_counts = new_counts
         top_lp = (tl_vals, tl_ids) if num_logprobs else None
+        if collect_logits:
+            self._last_logits_rows = logits_rows
         if collect_hidden:
             return tokens, logprobs, top_lp, hidden
         return tokens, logprobs, top_lp
