@@ -246,6 +246,14 @@ class LlmArgs(StrictBaseModel):
     # Stop-string requests may briefly overshoot the stop by up to K-1
     # tokens (discarded before the response).
     decode_multi_step: int = 8
+    # context tokens carried per decode-window step (mixed window): each
+    # of the K scan steps ALSO prefills up to this many context tokens,
+    # hiding prefill compute under the decode steps' weight-read
+    # bandwidth so refill phases never run prefill-only programs while
+    # decode rows idle (reference role: the overlap loop never idles the
+    # device, py_executor.py:2870). 0 disables. Attention-pool models,
+    # single-host role only.
+    mixed_window_ctx: int = 0
     # micro-batches per iteration for TRUE pipeline parallelism (GPipe
     # schedule inside one jitted program, ppermute stage handoff;
     # reference: _executor_loop_pp py_executor.py:1811). Only active

