@@ -111,12 +111,19 @@ def main():
     # wave prefill admission) by depth*K decode steps at wave boundaries
     # — measured as a ~4-iteration near-empty drain bubble per wave.
     depth = int(os.environ.get("BENCH_DEPTH", "2"))
+    # mixed windows (round 4): each decode-window step also prefills up
+    # to this many context tokens — prefill hides under decode weight
+    # reads, so refill phases keep emitting tokens. The chip has ~547
+    # FLOP/byte (measured via tools/chip_probe.py: 58 TFLOP/s at
+    # 106 GB/s), so a 256-token rider costs ~0 extra step time.
+    mixed_ctx = int(os.environ.get("BENCH_MIXED_CTX", "256"))
     llm = LLM(model=cfg, skip_tokenizer_init=True,
               max_batch_size=batch, max_input_len=isl + 8,
               max_seq_len=max_seq, max_num_tokens=max_tok,
               quant_config=qc, load_format="dummy",
               decode_multi_step=multi_step,
               max_inflight_steps=depth,
+              mixed_window_ctx=mixed_ctx,
               kv_cache_config=KvCacheConfig(tokens_per_block=int(
                   os.environ.get("BENCH_PAGE", "32"))))
 

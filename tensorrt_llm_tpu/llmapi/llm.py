@@ -335,8 +335,13 @@ class LLM:
                 # (runtime/spec_window.py); the drafter then only
                 # supplies the head fn + params, so its own host-path
                 # KV pool shrinks to one slot
+                # fused windows run single-chip and under pure-TP
+                # meshes (GSPMD propagates the target's shardings
+                # through the window scan; the head stays replicated);
+                # pp/cp/dp orchestration keeps the host drafter path
                 spec_device = sc.device_window and \
-                    self.mapping.world_size == 1 and \
+                    (self.mapping.world_size == 1 or
+                     self.mapping.tp_size == self.mapping.world_size) and \
                     sc.eagle_tree_width <= 1
                 drafter = cls(
                     self.model, self._params,

@@ -1351,23 +1351,51 @@ class ModelEngine:
         # skip branch and no device state is disturbed
         K = getattr(self.args, "decode_multi_step", 1)
         if K > 1:
+            mixed_variants = [(0, 0)]
+            if self.mixed_ctx_tokens > 0:
+                mixed_variants.append(
+                    (self.mixed_ctx_tokens, self.mixed_ctx_seqs))
             for Sb in self.row_buckets:
-                fn = self._get_multi_step_fn(K, Sb, False, True)
-                ints = np.zeros((10, Sb), np.int32)
-                ints[1] = -1
-                ints[3] = -1  # invalid rows -> inactive
-                out = fn(self.params, self.kv_pages, self.prev_tokens,
-                         jnp.zeros((1, 1), jnp.int32), jnp.asarray(ints),
-                         jnp.full((Sb, self.NSTOP), -1, jnp.int32),
-                         jnp.zeros((Sb, self.pages_per_seq), jnp.int32),
-                         jnp.ones((6, Sb), jnp.float32), 0,
-                         *self._guided_args(False),
-                         *self._aux_args(False, False), None)
-                (_, _, _, self.prev_tokens, _, self.kv_pages, _, _) = out
-                logger.info("warmed multi-step window K=%d rows=%d", K, Sb)
+                for Cw, NCw in mixed_variants:
+                    self._warm_multi(K, Sb, Cw, NCw)
             jax.block_until_ready(self.kv_pages)
         # reset device-side token state touched by the fake steps
         self.prev_tokens = jnp.zeros((self.max_batch_size,), jnp.int32)
+
+    def _warm_multi(self, K: int, Sb: int, Cw: int, NCw: int) -> None:
+        """Warm one multi-step window variant (all rows inactive and an
+        empty rider chunk: the scan takes the skip branch, so no device
+        state is disturbed while the full program still compiles)."""
+        fn = self._get_multi_step_fn(K, Sb, False, True, C=Cw, NC=NCw)
+        ints = np.zeros((10, Sb), np.int32)
+        ints[1] = -1
+        ints[3] = -1  # invalid rows -> inactive
+        ctx_xs = None
+        if Cw > 0:
+            P = self.pages_per_seq
+            oob = self.num_kv_pages * self.page_size
+            cu = np.zeros((K, NCw + 2), np.int32)
+            cu[:, NCw + 1] = Cw
+            pos = np.tile(np.arange(Cw, dtype=np.int32), (K, 1))
+            kvl = np.ones((K, NCw + 1), np.int32)
+            kvl[:, NCw] = Cw    # filler self-attends over the pad region
+            ctx_xs = dict(
+                tokens=jnp.zeros((K, Cw), jnp.int32),
+                positions=jnp.asarray(pos),
+                slots=jnp.full((K, Cw), oob, jnp.int32),
+                kv_lens=jnp.asarray(kvl),
+                cu=jnp.asarray(cu),
+                pages=jnp.zeros((K, NCw + 1, P), jnp.int32))
+        out = fn(self.params, self.kv_pages, self.prev_tokens,
+                 jnp.zeros((1, 1), jnp.int32), jnp.asarray(ints),
+                 jnp.full((Sb, self.NSTOP), -1, jnp.int32),
+                 jnp.zeros((Sb, self.pages_per_seq), jnp.int32),
+                 jnp.ones((6, Sb), jnp.float32), 0,
+                 *self._guided_args(False),
+                 *self._aux_args(False, False), ctx_xs)
+        (_, _, _, self.prev_tokens, _, self.kv_pages, _, _) = out
+        logger.info("warmed multi-step window K=%d rows=%d ctx=%d",
+                    K, Sb, Cw)
 
     # ------------------------------------------------------------------ #
     # Disaggregated serving: KV extraction/injection (the CacheTransceiver

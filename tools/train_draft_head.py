@@ -1,0 +1,253 @@
+#!/usr/bin/env python
+"""Train an EAGLE3 draft head for the committed tinycode-llama checkpoint.
+
+Round-3 verdict #2: the fused speculative window machinery exists but
+acceptance-driven speedup had never been measured with a TRAINED head.
+This script is the port of the reference's hidden-state capture + head
+training flow (reference: tensorrt_llm/_torch/speculative/
+save_hidden_state.py:191 — capture target features per position — and
+the public EAGLE training recipe):
+
+  1. capture: run the frozen target through THIS repo's model.forward
+     with ``collect_hidden=True`` (the exact tensor the runtime feeds
+     the head at inference: pre-final-norm hidden rows);
+  2. train: the head is trained through ``Eagle3Drafter._head_forward``
+     itself — the same JAX function the fused spec window executes — so
+     there is zero train/serve architecture skew. Objective: given
+     (feature f_t, committed token x_{t+1}), predict x_{t+2} through the
+     frozen tied lm_head.
+  3. save: tests/assets/tinycode-eagle/model.safetensors in the public
+     EAGLE checkpoint naming (fc.weight, layers.0.*) that
+     Eagle3Drafter._load_head ingests.
+
+Run: python tools/train_draft_head.py  (~25 min CPU)
+Env: DRAFT_STEPS, DRAFT_DUMP=file.npz (save captured features only —
+the save_hidden_state analog).
+"""
+import json
+import math
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+import sys
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+REPO = Path(__file__).resolve().parent.parent
+CKPT = REPO / "tests" / "assets" / "tinycode-llama"
+OUT = REPO / "tests" / "assets" / "tinycode-eagle"
+SEQ = 258          # window: features for SEQ-2 head positions
+BATCH = 8
+STEPS = int(os.environ.get("DRAFT_STEPS", "1500"))
+TIME_BUDGET_S = 2400
+LR = 2e-3
+
+
+def corpus() -> np.ndarray:
+    parts = []
+    for p in sorted((REPO / "tensorrt_llm_tpu").rglob("*.py")):
+        parts.append(p.read_bytes())
+    data = np.frombuffer(b"\n".join(parts), np.uint8).astype(np.int32)
+    return data
+
+
+def build_target():
+    """Load tinycode-llama through the repo's own ingestion path."""
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from tensorrt_llm_tpu import LLM, KvCacheConfig
+    llm = LLM(model=str(CKPT), skip_tokenizer_init=True, dtype="float32",
+              max_batch_size=2, max_input_len=SEQ + 8,
+              max_seq_len=SEQ + 16, max_num_tokens=SEQ + 16,
+              enable_warmup=False,
+              kv_cache_config=KvCacheConfig(tokens_per_block=16,
+                                            max_tokens=1024))
+    return llm
+
+
+def make_capture_fn(model, B: int, T: int, ps: int = 32):
+    """Teacher-forced feature capture over [B, T] token windows —
+    the save_hidden_state.py analog, through model.forward with
+    collect_hidden (features are the exact rows the runtime hands the
+    head: pre-final-norm hidden at every position)."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from tensorrt_llm_tpu.ops.attention import AttentionMetadata
+
+    P = -(-T // ps)
+    pool_shape = model.kv_pool_shape(B * P + 1, ps)
+    page_indices = np.arange(B * P, dtype=np.int32).reshape(B, P)
+    slot_map = (page_indices[:, :, None] * ps +
+                np.arange(ps)[None, None, :]).reshape(B, -1)[:, :T]
+    md = AttentionMetadata(
+        kv_lens=jnp.full((B,), T, jnp.int32),
+        page_indices=jnp.asarray(page_indices),
+        cu_q_lens=jnp.arange(0, (B + 1) * T, T, dtype=jnp.int32),
+        num_seqs=jnp.asarray([B], jnp.int32),
+        slot_mapping=jnp.asarray(slot_map.reshape(-1)),
+        positions=jnp.asarray(np.tile(np.arange(T, dtype=np.int32), B)),
+        logits_indices=jnp.arange(B * T, dtype=jnp.int32),
+        seq_slots=jnp.arange(B, dtype=jnp.int32))
+
+    @jax.jit
+    def cap(params, tokens_flat):
+        kv = jnp.zeros(pool_shape, model.config.kv_cache_dtype)
+        logits, _, hidden = model.forward(params, tokens_flat, kv, md,
+                                          collect_hidden=True)
+        # greedy-acceptance labels: the TARGET's own argmax continuation
+        # (drafts accept when the head matches the target, not the data)
+        tgt = jnp.argmax(logits, -1).astype(jnp.int32).reshape(B, T)
+        return hidden.reshape(B, T, -1), tgt
+
+    return cap
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    llm = build_target()
+    model = llm.engine.model
+    params = llm.engine.params
+    H = model.hidden_size
+    data = corpus()
+    split = int(len(data) * 0.98)
+    train, val = data[:split], data[split:]
+    print(f"corpus {len(data)/1e6:.1f}M bytes; target H={H}")
+
+    cap = make_capture_fn(model, BATCH, SEQ)
+
+    dump = os.environ.get("DRAFT_DUMP")
+    if dump:
+        rng = np.random.default_rng(0)
+        idx = rng.integers(0, len(train) - SEQ - 1, size=BATCH)
+        toks = np.stack([train[i:i + SEQ] for i in idx])
+        feats, tgt = cap(params, jnp.asarray(toks.reshape(-1)))
+        np.savez_compressed(dump, tokens=toks,
+                            features=np.asarray(feats),
+                            target_argmax=np.asarray(tgt))
+        print(f"dumped {feats.shape} features to {dump}")
+        return
+
+    from tensorrt_llm_tpu.speculative.eagle import Eagle3Drafter
+    drafter = Eagle3Drafter(model, params, max_draft_len=4,
+                            max_slots=BATCH, page_size=32,
+                            max_seq_len=SEQ)
+    head = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32),
+                        drafter.params)
+    embed_w = drafter.embed
+    lm_head_w = jnp.asarray(drafter.lm_head["weight"], jnp.float32)
+
+    # head training metadata: B seqs x Tt causal positions through the
+    # SAME paged-attention path the fused window runs
+    from tensorrt_llm_tpu.ops.attention import AttentionMetadata
+    Tt = SEQ - 2
+    ps = drafter.page_size
+    P = drafter.pages_per_slot
+    pi = drafter._page_indices[:BATCH]
+    slot_map = (pi[:, :, None] * ps +
+                np.arange(ps)[None, None, :]).reshape(BATCH, -1)[:, :Tt]
+    md = AttentionMetadata(
+        kv_lens=jnp.full((BATCH,), Tt, jnp.int32),
+        page_indices=jnp.asarray(drafter._page_indices),
+        cu_q_lens=jnp.concatenate([
+            jnp.arange(0, (BATCH + 1) * Tt, Tt, dtype=jnp.int32),
+            jnp.full((drafter.max_slots - BATCH,), BATCH * Tt,
+                     jnp.int32)]) if drafter.max_slots > BATCH else
+        jnp.arange(0, (BATCH + 1) * Tt, Tt, dtype=jnp.int32),
+        num_seqs=jnp.asarray([BATCH], jnp.int32),
+        slot_mapping=jnp.asarray(slot_map.reshape(-1)),
+        positions=jnp.asarray(np.tile(np.arange(Tt, dtype=np.int32), BATCH)),
+        logits_indices=jnp.arange(BATCH * Tt, dtype=jnp.int32))
+    kv0 = jnp.zeros_like(drafter.kv)
+
+    def loss_fn(head, feats, toks_in, labels):
+        h, _ = drafter._head_forward(head, feats, toks_in, kv0, md,
+                                     embed_w)
+        logits = jnp.dot(h.astype(jnp.float32), lm_head_w)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(lp, labels[:, None], axis=-1)[:, 0]
+        acc = (jnp.argmax(logits, -1) == labels).mean()
+        return nll.mean(), acc
+
+    sched = optax.cosine_decay_schedule(LR, STEPS, alpha=0.05)
+    opt = optax.adamw(sched, weight_decay=0.01)
+    opt_state = opt.init(head)
+
+    @jax.jit
+    def train_step(head, opt_state, feats, toks_in, labels):
+        (loss, acc), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(head, feats, toks_in, labels)
+        updates, opt_state = opt.update(grads, opt_state, head)
+        return optax.apply_updates(head, updates), opt_state, loss, acc
+
+    rng = np.random.default_rng(1)
+    t0 = time.time()
+    for step in range(STEPS):
+        idx = rng.integers(0, len(train) - SEQ - 1, size=BATCH)
+        toks = np.stack([train[i:i + SEQ] for i in idx])     # [B, SEQ]
+        feats, tgt = cap(params,
+                         jnp.asarray(toks.reshape(-1).astype(np.int32)))
+        # head input t: (f_t, x_{t+1}) -> label: target argmax at t+1
+        # (the token a greedy target would emit next — the acceptance
+        # criterion of the fused window)
+        f_in = feats[:, :Tt].reshape(-1, H)
+        t_in = jnp.asarray(toks[:, 1:1 + Tt].reshape(-1).astype(np.int32))
+        lab = tgt[:, 1:1 + Tt].reshape(-1)
+        head, opt_state, loss, acc = train_step(head, opt_state, f_in,
+                                                t_in, lab)
+        if step % 50 == 0 or step == STEPS - 1:
+            print(f"step {step:5d} loss {float(loss):.3f} "
+                  f"top1 {float(acc):.3f} ({time.time()-t0:.0f}s)",
+                  flush=True)
+        if time.time() - t0 > TIME_BUDGET_S:
+            print(f"time budget hit at step {step}", flush=True)
+            break
+
+    # held-out top-1 (the acceptance-rate proxy: greedy drafts accept
+    # when the head's argmax matches the target's argmax)
+    vidx = np.arange(0, max(1, len(val) - SEQ - 1),
+                     max(1, (len(val) - SEQ - 1) // BATCH))[:BATCH]
+    vt = np.stack([val[i:i + SEQ] for i in vidx])
+    vf, vtgt = cap(params, jnp.asarray(vt.reshape(-1).astype(np.int32)))
+    vloss, vacc = jax.jit(loss_fn)(
+        head, vf[:, :Tt].reshape(-1, H),
+        jnp.asarray(vt[:, 1:1 + Tt].reshape(-1).astype(np.int32)),
+        vtgt[:, 1:1 + Tt].reshape(-1))
+    print(f"val loss {float(vloss):.3f} top1 {float(vacc):.3f}")
+
+    # save in the public EAGLE naming (torch [out, in] layout; the
+    # loader transposes back — speculative/eagle.py:_load_head)
+    from safetensors.numpy import save_file
+    t = lambda a: np.ascontiguousarray(np.asarray(a, np.float32).T)
+    v = lambda a: np.ascontiguousarray(np.asarray(a, np.float32))
+    sd = {
+        "fc.weight": t(head["fuse"]["weight"]),
+        "layers.0.input_layernorm.weight": v(head["input_norm"]),
+        "layers.0.post_attention_layernorm.weight": v(head["post_norm"]),
+        "layers.0.self_attn.q_proj.weight": t(head["q"]["weight"]),
+        "layers.0.self_attn.k_proj.weight": t(head["k"]["weight"]),
+        "layers.0.self_attn.v_proj.weight": t(head["v"]["weight"]),
+        "layers.0.self_attn.o_proj.weight": t(head["o"]["weight"]),
+        "layers.0.mlp.gate_proj.weight": t(head["gate"]["weight"]),
+        "layers.0.mlp.up_proj.weight": t(head["up"]["weight"]),
+        "layers.0.mlp.down_proj.weight": t(head["down"]["weight"]),
+    }
+    OUT.mkdir(parents=True, exist_ok=True)
+    save_file(sd, str(OUT / "model.safetensors"))
+    (OUT / "meta.json").write_text(json.dumps({
+        "val_loss": round(float(vloss), 4),
+        "val_top1": round(float(vacc), 4),
+        "steps": step + 1, "target": "tinycode-llama",
+        "objective": "(f_t, x_{t+1}) -> x_{t+2} via frozen tied lm_head",
+    }, indent=1))
+    print(f"saved head to {OUT}")
+    llm.shutdown()
+
+
+if __name__ == "__main__":
+    main()
