@@ -304,6 +304,31 @@ class LLM:
                 # via request.draft_parents; greedy tree verify)
                 drafter = sc.draft_model
                 drafter.max_draft_len = max_draft_len
+            elif sc.mode == "AUTO":
+                # reference: auto_heuristic.suggest_spec_config — pick a
+                # model-free scheme sized by max batch, gated at high
+                # concurrency. SA wins on repetitive/code suffixes at
+                # small batch; NGram's bounded lookup is cheaper beyond.
+                from ..speculative.ngram import NGramDrafter
+                from ..speculative.suffix_automaton import \
+                    SuffixAutomatonDrafter
+                mc = sc.max_concurrency or 32
+                if args.max_batch_size <= 8:
+                    drafter = SuffixAutomatonDrafter(
+                        max_draft_len=max_draft_len or 5,
+                        threshold=sc.sa_threshold, max_concurrency=mc)
+                else:
+                    drafter = NGramDrafter(
+                        max_draft_len=max_draft_len or 3,
+                        max_matching_ngram_size=5)
+                max_draft_len = drafter.max_draft_len
+            elif sc.mode == "SA":
+                from ..speculative.suffix_automaton import \
+                    SuffixAutomatonDrafter
+                drafter = SuffixAutomatonDrafter(
+                    max_draft_len=max_draft_len,
+                    threshold=sc.sa_threshold,
+                    max_concurrency=sc.max_concurrency)
             elif sc.mode == "NGRAM":
                 from ..speculative.ngram import NGramDrafter
                 drafter = NGramDrafter(
@@ -353,6 +378,7 @@ class LLM:
                 drafter.device_window = spec_device
                 if hasattr(drafter, "tree_width"):
                     drafter.tree_width = sc.eagle_tree_width
+                    drafter.dynamic_tree = sc.eagle_dynamic_tree
             else:
                 raise NotImplementedError(
                     f"speculative mode {sc.mode} not yet supported")

@@ -127,13 +127,19 @@ class MoeConfig(StrictBaseModel):
 class SpeculativeConfig(StrictBaseModel):
     """Umbrella for spec-decode modes (reference: llm_args.py decoding configs)."""
     mode: Literal["NONE", "DRAFT_TARGET", "NGRAM", "EAGLE3", "MTP",
-                  "USER_PROVIDED"] = "NONE"
+                  "SA", "AUTO", "USER_PROVIDED"] = "NONE"
     max_draft_len: int = 0
     # checkpoint dir path, torch module, or PretrainedConfig (dummy)
     draft_model: Optional[Any] = None
     # ngram
     ngram_max_matching_ngram_size: int = 4
     ngram_prompt_lookup_num_tokens: int = 4
+    # suffix automaton (reference: speculative/suffix_automaton.py —
+    # longest-earlier-suffix lookup; threshold suppresses weak matches)
+    sa_threshold: int = 2
+    # auto-disable drafting above this many concurrently drafted rows
+    # (reference: speculation_gate.py + auto_heuristic.py max_concurrency)
+    max_concurrency: Optional[int] = None
     # EAGLE3/MTP: run propose->verify->accept fused on device
     # (runtime/spec_window.py) so speculation rides the overlap
     # scheduler; False = host-orchestrated drafting (sync scheduler)
@@ -141,10 +147,15 @@ class SpeculativeConfig(StrictBaseModel):
     # spec iterations per fused dispatch (0 = derive from
     # decode_multi_step)
     device_window_iters: int = 0
-    # EAGLE3 top-b TREE proposal (reference: eagle3.py dynamic tree):
+    # EAGLE3 top-b TREE proposal (reference: eagle3.py static tree):
     # b nodes per level, max_draft_len//b levels; 0 = linear chain.
     # Trees run on the host-orchestrated path (greedy tree verify).
     eagle_tree_width: int = 0
+    # dynamic tree (reference: eagle3_dynamic_tree.py): the final tree
+    # is the global top-max_draft_len cut over the whole candidate pool
+    # by cumulative logprob — shape adapts per step under the token
+    # budget. Expansion beam = eagle_tree_width.
+    eagle_dynamic_tree: bool = False
 
 
 class SparseAttentionConfig(StrictBaseModel):

