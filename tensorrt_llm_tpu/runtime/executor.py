@@ -1151,12 +1151,17 @@ class PyExecutor:
         # sampled rows are welcome: seeded rows accept losslessly by
         # position-keyed sample-and-match, unseeded by true
         # rejection sampling (spec_window rejection_sample path)
+        # greedy device-guided rows ride the window: the fused verify
+        # re-argmaxes under the DFA mask sequentially (spec_window.py
+        # guided x spec — reference: guided_decoder.py:373)
+        guided_blocks = sp.guided_decoding is not None and not (
+            getattr(r, "guided_device", False) and sp.greedy)
         if (sp.use_beam_search or sp.logprobs
                 or sp.bad_token_ids or sp.needs_penalties
                 or sp.embedding_bias is not None
                 or sp.logits_processor is not None
                 or r.lora_task_id is not None
-                or sp.guided_decoding is not None
+                or guided_blocks
                 or len(sp.stop_id_list()) > self.engine.NSTOP
                 or not getattr(r, "spec_seeded", False)):
             return False

@@ -151,7 +151,8 @@ def spec_seed(engine, tokens_dev, hidden_dev, rows: List[int],
 
 
 def build_spec_window(engine, K: int, Sb: int,
-                      all_greedy: bool = True):
+                      all_greedy: bool = True,
+                      use_guided: bool = False):
     sd = engine.sd
     model = engine.model
     d = sd.d
@@ -164,6 +165,15 @@ def build_spec_window(engine, K: int, Sb: int,
     NSTOP = engine.NSTOP
     H = model.hidden_size
     hf = sd.head_forward
+    # guided x spec (reference: guided_decoder.py:373 rollback on
+    # rejected drafts): the verify rows are re-argmaxed SEQUENTIALLY
+    # under the grammar mask — position j's mask uses the DFA state
+    # after committing candidates 0..j-1 — so the emitted stream is
+    # bit-identical to plain guided greedy decoding, and rejected
+    # drafts never advance the DFA (the in-graph rollback)
+    assert not (use_guided and not all_greedy), \
+        "guided spec windows are greedy-only"
+    eos_id = getattr(engine, "g_eos_id", 0)
 
     import jax.random as jrandom
     base_key = jrandom.PRNGKey(0)
@@ -171,7 +181,8 @@ def build_spec_window(engine, K: int, Sb: int,
     def window(params, kv_pages, prev_tokens, ints, stop_ids, page_indices,
                floats, counter, hparams, hkv, embed_w, lm_head_w,
                pend_toks_all, pend_feats_all, pend_n_all, pos_h_all,
-               pos_t_all, emitted_t_all):
+               pos_t_all, emitted_t_all, g_state, g_byte, g_mask,
+               g_eos_ok, g_tok_bytes, g_tok_lens):
         # ints i32[7, Sb]: out_slots, budget (window emission cap, bounds
         # this window's KV writes to its pre-allocated pages), absolute
         # max_tokens, absolute min_tokens, top_k, greedy, row_seeds.
@@ -211,7 +222,7 @@ def build_spec_window(engine, K: int, Sb: int,
 
         def live(carry):
             (kv_pages, hkv, ptoks, pfeats, pn, hpos, pos, active,
-             win, abs_e, last_tok, key) = carry
+             win, abs_e, last_tok, key, gst) = carry
             key = jrandom.fold_in(key, 1)
             # 1) head catch-up over pending pairs -> draft 0
             v = (jj[None] < pn[:, None]) & active[:, None]
@@ -283,7 +294,41 @@ def build_spec_window(engine, K: int, Sb: int,
                 params, qt.reshape(-1), kv_pages, md_t,
                 collect_hidden=True)
             lf = logits.astype(jnp.float32)
-            if all_greedy:
+            st_seq = None
+            if use_guided:
+                V = lf.shape[-1]
+                lf3 = lf.reshape(Sb, Dp, V).transpose(1, 0, 2)
+
+                def jstep(st, lj):
+                    g_act = active & (st >= 0)
+                    gsc = jnp.clip(st, 0)
+                    mb = g_mask[gsc]
+                    bits = (mb[:, :, None] >>
+                            jnp.arange(8, dtype=jnp.uint8)) & 1
+                    allowed = bits.reshape(Sb, -1)[:, :V].astype(bool)
+                    allowed = allowed.at[:, eos_id].set(g_eos_ok[gsc])
+                    neg = jnp.finfo(jnp.float32).min
+                    ljm = jnp.where(g_act[:, None] & ~allowed, neg, lj)
+                    tj = jnp.argmax(ljm, -1).astype(jnp.int32)
+                    logz = jax.nn.logsumexp(ljm, -1)
+                    lpj = jnp.take_along_axis(
+                        ljm, tj[:, None], 1)[:, 0] - logz
+                    fb = g_tok_bytes[tj].astype(jnp.int32)
+                    flen = g_tok_lens[tj]
+
+                    def walk(kk, s):
+                        nxt = g_byte[jnp.clip(s, 0),
+                                     fb[:, kk]].astype(jnp.int32)
+                        return jnp.where((kk < flen) & (s >= 0), nxt, s)
+                    ns = jax.lax.fori_loop(0, fb.shape[1], walk, gsc)
+                    ns = jnp.where(tj == eos_id, gsc, ns)
+                    st2 = jnp.where(g_act, ns, st)
+                    return st2, (tj, lpj, st2)
+
+                _, (tgt_j, lp_j, st_seq) = jax.lax.scan(jstep, gst, lf3)
+                tgt = tgt_j.T                        # [Sb, Dp]
+                lp = lp_j.T
+            elif all_greedy:
                 tgt = jnp.argmax(lf, -1).astype(jnp.int32).reshape(Sb, Dp)
                 logz = jax.nn.logsumexp(lf, -1)
                 chosen = jnp.take_along_axis(
@@ -337,8 +382,15 @@ def build_spec_window(engine, K: int, Sb: int,
             hpos = jnp.where(emitted_any, hbase, hpos)
             new_last = jnp.where(emitted_any,
                                  tgt[iota, jnp.clip(c - 1, 0)], last_tok)
+            if use_guided:
+                # DFA advances by exactly the c COMMITTED tokens:
+                # st_seq[j] is the state after candidate j, so the
+                # committed state is st_seq[c-1] (rejected drafts never
+                # advanced it — the in-graph rollback)
+                stc = st_seq[jnp.clip(c - 1, 0), iota]
+                gst = jnp.where(active & (c > 0), stc, gst)
             return ((kv_pages, hkv, ptoks, pfeats, pn, hpos, pos + c,
-                     nxt_active, win + c, abs_e + c, new_last, key),
+                     nxt_active, win + c, abs_e + c, new_last, key, gst),
                     (out_t, out_lp, c))
 
         def dead(carry):
@@ -350,14 +402,18 @@ def build_spec_window(engine, K: int, Sb: int,
             return jax.lax.cond(jnp.any(carry[7]), live, dead, carry)
 
         last0 = ptoks0[iota, jnp.clip(pn0 - 1, 0)]
+        gst0 = g_state[slots_c] if use_guided else \
+            jnp.zeros((Sb,), jnp.int32)
         carry0 = (kv_pages, hkv, ptoks0, pfeats0, pn0, hpos0, pos0,
                   active0, jnp.zeros((Sb,), jnp.int32), abs0, last0,
-                  key0)
+                  key0, gst0)
         carry, (toks, lps, counts) = jax.lax.scan(body, carry0, None,
                                                   length=K)
         (kv_pages, hkv, ptoks, pfeats, pn, hpos, pos, _, win, abs_e,
-         last_tok, _) = carry
+         last_tok, _, gst) = carry
         sidx = jnp.where(valid, out_slots, S)
+        if use_guided:
+            g_state = g_state.at[sidx].set(gst, mode="drop")
         pend_toks_all = pend_toks_all.at[sidx].set(ptoks, mode="drop")
         pend_feats_all = pend_feats_all.at[sidx].set(pfeats, mode="drop")
         pend_n_all = pend_n_all.at[sidx].set(pn, mode="drop")
@@ -367,10 +423,10 @@ def build_spec_window(engine, K: int, Sb: int,
         prev_tokens = prev_tokens.at[sidx].set(last_tok, mode="drop")
         return (toks, lps, counts, win, kv_pages, prev_tokens, hkv,
                 pend_toks_all, pend_feats_all, pend_n_all, pos_h_all,
-                pos_t_all, emitted_t_all)
+                pos_t_all, emitted_t_all, g_state)
 
     return jax.jit(window,
-                   donate_argnums=(1, 2, 9, 12, 13, 14, 15, 16, 17))
+                   donate_argnums=(1, 2, 9, 12, 13, 14, 15, 16, 17, 18))
 
 
 def forward_spec_window(engine, batch) -> Any:
@@ -410,17 +466,22 @@ def forward_spec_window(engine, batch) -> Any:
         stop_ids[i, :len(ids)] = ids
         blocks = r.kv_block_ids
         page_indices[i, :len(blocks)] = blocks
-    key = ("spec", sd.K, Sb, all_greedy)
+    use_guided = engine.g_enabled and any(
+        r.sampling_params.guided_decoding is not None for r in reqs)
+    key = ("spec", sd.K, Sb, all_greedy, use_guided)
     if key not in sd.fns:
-        sd.fns[key] = build_spec_window(engine, sd.K, Sb, all_greedy)
+        sd.fns[key] = build_spec_window(engine, sd.K, Sb, all_greedy,
+                                        use_guided)
     out = sd.fns[key](engine.params, engine.kv_pages, engine.prev_tokens,
                       jnp.asarray(ints), jnp.asarray(stop_ids),
                       jnp.asarray(page_indices), jnp.asarray(floats),
                       engine.iter_counter, sd.head_params, sd.kv,
                       sd.embed_w, sd.lm_head_w, sd.pend_toks,
                       sd.pend_feats, sd.pend_n, sd.pos_h, sd.pos_t,
-                      sd.emitted_t)
+                      sd.emitted_t, *engine._guided_args(use_guided))
     (toks, lps, counts, emitted, engine.kv_pages, engine.prev_tokens,
      sd.kv, sd.pend_toks, sd.pend_feats, sd.pend_n, sd.pos_h, sd.pos_t,
-     sd.emitted_t) = out
+     sd.emitted_t, g_state) = out
+    if use_guided:
+        engine.g_state = g_state
     return toks, lps, counts, emitted

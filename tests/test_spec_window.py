@@ -151,3 +151,55 @@ def test_mixed_batch_splits_spec_from_logprobs_rows(tiny_model):
     assert g1 == r1
     assert o2.token_ids == r2.token_ids
     assert o2.logprobs is not None
+
+
+def test_guided_rides_spec_window(tiny_model):
+    """Guided x spec (round-4 composition close, reference:
+    guided_decoder.py:373 rollback on rejected drafts): a greedy
+    device-guided request runs INSIDE the fused window — the DFA mask
+    re-argmaxes the verify rows sequentially — and the output matches
+    plain guided greedy decoding exactly."""
+    from tensorrt_llm_tpu import GuidedDecodingParams
+    prompts = [[5, 9, 23], [3, 3, 7, 3]]
+    gp = GuidedDecodingParams(regex="(12)+(7)+")
+    sp = SamplingParams(max_tokens=10, top_k=1, guided_decoding=gp,
+                        ignore_eos=True)
+    base = make_llm(tiny_model, guided_decoding_backend="dfa")
+    ref = [o.outputs[0].token_ids for o in base.generate(prompts, sp)]
+    base.shutdown()
+    spec = make_llm(tiny_model, guided_decoding_backend="dfa",
+                    speculative_config=SpeculativeConfig(
+                        mode="EAGLE3", max_draft_len=3))
+    assert spec.executor.enable_overlap
+    got = [o.outputs[0].token_ids for o in spec.generate(prompts, sp)]
+    # the guided variant of the window actually compiled and ran
+    assert any(len(k) > 4 and k[4] for k in spec.engine.sd.fns), \
+        spec.engine.sd.fns.keys()
+    spec.shutdown()
+    # the contract: bit-identical to plain guided greedy decoding
+    # (the DFA constrained both paths identically; rejected drafts
+    # never advanced the window's DFA state)
+    assert got == ref
+    assert all(len(o) > 2 for o in got)
+
+
+def test_guided_spec_mixed_with_plain_rows(tiny_model):
+    """Guided rows and plain greedy rows share fused windows."""
+    from tensorrt_llm_tpu import GuidedDecodingParams
+    spec = make_llm(tiny_model, guided_decoding_backend="dfa",
+                    speculative_config=SpeculativeConfig(
+                        mode="EAGLE3", max_draft_len=3))
+    gp = GuidedDecodingParams(regex="(5)+")
+    f1 = spec.generate_async([5, 9, 23], SamplingParams(
+        max_tokens=8, top_k=1, guided_decoding=gp, ignore_eos=True))
+    f2 = spec.generate_async([3, 3, 7, 3], SamplingParams(
+        max_tokens=8, top_k=1, ignore_eos=True))
+    o1 = f1.result(300).outputs[0].token_ids
+    o2 = f2.result(300).outputs[0].token_ids
+    base = make_llm(tiny_model)
+    ref2 = base.generate([3, 3, 7, 3], SamplingParams(
+        max_tokens=8, top_k=1, ignore_eos=True)).outputs[0].token_ids
+    base.shutdown()
+    spec.shutdown()
+    assert all(t == 5 for t in o1), o1
+    assert o2 == ref2

@@ -24,9 +24,14 @@ def main():
     from tensorrt_llm_tpu import LLM, KvCacheConfig, SamplingParams
     import os
     n_layers = int(os.environ.get("MW_LAYERS", "22"))
-    cfg = LlamaConfig(vocab_size=32000, hidden_size=2048,
-                      intermediate_size=5632, num_hidden_layers=n_layers,
-                      num_attention_heads=16, num_key_value_heads=4,
+    hidden = int(os.environ.get("MW_HIDDEN", "2048"))
+    nq = int(os.environ.get("MW_HEADS", "16"))
+    nkv = int(os.environ.get("MW_KV", "4"))
+    vocab = int(os.environ.get("MW_VOCAB", "32000"))
+    cfg = LlamaConfig(vocab_size=vocab, hidden_size=hidden,
+                      intermediate_size=int(hidden * 2.75),
+                      num_hidden_layers=n_layers,
+                      num_attention_heads=nq, num_key_value_heads=nkv,
                       head_dim=128, max_position_embeddings=4096)
     llm = LLM(model=cfg, skip_tokenizer_init=True, max_batch_size=256,
               max_input_len=136, max_seq_len=264, max_num_tokens=8192,
@@ -44,7 +49,7 @@ def main():
     for i in range(n_gen):
         r = LlmRequest(request_id=i,
                        prompt_token_ids=rng.integers(
-                           1, 31999, 128).tolist(),
+                           1, vocab - 1, 128).tolist(),
                        sampling_params=SamplingParams(max_tokens=128,
                                                       top_k=1,
                                                       ignore_eos=True))
@@ -58,7 +63,7 @@ def main():
     for j in range(n_ctx):
         r = LlmRequest(request_id=1000 + j,
                        prompt_token_ids=rng.integers(
-                           1, 31999, 128).tolist(),
+                           1, vocab - 1, 128).tolist(),
                        sampling_params=SamplingParams(max_tokens=128,
                                                       top_k=1,
                                                       ignore_eos=True))
