@@ -216,3 +216,73 @@ class CnnDailymail(Evaluator):
         avg = sum(scores) / max(len(scores), 1)
         return {"task": "cnn_dailymail", "rouge_l": round(avg, 2),
                 "num_samples": len(rows)}
+
+
+@register_task("passkey")
+class PasskeyRetrieval(Evaluator):
+    """Needle-in-a-haystack retrieval (reference:
+    tests/integration/defs/accuracy/references/passkey_retrieval_128k.yaml
+    + the passkey prompts in evaluate/lm_eval long-context suites): a
+    random digit passkey is hidden at a controlled depth inside filler;
+    the model must reproduce it when re-prompted. Byte-level prompts
+    (token id == byte) so the task runs tokenizer-free on the committed
+    tiny checkpoints; ``context_len`` and ``depths`` sweep the haystack.
+    """
+
+    def __init__(self, context_len: int = 768,
+                 depths=(0.15, 0.35, 0.55, 0.75, 0.9),
+                 num_keys: int = 2, seed: int = 0, **kw):
+        super().__init__(**kw)
+        self.context_len = context_len
+        self.depths = tuple(depths)
+        self.num_keys = num_keys
+        self.seed = seed
+
+    FILLER_LINES = (
+        b"def update(self, x):\n    return x + 1\n",
+        b"for i in range(8):\n    total += vals[i]\n",
+        b"if cond:\n    out = fn(a, b)\n",
+        b"while ok:\n    step(world)\n",
+    )
+
+    def make_rows(self):
+        import numpy as _np
+        rng = _np.random.default_rng(self.seed)
+        rows = []
+        for depth in self.depths:
+            for _ in range(self.num_keys):
+                key = "".join(rng.choice(list("0123456789"), 5))
+                filler = b""
+                while len(filler) < self.context_len:
+                    filler += self.FILLER_LINES[
+                        int(rng.integers(len(self.FILLER_LINES)))]
+                needle = f"PASSKEY = '{key}'\n".encode()
+                tail = b"PASSKEY = '"
+                room = self.context_len - len(needle) - len(tail)
+                pos = int(room * depth)
+                doc = filler[:pos] + needle + \
+                    filler[pos:room] + tail
+                rows.append({"prompt": list(doc), "key": key,
+                             "depth": depth})
+        return rows
+
+    def evaluate(self, llm) -> Dict[str, Any]:
+        from ..sampling_params import SamplingParams
+        rows = self.make_rows()
+        sp = SamplingParams(max_tokens=8, top_k=1, ignore_eos=True)
+        futs = [llm.generate_async(r["prompt"], sp) for r in rows]
+        hits, per_depth = 0, {}
+        outputs = []
+        for r, f in zip(rows, futs):
+            out = bytes(t & 0xFF for t in
+                        f.result(600).outputs[0].token_ids)
+            text = out.decode(errors="replace")
+            hit = r["key"] in text
+            hits += hit
+            per_depth.setdefault(r["depth"], []).append(hit)
+            outputs.append(text)
+        return {"task": "passkey", "num_samples": len(rows),
+                "accuracy": 100.0 * hits / max(1, len(rows)),
+                "per_depth": {d: 100.0 * sum(v) / len(v)
+                              for d, v in per_depth.items()},
+                "outputs": outputs}

@@ -388,9 +388,9 @@ class LLM:
             # list sizes the sliding pool (reference semantics: the
             # window list cycles over layers)
             self.model.enable_vswa(min(maw))
-            if args.decode_multi_step > 1:
-                args.decode_multi_step = 1   # single-step until the
-                # multi-step window learns dual pools
+            # the multi-step window addresses both pools (dual-pool
+            # page tables stacked on axis 0 — model_engine
+            # _build_multi_step), so K-step decode stays on under VSWA
         spec_device = getattr(drafter, "device_window", False)
         self.engine = ModelEngine(
             self.model, self._params, args,

@@ -587,14 +587,25 @@ class ModelEngine:
         base_key = jax.random.PRNGKey(0)
         NSTOP = self.NSTOP
 
+        vswa = self._vswa
+        oob_sw = (self.num_sw_pages * ps) if vswa else 0
+
         def multi_step(params, kv_pages, prev_tokens, token_counts,
                        ints, stop_ids, page_indices, floats, counter,
                        g_state, g_byte, g_mask, g_eos_ok, g_tok_bytes,
                        g_tok_lens, hist, bias_pool, ctx_xs):
             # ints i32[10, Sb]: token_ids, prev_slot, start_pos, out_slots,
             #   top_k, greedy, max_new, stop_gate, row_seeds, ngram_n
+            # VSWA engines stack [global, sliding] page tables on axis 0
+            # (the dual-pool window — sliding layers address their own
+            # pool through the _sw halves, reference:
+            # resource_manager.py:1878 pool-per-window-size)
             (token_ids, prev_slot, start_pos, out_slots, top_k, greedy_i,
              max_new, stop_gate, row_seeds, ngram_n) = ints
+            page_indices_sw = None
+            if vswa:
+                page_indices, page_indices_sw = (page_indices[0],
+                                                 page_indices[1])
             sampling = SamplingTensors(
                 temperature=floats[0], top_k=top_k, top_p=floats[1],
                 min_p=floats[2], greedy=greedy_i.astype(bool),
@@ -627,6 +638,12 @@ class ModelEngine:
                 page_row = page_indices[iota, jnp.clip(pos // ps, 0, P - 1)]
                 slot_map = jnp.where(active, page_row * ps + pos % ps,
                                      num_slots_oob)
+                sm_sw = None
+                if vswa:
+                    row_sw = page_indices_sw[iota,
+                                             jnp.clip(pos // ps, 0, P - 1)]
+                    sm_sw = jnp.where(active, row_sw * ps + pos % ps,
+                                      oob_sw)
                 if C > 0:
                     # context riders: this step's host-planned chunk
                     # (tokens [C], up to NC seqs + 1 filler row) joins the
@@ -654,7 +671,9 @@ class ModelEngine:
                         kv_lens=kv_len, page_indices=page_indices,
                         cu_q_lens=cu_q, num_seqs=num_seqs,
                         slot_mapping=slot_map, positions=pos,
-                        logits_indices=iota, seq_slots=out_slots)
+                        logits_indices=iota, seq_slots=out_slots,
+                        page_indices_sw=page_indices_sw,
+                        slot_mapping_sw=sm_sw)
                     logits, kv_pages = model.forward(params, cur, kv_pages,
                                                      metadata)
                 key = jax.random.fold_in(key, 1)
@@ -881,6 +900,8 @@ class ModelEngine:
         floats[1] = 1.0
         floats[3] = 1.0
         page_indices = np.zeros((Sb, P), np.int32)
+        page_indices_sw = np.zeros((Sb, P), np.int32) if self._vswa \
+            else None
         all_greedy = True
         for i, r in enumerate(reqs):
             sp = r.sampling_params
@@ -902,6 +923,9 @@ class ModelEngine:
             stop_ids[i, :len(ids)] = ids
             blocks = r.kv_block_ids
             page_indices[i, :len(blocks)] = blocks
+            if self._vswa:
+                bs = getattr(r, "kv_block_ids_sw", [])
+                page_indices_sw[i, :len(bs)] = bs
             all_greedy &= sp.greedy
             ints[9, i] = min(sp.no_repeat_ngram_size, 8)
             floats[0, i] = max(sp.temperature, 1e-5)
@@ -931,10 +955,12 @@ class ModelEngine:
         fn = self._get_multi_step_fn(K, Sb, use_penalties, all_greedy,
                                      use_guided, use_ngram, use_bias,
                                      C, NCx)
+        pages_arg = np.stack([page_indices, page_indices_sw]) \
+            if self._vswa else page_indices
         out = fn(self.params, self.kv_pages, self.prev_tokens,
                  counts if use_penalties else jnp.zeros((1, 1), jnp.int32),
                  jnp.asarray(ints), jnp.asarray(stop_ids),
-                 jnp.asarray(page_indices), jnp.asarray(floats),
+                 jnp.asarray(pages_arg), jnp.asarray(floats),
                  self.iter_counter, *self._guided_args(use_guided),
                  *self._aux_args(use_ngram, use_bias), ctx_xs)
         (tokens, logprobs, emitted, self.prev_tokens, new_counts,
@@ -1386,10 +1412,13 @@ class ModelEngine:
                 kv_lens=jnp.asarray(kvl),
                 cu=jnp.asarray(cu),
                 pages=jnp.zeros((K, NCw + 1, P), jnp.int32))
+        pshape = (Sb, self.pages_per_seq)
+        if self._vswa:
+            pshape = (2,) + pshape
         out = fn(self.params, self.kv_pages, self.prev_tokens,
                  jnp.zeros((1, 1), jnp.int32), jnp.asarray(ints),
                  jnp.full((Sb, self.NSTOP), -1, jnp.int32),
-                 jnp.zeros((Sb, self.pages_per_seq), jnp.int32),
+                 jnp.zeros(pshape, jnp.int32),
                  jnp.ones((6, Sb), jnp.float32), 0,
                  *self._guided_args(False),
                  *self._aux_args(False, False), ctx_xs)

@@ -89,3 +89,25 @@ def test_vswa_concurrent_batch(gemma2):
     outs2 = [f.result(120).outputs[0].token_ids for f in futs2]
     assert outs == outs2
     v.shutdown()
+
+
+def test_vswa_multi_step_window_active(gemma2):
+    """Round-4 composition close: the K-step decode window addresses
+    BOTH pools (dual-pool page tables), so VSWA no longer forces
+    single-step decoding; outputs still match HF greedy."""
+    import torch
+    llm = _llm(gemma2, vswa=True)
+    assert llm.args.decode_multi_step > 1        # no longer forced off
+    prompt = list(range(2, 40))
+    out = llm.generate(prompt, SamplingParams(max_tokens=13, top_k=1,
+                                              end_id=-1))
+    # a multi-step window actually compiled
+    assert any(k[0] == "multi" for k in llm.engine._step_fns
+               if isinstance(k, tuple)), llm.engine._step_fns.keys()
+    llm.shutdown()
+    ids = list(prompt)
+    with torch.no_grad():
+        for _ in range(13):
+            lg = gemma2(torch.tensor([ids])).logits[0, -1]
+            ids.append(int(torch.argmax(lg)))
+    assert out.outputs[0].token_ids == ids[len(prompt):]

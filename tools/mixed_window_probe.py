@@ -33,9 +33,11 @@ def main():
                       num_hidden_layers=n_layers,
                       num_attention_heads=nq, num_key_value_heads=nkv,
                       head_dim=128, max_position_embeddings=4096)
-    llm = LLM(model=cfg, skip_tokenizer_init=True, max_batch_size=256,
+    mb = int(os.environ.get("MW_MB", "256"))
+    K = int(os.environ.get("MW_K", "16"))
+    llm = LLM(model=cfg, skip_tokenizer_init=True, max_batch_size=mb,
               max_input_len=136, max_seq_len=264, max_num_tokens=8192,
-              load_format="dummy", decode_multi_step=16,
+              load_format="dummy", decode_multi_step=K,
               mixed_window_ctx=C, enable_warmup=False,
               kv_cache_config=KvCacheConfig(tokens_per_block=32))
     eng = llm.engine
@@ -57,8 +59,8 @@ def main():
         kv.add_sequence(r, enable_reuse=False)
         r.num_device_tokens = r.prompt_len
         r.host_token_override = 7
-        kv.add_tokens(r, 16)
-        r.multi_step_budget = 16
+        kv.add_tokens(r, K)
+        r.multi_step_budget = K
         gen.append(r)
     for j in range(n_ctx):
         r = LlmRequest(request_id=1000 + j,
@@ -78,11 +80,11 @@ def main():
     for it in range(6):
         t0 = time.monotonic()
         if it < 2:
-            out = eng.forward_multi_step(batch, 16)
+            out = eng.forward_multi_step(batch, K)
             kind = "plain"
             toks = out[0]
         else:
-            out = eng.forward_multi_step(batch, 16, ctx_requests=ctx)
+            out = eng.forward_multi_step(batch, K, ctx_requests=ctx)
             kind = "mixed"
             toks = out[0]
             # reset ctx positions so every iteration carves again

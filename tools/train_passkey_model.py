@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Train the committed tiny PASSKEY-retrieval checkpoint.
+
+Round-4 verdict #8 needs long-context retrieval evidence at toy scale,
+but the tinycode-llama checkpoint has no induction for the passkey
+pattern. This trains a 2-layer byte-level llama ON the synthetic
+passkey task itself (random keys — the model must learn to COPY the
+earlier key, i.e. form induction heads; unseen keys at eval prove it
+retrieves rather than memorizes). Random position offsets during
+training make the heads position-relative, so the model generalizes to
+contexts far beyond the training window (evaluate/tasks.py passkey
+sweeps depth and length).
+
+Run: python tools/train_passkey_model.py  (~15 min CPU)
+"""
+import json
+import math
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+import torch
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+OUT = REPO / "tests" / "assets" / "tinypasskey-llama"
+SEQ = 640
+BATCH = 16
+STEPS = 1600
+TIME_BUDGET_S = 1500
+LR = 1e-3
+MAX_POS = 16384
+
+FILLER_LINES = [
+    b"def update(self, x):\n    return x + 1\n",
+    b"for i in range(8):\n    total += vals[i]\n",
+    b"if cond:\n    out = fn(a, b)\n",
+    b"while ok:\n    step(world)\n",
+]
+
+
+def make_doc(rng) -> np.ndarray:
+    key = bytes(rng.choice(list(b"0123456789"), 5))
+    filler = b""
+    while len(filler) < SEQ:
+        filler += FILLER_LINES[int(rng.integers(len(FILLER_LINES)))]
+    needle = b"PASSKEY = '" + key + b"'\n"
+    tail = b"PASSKEY = '" + key + b"'\n"
+    room = SEQ - len(needle) - len(tail)
+    pos = int(room * rng.uniform(0.05, 0.95))
+    doc = filler[:pos] + needle + filler[pos:room] + tail
+    return np.frombuffer(doc[:SEQ], np.uint8).astype(np.int64)
+
+
+def main():
+    from transformers import LlamaConfig, LlamaForCausalLM
+    torch.manual_seed(0)
+    cfg = LlamaConfig(vocab_size=257, hidden_size=128,
+                      intermediate_size=344, num_hidden_layers=2,
+                      num_attention_heads=2, num_key_value_heads=2,
+                      max_position_embeddings=MAX_POS,
+                      bos_token_id=256, eos_token_id=256,
+                      tie_word_embeddings=True)
+    model = LlamaForCausalLM(cfg)
+    n_params = sum(p.numel() for p in model.parameters())
+    print(f"params: {n_params/1e6:.2f}M")
+    opt = torch.optim.AdamW(model.parameters(), lr=LR, weight_decay=0.01)
+    sched = torch.optim.lr_scheduler.OneCycleLR(
+        opt, max_lr=LR, total_steps=STEPS, pct_start=0.05)
+    rng = np.random.default_rng(0)
+    model.train()
+    t0 = time.time()
+    for step in range(STEPS):
+        x = torch.from_numpy(np.stack([make_doc(rng)
+                                       for _ in range(BATCH)]))
+        # random position offsets: induction must be position-relative
+        # to survive contexts beyond the training window
+        p0 = torch.from_numpy(
+            rng.integers(0, MAX_POS - SEQ, size=(BATCH, 1)))
+        pos_ids = p0 + torch.arange(SEQ)[None]
+        out = model(input_ids=x, position_ids=pos_ids, labels=x)
+        out.loss.backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+        opt.step()
+        sched.step()
+        opt.zero_grad(set_to_none=True)
+        if step % 100 == 0 or step == STEPS - 1:
+            print(f"step {step:5d} loss {out.loss.item():.3f} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+        if time.time() - t0 > TIME_BUDGET_S:
+            print(f"time budget hit at step {step}", flush=True)
+            break
+
+    # held-out check: UNSEEN keys must be retrieved (greedy)
+    model.eval()
+    hits = 0
+    vr = np.random.default_rng(999)
+    for _ in range(16):
+        doc = make_doc(vr)
+        # cut right after the second "PASSKEY = '"
+        s = bytes(doc.astype(np.uint8))
+        cut = s.rindex(b"PASSKEY = '") + len(b"PASSKEY = '")
+        ids = list(doc[:cut])
+        key = s[cut:cut + 5]
+        with torch.no_grad():
+            for _ in range(5):
+                lg = model(torch.tensor([ids])).logits[0, -1]
+                ids.append(int(torch.argmax(lg)))
+        hits += bytes(ids[cut:]) == key
+    print(f"held-out retrieval {hits}/16")
+
+    model.to(torch.bfloat16)
+    OUT.mkdir(parents=True, exist_ok=True)
+    model.save_pretrained(OUT, safe_serialization=True)
+    (OUT / "meta.json").write_text(json.dumps({
+        "task": "synthetic passkey retrieval (unseen keys)",
+        "retrieval_16": hits, "params": n_params,
+        "train_positions": f"random offsets in [0, {MAX_POS - SEQ})",
+    }, indent=1))
+    print(f"saved to {OUT}")
+
+
+if __name__ == "__main__":
+    main()
