@@ -215,6 +215,9 @@ class LlmArgs(StrictBaseModel):
     tensor_parallel_size: int = 1
     pipeline_parallel_size: int = 1
     context_parallel_size: int = 1
+    # CP flavor (reference: CpType ULYSSES/RING/STAR/HELIX,
+    # llm_args.py context_parallel config)
+    cp_type: Literal["ULYSSES", "RING", "STAR", "HELIX"] = "ULYSSES"
     data_parallel_size: int = 1
     moe_tensor_parallel_size: int = -1
     moe_expert_parallel_size: int = -1
@@ -311,14 +314,15 @@ class LlmArgs(StrictBaseModel):
                 self.context_parallel_size * self.data_parallel_size)
 
     def to_mapping(self):
-        from ..mapping import Mapping
+        from ..mapping import CpType, Mapping
         return Mapping.from_sizes(
             tp=self.tensor_parallel_size, pp=self.pipeline_parallel_size,
             cp=self.context_parallel_size, dp=self.data_parallel_size,
             moe_tp=self.moe_tensor_parallel_size,
             moe_ep=self.moe_expert_parallel_size,
             enable_attention_dp=self.enable_attention_dp,
-            enable_dwdp=self.enable_dwdp)
+            enable_dwdp=self.enable_dwdp,
+            cp_type=CpType[self.cp_type])
 
     @classmethod
     def from_kwargs(cls, **kwargs) -> "LlmArgs":

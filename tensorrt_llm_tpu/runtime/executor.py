@@ -513,7 +513,8 @@ class PyExecutor:
                             self.engine.forward_spec_window(spec_side)
                         entries, planned = self._advance_spec(spec_side)
                         self._inflight.append(_InflightBatch(
-                            entries, tokens, logprobs, kind="spec",
+                            entries, tokens, logprobs,
+                            self.engine._last_spec_top_lp, kind="spec",
                             emitted=emitted, planned=planned,
                             counts=counts))
                 if not batch.is_empty or gen_window is not None:
@@ -580,7 +581,8 @@ class PyExecutor:
                             pass
                         entries, planned = self._advance_spec(wb)
                         self._inflight.append(_InflightBatch(
-                            entries, tokens, logprobs, kind="spec",
+                            entries, tokens, logprobs,
+                            self.engine._last_spec_top_lp, kind="spec",
                             emitted=emitted, planned=planned,
                             counts=counts))
                     else:
@@ -1156,7 +1158,7 @@ class PyExecutor:
         # guided x spec — reference: guided_decoder.py:373)
         guided_blocks = sp.guided_decoding is not None and not (
             getattr(r, "guided_device", False) and sp.greedy)
-        if (sp.use_beam_search or sp.logprobs
+        if (sp.use_beam_search
                 or sp.bad_token_ids or sp.needs_penalties
                 or sp.embedding_bias is not None
                 or sp.logits_processor is not None
@@ -1208,6 +1210,10 @@ class PyExecutor:
         import jax
         tokens, logprobs, counts = jax.device_get(
             (ib.tokens, ib.logprobs, ib.counts))  # [K, Sb, d+1], [K, Sb]
+        top_lp = None
+        if ib.top_logprobs is not None:
+            tv, ti = jax.device_get(ib.top_logprobs)
+            top_lp = (np.asarray(tv), np.asarray(ti))  # [K, Sb, Dp, kL]
         K = tokens.shape[0]
         finished: List[LlmRequest] = []
         for i, entry in enumerate(ib.entries):
@@ -1227,6 +1233,16 @@ class PyExecutor:
                 for j in range(ck):
                     done = req.add_output_token(
                         int(tokens[k, i, j]), float(logprobs[k, i, j]))
+                    if top_lp is not None and req.sampling_params.logprobs:
+                        kk = req.sampling_params.logprobs
+                        vals, ids2 = top_lp
+                        req.logprobs[-1] = {
+                            int(t): float(v)
+                            for v, t in zip(vals[k, i, j][:kk],
+                                            ids2[k, i, j][:kk])}
+                        req.logprobs[-1].setdefault(
+                            int(tokens[k, i, j]),
+                            float(logprobs[k, i, j]))
                     accepted += 1
                     if not done and check_stop:
                         done = self._check_stop_strings(req)

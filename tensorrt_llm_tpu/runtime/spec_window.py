@@ -152,7 +152,8 @@ def spec_seed(engine, tokens_dev, hidden_dev, rows: List[int],
 
 def build_spec_window(engine, K: int, Sb: int,
                       all_greedy: bool = True,
-                      use_guided: bool = False):
+                      use_guided: bool = False,
+                      num_logprobs: int = 0):
     sd = engine.sd
     model = engine.model
     d = sd.d
@@ -353,6 +354,17 @@ def build_spec_window(engine, K: int, Sb: int,
                 tgt = toks_r.reshape(Sb, Dp)
                 lp = lp_r.reshape(Sb, Dp)
 
+            # top-k logprobs per verify row (SamplingParams.logprobs
+            # inside the fused window — round-4 composition close)
+            if num_logprobs > 0:
+                from ..ops.sampling_ops import top_logprobs
+                tlv, tli = top_logprobs(lf, num_logprobs)
+                tlv = tlv.reshape(Sb, Dp, num_logprobs)
+                tli = tli.reshape(Sb, Dp, num_logprobs)
+            else:
+                tlv = jnp.zeros((Sb, Dp, 1), jnp.float32)
+                tli = jnp.zeros((Sb, Dp, 1), jnp.int32)
+
             # 3) acceptance: longest draft==emitted prefix + bonus
             match = drafts.T == tgt[:, :d]
             acc = jnp.cumprod(match.astype(jnp.int32), axis=1).sum(axis=1)
@@ -391,12 +403,15 @@ def build_spec_window(engine, K: int, Sb: int,
                 gst = jnp.where(active & (c > 0), stc, gst)
             return ((kv_pages, hkv, ptoks, pfeats, pn, hpos, pos + c,
                      nxt_active, win + c, abs_e + c, new_last, key, gst),
-                    (out_t, out_lp, c))
+                    (out_t, out_lp, c, tlv, tli))
 
         def dead(carry):
+            kL = max(1, num_logprobs)
             return carry, (jnp.full((Sb, Dp), -1, jnp.int32),
                            jnp.zeros((Sb, Dp), jnp.float32),
-                           jnp.zeros((Sb,), jnp.int32))
+                           jnp.zeros((Sb,), jnp.int32),
+                           jnp.zeros((Sb, Dp, kL), jnp.float32),
+                           jnp.zeros((Sb, Dp, kL), jnp.int32))
 
         def body(carry, _):
             return jax.lax.cond(jnp.any(carry[7]), live, dead, carry)
@@ -407,8 +422,8 @@ def build_spec_window(engine, K: int, Sb: int,
         carry0 = (kv_pages, hkv, ptoks0, pfeats0, pn0, hpos0, pos0,
                   active0, jnp.zeros((Sb,), jnp.int32), abs0, last0,
                   key0, gst0)
-        carry, (toks, lps, counts) = jax.lax.scan(body, carry0, None,
-                                                  length=K)
+        carry, (toks, lps, counts, tl_vals, tl_ids) = jax.lax.scan(
+            body, carry0, None, length=K)
         (kv_pages, hkv, ptoks, pfeats, pn, hpos, pos, _, win, abs_e,
          last_tok, _, gst) = carry
         sidx = jnp.where(valid, out_slots, S)
@@ -423,7 +438,7 @@ def build_spec_window(engine, K: int, Sb: int,
         prev_tokens = prev_tokens.at[sidx].set(last_tok, mode="drop")
         return (toks, lps, counts, win, kv_pages, prev_tokens, hkv,
                 pend_toks_all, pend_feats_all, pend_n_all, pos_h_all,
-                pos_t_all, emitted_t_all, g_state)
+                pos_t_all, emitted_t_all, g_state, tl_vals, tl_ids)
 
     return jax.jit(window,
                    donate_argnums=(1, 2, 9, 12, 13, 14, 15, 16, 17, 18))
@@ -468,10 +483,14 @@ def forward_spec_window(engine, batch) -> Any:
         page_indices[i, :len(blocks)] = blocks
     use_guided = engine.g_enabled and any(
         r.sampling_params.guided_decoding is not None for r in reqs)
-    key = ("spec", sd.K, Sb, all_greedy, use_guided)
+    want_lp = max((r.sampling_params.logprobs or 0) for r in reqs) \
+        if reqs else 0
+    num_logprobs = 0 if want_lp == 0 else min(
+        next(k for k in (1, 5, 8, 20) if k >= min(want_lp, 20)), 20)
+    key = ("spec", sd.K, Sb, all_greedy, use_guided, num_logprobs)
     if key not in sd.fns:
         sd.fns[key] = build_spec_window(engine, sd.K, Sb, all_greedy,
-                                        use_guided)
+                                        use_guided, num_logprobs)
     out = sd.fns[key](engine.params, engine.kv_pages, engine.prev_tokens,
                       jnp.asarray(ints), jnp.asarray(stop_ids),
                       jnp.asarray(page_indices), jnp.asarray(floats),
@@ -481,7 +500,8 @@ def forward_spec_window(engine, batch) -> Any:
                       sd.emitted_t, *engine._guided_args(use_guided))
     (toks, lps, counts, emitted, engine.kv_pages, engine.prev_tokens,
      sd.kv, sd.pend_toks, sd.pend_feats, sd.pend_n, sd.pos_h, sd.pos_t,
-     sd.emitted_t, g_state) = out
+     sd.emitted_t, g_state, tl_vals, tl_ids) = out
     if use_guided:
         engine.g_state = g_state
+    engine._last_spec_top_lp = (tl_vals, tl_ids) if num_logprobs else None
     return toks, lps, counts, emitted

@@ -203,3 +203,29 @@ def test_guided_spec_mixed_with_plain_rows(tiny_model):
     spec.shutdown()
     assert all(t == 5 for t in o1), o1
     assert o2 == ref2
+
+
+def test_logprobs_inside_spec_window(tiny_model):
+    """Top-k logprobs ride the fused window (round-4 composition
+    close): values match the non-speculative logprobs path."""
+    prompts = [[5, 9, 23, 44, 17]]
+    sp = SamplingParams(max_tokens=8, top_k=1, logprobs=3,
+                        ignore_eos=True)
+    base = make_llm(tiny_model)
+    r0 = base.generate(prompts, sp)[0]
+    base.shutdown()
+    spec = make_llm(tiny_model, speculative_config=SpeculativeConfig(
+        mode="EAGLE3", max_draft_len=3))
+    r1 = spec.generate(prompts, sp)[0]
+    # the logprobs window variant actually ran
+    assert any(len(k) > 5 and k[5] > 0 for k in spec.engine.sd.fns), \
+        spec.engine.sd.fns.keys()
+    spec.shutdown()
+    assert r1.outputs[0].token_ids == r0.outputs[0].token_ids
+    lp0 = r0.outputs[0].logprobs
+    lp1 = r1.outputs[0].logprobs
+    assert len(lp0) == len(lp1) == 8
+    for d0, d1 in zip(lp0, lp1):
+        assert set(d0) == set(d1)
+        for t in d0:
+            assert abs(d0[t] - d1[t]) < 1e-3, (d0, d1)

@@ -21,7 +21,10 @@ def main():
     C = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     NC = max(2, min(16, C // 64))
     ps, P = 32, 9              # bench geometry: page 32, 264-token seqs
-    nq, nkv, hd = 16, 4, 128
+    import os
+    nq = int(os.environ.get("RP_NQ", "16"))
+    nkv = int(os.environ.get("RP_NKV", "4"))
+    hd = 128
     pages = Sb * P + 64
     T = Sb + C
     S = Sb + NC + 1
