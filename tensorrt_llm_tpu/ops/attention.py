@@ -40,6 +40,34 @@ try:
 except Exception:  # pragma: no cover
     _RPA_AVAILABLE = False
 
+# Trace-time flag: the library RPA kernel faults (TPU INTERNAL /
+# FAILED_PRECONDITION) on the mixed decode+prefill layouts the mixed
+# window emits at batch >= 64 rows (bisect: tools/mixed_window_probe.py
+# — plain windows, standalone mixed calls and small batches are fine;
+# explicit block sizes do not cure the in-program failure). Calls
+# traced inside rpa_safe_blocks() route to the IN-REPO kernels
+# (ragged prefill handles the mixed layout exactly), which are stable
+# on this chip.
+_SAFE_BLOCKS = False
+
+
+def rpa_safe_blocks():
+    """Context manager: attention calls traced inside it avoid the
+    library RPA kernel (mixed-window stability — see bisect notes in
+    docs/bench_notes.md round 4)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        global _SAFE_BLOCKS
+        old = _SAFE_BLOCKS
+        _SAFE_BLOCKS = True
+        try:
+            yield
+        finally:
+            _SAFE_BLOCKS = old
+    return cm()
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -274,6 +302,7 @@ def ragged_paged_attention(
         # batches and the XLA reference path for prefill
         on_tpu = jax.default_backend() == "tpu"
         if (on_tpu and q.shape[-1] % 128 == 0 and _RPA_AVAILABLE
+                and not _SAFE_BLOCKS
                 and alibi_slopes is None
                 and sinks is None):   # library kernel: no alibi/sinks
             backend = "rpa"

@@ -664,8 +664,10 @@ class ModelEngine:
                         num_seqs=jnp.full((1,), Sb + NC + 1, jnp.int32),
                         slot_mapping=slot_in, positions=pos_in,
                         logits_indices=iota, seq_slots=seq_slots_in)
-                    logits, kv_pages = model.forward(params, tokens_in,
-                                                     kv_pages, metadata)
+                    from ..ops.attention import rpa_safe_blocks
+                    with rpa_safe_blocks():
+                        logits, kv_pages = model.forward(
+                            params, tokens_in, kv_pages, metadata)
                 else:
                     metadata = AttentionMetadata(
                         kv_lens=kv_len, page_indices=page_indices,

@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Acceptance-driven speculative throughput on the real chip.
+
+Round-3 VERDICT #2 closure: run tinycode-llama with the TRAINED EAGLE3
+head (tests/assets/tinycode-eagle) on TPU and measure tok/s + accepted
+drafts per verify dispatch, against the no-spec baseline on identical
+prompts (held-out code). Prints one JSON line.
+
+Env: SPEC_BATCH (default 8), SPEC_OSL (192), SPEC_DRAFT (2).
+"""
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+CKPT = REPO / "tests" / "assets" / "tinycode-llama"
+HEAD = REPO / "tests" / "assets" / "tinycode-eagle"
+
+
+def held_out_prompts(n):
+    """Code-shaped prompts the model never saw verbatim."""
+    base = [
+        "def forward(self, params, token_ids, kv_pages, metadata):\n",
+        "class Scheduler:\n    def schedule(self, requests):\n",
+        "    for req in batch.generation_requests:\n",
+        "import jax.numpy as jnp\n\ndef rms_norm(x, w, eps):\n",
+    ]
+    return [list((base[i % len(base)] * 3).encode())[:96]
+            for i in range(n)]
+
+
+def run(llm, prompts, osl):
+    from tensorrt_llm_tpu import SamplingParams
+    sp = SamplingParams(max_tokens=osl, top_k=1, ignore_eos=True)
+    t0 = time.monotonic()
+    futs = [llm.generate_async(p, sp) for p in prompts]
+    outs = [f.result(1200) for f in futs]
+    dt = time.monotonic() - t0
+    total = sum(len(o.outputs[0].token_ids) for o in outs)
+    toks = [o.outputs[0].token_ids for o in outs]
+    return total / dt, toks
+
+
+def main():
+    batch = int(os.environ.get("SPEC_BATCH", "8"))
+    osl = int(os.environ.get("SPEC_OSL", "192"))
+    d = int(os.environ.get("SPEC_DRAFT", "2"))
+    from tensorrt_llm_tpu import LLM, KvCacheConfig
+    from tensorrt_llm_tpu.llmapi.llm_args import SpeculativeConfig
+    kw = dict(model=str(CKPT), skip_tokenizer_init=True,
+              max_batch_size=batch, max_input_len=128,
+              max_seq_len=128 + osl + 8, max_num_tokens=1024,
+              kv_cache_config=KvCacheConfig(tokens_per_block=16,
+                                            max_tokens=16384))
+    prompts = held_out_prompts(batch)
+
+    base = LLM(**kw)
+    # warmup pass then measured pass
+    run(base, prompts[:2], 16)
+    tput0, ref = run(base, prompts, osl)
+    base.shutdown()
+    print(f"# baseline {tput0:.1f} tok/s", file=sys.stderr, flush=True)
+
+    spec = LLM(**kw, speculative_config=SpeculativeConfig(
+        mode="EAGLE3", max_draft_len=d, draft_model=str(HEAD),
+        device_window=True))
+    run(spec, prompts[:2], 16)
+    spec.executor.drafter.acceptance_window.clear()
+    tput1, got = run(spec, prompts, osl)
+    acc = list(spec.executor.drafter.acceptance_window)
+    spec.shutdown()
+    lossless = got == ref
+    mean_acc = float(np.mean(acc)) if acc else 0.0
+    print(f"# spec {tput1:.1f} tok/s, accepted/iter {mean_acc:.2f}, "
+          f"lossless={lossless}", file=sys.stderr, flush=True)
+    print(json.dumps({
+        "metric": f"spec speedup tinycode-llama trained-EAGLE3 d{d} "
+                  f"bs{batch} osl{osl}",
+        "value": round(tput1 / max(tput0, 1e-9), 3),
+        "unit": "x",
+        "baseline_tok_s": round(tput0, 1),
+        "spec_tok_s": round(tput1, 1),
+        "tokens_per_dispatch": round(1 + mean_acc, 2),
+        "lossless": lossless,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

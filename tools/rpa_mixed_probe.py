@@ -53,9 +53,15 @@ def main():
     cu[Sb + NC + 1] = Sb + C
     num_seqs = jnp.asarray([S], jnp.int32)
 
+    import os as _os
+    kwargs = {}
+    if _os.environ.get("RP_BLK"):
+        bkv, bq = _os.environ["RP_BLK"].split(",")
+        kwargs = dict(num_kv_pages_per_block=int(bkv),
+                      num_queries_per_block=int(bq))
     out = rpa(q, kv, jnp.asarray(kv_lens), jnp.asarray(page_tbl),
               jnp.asarray(cu[:S + 1]), num_seqs,
-              sm_scale=hd ** -0.5)
+              sm_scale=hd ** -0.5, **kwargs)
     arr = np.asarray(out[:4, 0, :4])
     print("mixed rpa OK", arr.shape, float(np.abs(arr).sum()))
 

@@ -40,8 +40,12 @@ FILLER_LINES = [
 ]
 
 
-def make_doc(rng) -> np.ndarray:
-    key = bytes(rng.choice(list(b"0123456789"), 5))
+def make_doc(rng):
+    """Returns (byte ids [SEQ], loss positions of the SECOND key).
+    Loss is masked to the retrieval target: the filler is predictable
+    noise that would otherwise dominate the objective (first attempt:
+    loss 0.08 but 2/16 retrieval)."""
+    key = bytes(rng.choice(list(b"0123456789"), 5).astype(np.uint8))
     filler = b""
     while len(filler) < SEQ:
         filler += FILLER_LINES[int(rng.integers(len(FILLER_LINES)))]
@@ -50,15 +54,18 @@ def make_doc(rng) -> np.ndarray:
     room = SEQ - len(needle) - len(tail)
     pos = int(room * rng.uniform(0.05, 0.95))
     doc = filler[:pos] + needle + filler[pos:room] + tail
-    return np.frombuffer(doc[:SEQ], np.uint8).astype(np.int64)
+    doc = doc[:SEQ]
+    kstart = len(doc) - len(tail) + len(b"PASSKEY = '")
+    ids = np.frombuffer(doc, np.uint8).astype(np.int64)
+    return ids, kstart
 
 
 def main():
     from transformers import LlamaConfig, LlamaForCausalLM
     torch.manual_seed(0)
-    cfg = LlamaConfig(vocab_size=257, hidden_size=128,
-                      intermediate_size=344, num_hidden_layers=2,
-                      num_attention_heads=2, num_key_value_heads=2,
+    cfg = LlamaConfig(vocab_size=257, hidden_size=192,
+                      intermediate_size=512, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=4,
                       max_position_embeddings=MAX_POS,
                       bos_token_id=256, eos_token_id=256,
                       tie_word_embeddings=True)
@@ -72,14 +79,17 @@ def main():
     model.train()
     t0 = time.time()
     for step in range(STEPS):
-        x = torch.from_numpy(np.stack([make_doc(rng)
-                                       for _ in range(BATCH)]))
+        docs = [make_doc(rng) for _ in range(BATCH)]
+        x = torch.from_numpy(np.stack([d[0] for d in docs]))
+        labels = torch.full_like(x, -100)
+        for bi, (ids, ks) in enumerate(docs):
+            labels[bi, ks:ks + 6] = x[bi, ks:ks + 6]  # key + quote
         # random position offsets: induction must be position-relative
         # to survive contexts beyond the training window
         p0 = torch.from_numpy(
             rng.integers(0, MAX_POS - SEQ, size=(BATCH, 1)))
         pos_ids = p0 + torch.arange(SEQ)[None]
-        out = model(input_ids=x, position_ids=pos_ids, labels=x)
+        out = model(input_ids=x, position_ids=pos_ids, labels=labels)
         out.loss.backward()
         torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
         opt.step()
@@ -97,10 +107,9 @@ def main():
     hits = 0
     vr = np.random.default_rng(999)
     for _ in range(16):
-        doc = make_doc(vr)
-        # cut right after the second "PASSKEY = '"
+        doc, kstart = make_doc(vr)
         s = bytes(doc.astype(np.uint8))
-        cut = s.rindex(b"PASSKEY = '") + len(b"PASSKEY = '")
+        cut = kstart
         ids = list(doc[:cut])
         key = s[cut:cut + 5]
         with torch.no_grad():
