@@ -45,6 +45,32 @@ def measure_hbm_bw() -> float:
     return 8 * 2 * n * 2 / best
 
 
+def measure_matmul_peak() -> float:
+    """bf16 MXU peak via a chained resident [4096]^2 matmul (the compute
+    half of the chip roofline; prefill is compute-bound)."""
+    import time as _t
+    import jax
+    import jax.numpy as jnp
+    m = 4096
+    a = jnp.ones((m, m), jnp.bfloat16)
+    b = jnp.ones((m, m), jnp.bfloat16)
+
+    @jax.jit
+    def mm(a, b):
+        def body(a, _):
+            return jnp.tanh(a @ b), None
+        a, _ = jax.lax.scan(body, a, None, length=16)
+        return a[:2, :2]
+
+    np.asarray(mm(a, b))
+    best = 1e9
+    for _ in range(2):
+        t0 = _t.monotonic()
+        np.asarray(mm(a, b))
+        best = min(best, _t.monotonic() - t0)
+    return 16 * 2 * m ** 3 / best
+
+
 def main():
     if os.environ.get("BENCH_DEBUG"):
         import faulthandler
@@ -227,13 +253,27 @@ def main():
                         (cfg.hidden_size // cfg.num_attention_heads) * 2)
     avg_ctx = isl + osl / 2
     PROD_V5E_BW = 810e9  # BASELINE.md constant (production v5e HBM)
-    hbm_bw = measure_hbm_bw() if jax.default_backend() == "tpu" else 5e10
-    print(f"# measured HBM bandwidth: {hbm_bw/1e9:.0f} GB/s "
-          f"(production v5e constant: {PROD_V5E_BW/1e9:.0f} GB/s)",
+    on_tpu = jax.default_backend() == "tpu"
+    hbm_bw = measure_hbm_bw() if on_tpu else 5e10
+    tflops = measure_matmul_peak() if on_tpu else 1e12
+    print(f"# measured HBM bandwidth: {hbm_bw/1e9:.0f} GB/s, bf16 "
+          f"matmul {tflops/1e12:.0f} TFLOP/s "
+          f"(production v5e: {PROD_V5E_BW/1e9:.0f} GB/s, 197 TFLOP/s)",
           file=sys.stderr, flush=True)
     step_bytes = weight_bytes + batch * avg_ctx * kv_bytes_per_tok
     roofline_prod = batch * PROD_V5E_BW / step_bytes
     roofline_chip = batch * hbm_bw / step_bytes
+    # end-to-end chip roofline: a 128/128 pass must ALSO spend
+    # prefill FLOPs; with prefill fully hidden under decode bandwidth
+    # (the mixed-window design) the floor is the max of the two
+    # resources' times, so vs_chip_e2e = achievable-fraction including
+    # prefill (vs_chip keeps the decode-only denominator for
+    # round-over-round comparability)
+    n_out = batch * 2 * osl
+    decode_bytes = (n_out / batch) * step_bytes
+    total_flops = 2.0 * n_params * batch * 2 * (isl + osl)
+    floor_s = max(decode_bytes / hbm_bw, total_flops / tflops)
+    roofline_e2e = n_out / floor_s
 
     name = {"1b": "TinyLlama-1.1B", "8b": "Llama-8B"}.get(model_size,
                                                           model_size)
@@ -244,7 +284,9 @@ def main():
         "unit": "tok/s",
         "vs_baseline": round(tput / roofline_prod, 3),
         "vs_chip": round(tput / roofline_chip, 3),
+        "vs_chip_e2e": round(tput / roofline_e2e, 3),
         "chip_bw_gbps": round(hbm_bw / 1e9, 1),
+        "chip_tflops": round(tflops / 1e12, 1),
     }), flush=True)
     if "tput" not in result2:
         # a wedged device fetch would also hang interpreter teardown

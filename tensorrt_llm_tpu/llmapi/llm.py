@@ -139,8 +139,9 @@ class LLM:
         model_config = ModelConfig(
             hf_config=hf_config, dtype=dtype,
             quant_config=self.args.quant_config, mapping=self.mapping,
-            sparse_keep_pages=(sac.keep_pages if sac
-                               and sac.algo == "ROCKET_TOPK" else None),
+            sparse_keep_pages=(sac.keep_pages if sac and sac.algo in
+                               ("ROCKET_TOPK", "DSA") else None),
+            sparse_algo=(sac.algo if sac else "ROCKET_TOPK"),
             star_block_size=(sac.star_block_size if sac
                              and sac.algo == "STAR" else None))
         model_cls = get_model_class(hf_config.model_type)

@@ -164,7 +164,7 @@ class SparseAttentionConfig(StrictBaseModel):
     indexer; llm_args.py:253-477). ``keep_pages`` bounds the pages a
     decode step attends per sequence (sink + tail pages always kept);
     contexts within the budget stay exact."""
-    algo: Literal["ROCKET_TOPK", "STAR"] = "ROCKET_TOPK"
+    algo: Literal["ROCKET_TOPK", "DSA", "STAR"] = "ROCKET_TOPK"
     keep_pages: int = 16
     # STAR: context blocks attend anchor block 0 + themselves during
     # prefill; decode attends globally (reference: star_flashinfer.py)

@@ -302,6 +302,7 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
                     q_norm=q_norm, k_norm=k_norm,
                     mesh=shard_mesh, tp_axis=shard_axis, ring_cp=ring,
                     sparse_keep_pages=self.config.sparse_keep_pages,
+                    sparse_algo=self.config.sparse_algo,
                     star_block_size=self.config.star_block_size,
                     lora_fn=lf,
                     collect_kv_stats=collect_kv_stats)

@@ -64,6 +64,9 @@ class ModelConfig:
     kv_scale: float = 1.0                 # per-tensor KV quant scale
     # top-k page-sparse decode (ops/sparse_attention.py); None = dense
     sparse_keep_pages: Optional[int] = None
+    # page-selection indexer: ROCKET_TOPK (pooled keys) or DSA
+    # (lightweight low-rank strided index — dsa.py Indexer analog)
+    sparse_algo: str = "ROCKET_TOPK"
     # star attention prefill blocks (anchor+local); None = dense
     star_block_size: Optional[int] = None
 
@@ -137,6 +140,7 @@ def attention_block(params: Dict[str, Any],
                     tp_axis: Optional[str] = None,
                     ring_cp: bool = False,
                     sparse_keep_pages: Optional[int] = None,
+                    sparse_algo: str = "ROCKET_TOPK",
                     star_block_size: Optional[int] = None,
                     lora_fn: Optional[Callable] = None,
                     pre_o: Optional[Callable] = None,
@@ -205,7 +209,7 @@ def attention_block(params: Dict[str, Any],
         sinks=params["sinks"] if spec.use_sinks else None,
         k_scale=ks, v_scale=ks, backend=attn_backend,
         mesh=mesh, tp_axis=tp_axis,
-        sparse_keep_pages=sparse_keep_pages,
+        sparse_keep_pages=sparse_keep_pages, sparse_algo=sparse_algo,
         star_block_size=star_block_size)
     if mesh is not None and tp_axis is not None and \
             "cp" in ((tp_axis,) if isinstance(tp_axis, str) else tp_axis):

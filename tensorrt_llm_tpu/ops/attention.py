@@ -40,32 +40,33 @@ try:
 except Exception:  # pragma: no cover
     _RPA_AVAILABLE = False
 
-# Trace-time flag: the library RPA kernel faults (TPU INTERNAL /
-# FAILED_PRECONDITION) on the mixed decode+prefill layouts the mixed
-# window emits at batch >= 64 rows (bisect: tools/mixed_window_probe.py
-# — plain windows, standalone mixed calls and small batches are fine;
-# explicit block sizes do not cure the in-program failure). Calls
-# traced inside rpa_safe_blocks() route to the IN-REPO kernels
-# (ragged prefill handles the mixed layout exactly), which are stable
-# on this chip.
-_SAFE_BLOCKS = False
+# Trace-time split point for MIXED decode+prefill calls: the library
+# RPA kernel faults (TPU INTERNAL) on the mixed layout the mixed window
+# emits at batch >= 64 rows (bisect: tools/mixed_window_probe.py —
+# plain decode windows, standalone mixed calls and small batches are
+# fine; explicit block sizes do not cure it). Splitting the call into a
+# DECODE-ONLY kernel call (first `sb` rows, one q token each) and a
+# PREFILL-ONLY call (the context rows) keeps the library kernel in its
+# two individually-proven regimes; the KV pool was already written for
+# all tokens, so the two calls read a consistent pool.
+_MIXED_SPLIT = None
 
 
-def rpa_safe_blocks():
-    """Context manager: attention calls traced inside it avoid the
-    library RPA kernel (mixed-window stability — see bisect notes in
-    docs/bench_notes.md round 4)."""
+def rpa_mixed_split(sb: int):
+    """Context manager: attention calls traced inside split at row
+    ``sb`` (gen rows first, ctx rows after — the mixed window layout;
+    see docs/bench_notes.md round 4)."""
     import contextlib
 
     @contextlib.contextmanager
     def cm():
-        global _SAFE_BLOCKS
-        old = _SAFE_BLOCKS
-        _SAFE_BLOCKS = True
+        global _MIXED_SPLIT
+        old = _MIXED_SPLIT
+        _MIXED_SPLIT = sb
         try:
             yield
         finally:
-            _SAFE_BLOCKS = old
+            _MIXED_SPLIT = old
     return cm()
 
 
@@ -174,6 +175,7 @@ def ragged_paged_attention(
         mesh=None,
         tp_axis: Optional[str] = None,
         sparse_keep_pages: Optional[int] = None,
+        sparse_algo: str = "ROCKET_TOPK",
         star_block_size: Optional[int] = None) -> jax.Array:
     """Mixed prefill/decode attention over the paged KV pool.
 
@@ -190,6 +192,19 @@ def ragged_paged_attention(
     sharded over ("cp", "tp") makes GSPMD insert the Ulysses
     all-to-all (token-shard -> head-shard) at the boundary, and the
     inverse one on the way out."""
+    # Mixed-window calls avoid the library RPA kernel entirely: it
+    # faults (TPU INTERNAL) on these in-program layouts at >= 64 rows —
+    # whole-call, split decode+prefill sub-calls, and explicit block
+    # sizes were all bisected (docs/bench_notes.md round 4). The
+    # in-repo hybrid path (ragged prefill kernel for mixed batches) is
+    # stable; plain decode windows keep the fast library kernel.
+    if (_MIXED_SPLIT is not None and backend == "auto"
+            and jax.default_backend() == "tpu"
+            and metadata.tree_masks is None
+            and metadata.mm_groups_q is None and sinks is None
+            and alibi_slopes is None):
+        backend = "hybrid_decode"
+
     if mesh is not None and tp_axis is not None:
         axes = (tp_axis,) if isinstance(tp_axis, str) else tuple(tp_axis)
         size = 1
@@ -227,7 +242,8 @@ def ragged_paged_attention(
                     sliding_window=sliding_window, soft_cap=soft_cap,
                     alibi_slopes=local_slopes, sinks=local_sinks,
                     k_scale=k_scale, v_scale=v_scale, backend=backend,
-                    sparse_keep_pages=sparse_keep_pages)
+                    sparse_keep_pages=sparse_keep_pages,
+                    sparse_algo=sparse_algo)
 
             return shard_map(
                 local_attn, mesh=mesh,
@@ -253,8 +269,8 @@ def ragged_paged_attention(
         def sparse_path(_):
             return sparse_paged_decode_attention(
                 q, kv_pages, metadata, sm_scale=sm_scale,
-                keep_pages=sparse_keep_pages, soft_cap=soft_cap,
-                k_scale=k_scale, v_scale=v_scale)
+                keep_pages=sparse_keep_pages, algo=sparse_algo,
+                soft_cap=soft_cap, k_scale=k_scale, v_scale=v_scale)
 
         def dense_path(_):
             return ragged_paged_attention(
@@ -302,7 +318,6 @@ def ragged_paged_attention(
         # batches and the XLA reference path for prefill
         on_tpu = jax.default_backend() == "tpu"
         if (on_tpu and q.shape[-1] % 128 == 0 and _RPA_AVAILABLE
-                and not _SAFE_BLOCKS
                 and alibi_slopes is None
                 and sinks is None):   # library kernel: no alibi/sinks
             backend = "rpa"

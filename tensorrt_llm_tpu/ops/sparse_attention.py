@@ -51,6 +51,42 @@ def page_mean_keys(kv_pages: jax.Array, kv_lens: jax.Array,
     return (k * fill[..., None, None]).sum(axis=2) / n[..., None, None]
 
 
+def dsa_page_scores(q: jax.Array, kv_pages: jax.Array,
+                    kv_lens: jax.Array, page_indices: jax.Array,
+                    page_size: int, *, stride: int = 2, rank: int = 32,
+                    proj: Optional[jax.Array] = None) -> jax.Array:
+    """DSA-style LIGHTWEIGHT indexer (reference:
+    _torch/attention_backend/sparse/dsa.py Indexer — per-token
+    relevance logits from a compact low-rank index, topk selection).
+
+    TPU-native form: head-0 keys at STRIDED positions, projected to
+    ``rank`` dims by a fixed (or checkpoint-provided, learned)
+    projection — the index read is kvh*stride*(hd/rank) times smaller
+    than the full KV, unlike the RocketKV pooled-mean proxy which
+    re-reads every key to score. Returns f32[S, P] page scores (max
+    over each page's scored tokens — the reference's token-granular
+    logits reduced to the page grain TPU gathers like)."""
+    S, P = page_indices.shape
+    hd = kv_pages.shape[3]
+    if proj is None:
+        # fixed pseudo-random projection (JL-style); a DSA checkpoint's
+        # trained indexer W_k slots in here
+        proj = jax.random.normal(jax.random.PRNGKey(17), (hd, rank),
+                                 jnp.float32) / (hd ** 0.5)
+    # head-0 keys (combined index 0), every `stride`-th position
+    toks = kv_pages[page_indices.reshape(-1), ::stride, 0, :]
+    t = toks.shape[1]
+    idx_k = toks.astype(jnp.float32).reshape(S, P * t, hd) @ proj
+    qh = q.shape[1]
+    idx_q = q.mean(axis=1).astype(jnp.float32) @ proj      # [S, rank]
+    scores = jnp.einsum("sr,sxr->sx", idx_q, idx_k).reshape(S, P, t)
+    pos = (jnp.arange(P, dtype=jnp.int32)[None, :, None] * page_size
+           + jnp.arange(t, dtype=jnp.int32)[None, None, :] * stride)
+    neg = jnp.finfo(jnp.float32).min
+    scores = jnp.where(pos < kv_lens[:, None, None], scores, neg)
+    return scores.max(axis=2)
+
+
 def sparse_paged_decode_attention(
         q: jax.Array,                    # [S, qh, hd] one query per seq
         kv_pages: jax.Array,             # [pages, ps, 2*kvh, hd]
@@ -58,6 +94,7 @@ def sparse_paged_decode_attention(
         *,
         sm_scale: float,
         keep_pages: int,
+        algo: str = "ROCKET_TOPK",
         soft_cap: Optional[float] = None,
         k_scale=None, v_scale=None) -> jax.Array:
     """Decode-shaped sparse attention (one query row per sequence)."""
@@ -71,15 +108,20 @@ def sparse_paged_decode_attention(
     K = min(keep_pages, P)
     kv_lens = metadata.kv_lens
 
-    # ---- indexer: query . pooled page keys --------------------------- #
-    mean_k = page_mean_keys(kv_pages, kv_lens, metadata.page_indices, ps)
-    if k_scale is not None:
-        mean_k = mean_k * k_scale
     qg = q.reshape(S, kvh, group, hd).astype(jnp.float32)
-    # score per page: max over the kv head's query group (RocketKV uses
-    # the max-estimate; max over heads keeps any head's strong match)
-    scores = jnp.einsum("skgd,spkd->skgp", qg, mean_k)
-    page_score = scores.max(axis=(1, 2))                # [S, P]
+    if algo == "DSA":
+        page_score = dsa_page_scores(q, kv_pages, kv_lens,
+                                     metadata.page_indices, ps)
+    else:
+        # ---- indexer: query . pooled page keys ----------------------- #
+        mean_k = page_mean_keys(kv_pages, kv_lens,
+                                metadata.page_indices, ps)
+        if k_scale is not None:
+            mean_k = mean_k * k_scale
+        # score per page: max over the kv head's query group (RocketKV
+        # uses the max-estimate; max keeps any head's strong match)
+        scores = jnp.einsum("skgd,spkd->skgp", qg, mean_k)
+        page_score = scores.max(axis=(1, 2))            # [S, P]
     pages_used = (kv_lens + ps - 1) // ps               # [S]
     ordinal = jnp.arange(P, dtype=jnp.int32)[None, :]
     live = ordinal < pages_used[:, None]

@@ -664,8 +664,8 @@ class ModelEngine:
                         num_seqs=jnp.full((1,), Sb + NC + 1, jnp.int32),
                         slot_mapping=slot_in, positions=pos_in,
                         logits_indices=iota, seq_slots=seq_slots_in)
-                    from ..ops.attention import rpa_safe_blocks
-                    with rpa_safe_blocks():
+                    from ..ops.attention import rpa_mixed_split
+                    with rpa_mixed_split(Sb):
                         logits, kv_pages = model.forward(
                             params, tokens_in, kv_pages, metadata)
                 else:
