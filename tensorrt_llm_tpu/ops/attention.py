@@ -192,18 +192,55 @@ def ragged_paged_attention(
     sharded over ("cp", "tp") makes GSPMD insert the Ulysses
     all-to-all (token-shard -> head-shard) at the boundary, and the
     inverse one on the way out."""
-    # Mixed-window calls avoid the library RPA kernel entirely: it
-    # faults (TPU INTERNAL) on these in-program layouts at >= 64 rows —
-    # whole-call, split decode+prefill sub-calls, and explicit block
-    # sizes were all bisected (docs/bench_notes.md round 4). The
-    # in-repo hybrid path (ragged prefill kernel for mixed batches) is
-    # stable; plain decode windows keep the fast library kernel.
-    if (_MIXED_SPLIT is not None and backend == "auto"
-            and jax.default_backend() == "tpu"
+    # Mixed-window calls: the library RPA kernel faults (TPU INTERNAL)
+    # on the combined decode+prefill layout at >= 64 rows (whole-call,
+    # RPA+RPA splits and explicit block sizes all bisected —
+    # docs/bench_notes.md round 4). Split instead into the DECODE half
+    # on the fast library kernel (the exact layout plain windows run
+    # all day) and the CONTEXT half on the dense XLA reference path —
+    # cheap at rider scale (~NC+1 seqs x <=max_seq context) and
+    # unconditionally stable.
+    global _MIXED_SPLIT
+    if (_MIXED_SPLIT is not None
             and metadata.tree_masks is None
             and metadata.mm_groups_q is None and sinks is None
             and alibi_slopes is None):
-        backend = "hybrid_decode"
+        import dataclasses as _dc
+        sb = _MIXED_SPLIT
+        _MIXED_SPLIT = None
+        try:
+            md_gen = _dc.replace(
+                metadata,
+                kv_lens=metadata.kv_lens[:sb],
+                page_indices=metadata.page_indices[:sb],
+                cu_q_lens=jnp.arange(sb + 1, dtype=jnp.int32),
+                num_seqs=jnp.full((1,), sb, jnp.int32),
+                slot_mapping=metadata.slot_mapping[:sb],
+                positions=metadata.positions[:sb],
+                seq_slots=None)
+            out_gen = ragged_paged_attention(
+                q[:sb], kv_pages, md_gen, sm_scale=sm_scale,
+                sliding_window=sliding_window, soft_cap=soft_cap,
+                k_scale=k_scale, v_scale=v_scale, backend=backend,
+                mesh=mesh, tp_axis=tp_axis)
+            md_ctx = _dc.replace(
+                metadata,
+                kv_lens=metadata.kv_lens[sb:],
+                page_indices=metadata.page_indices[sb:],
+                cu_q_lens=metadata.cu_q_lens[sb:] - sb,
+                num_seqs=metadata.num_seqs - sb,
+                slot_mapping=metadata.slot_mapping[sb:],
+                positions=metadata.positions[sb:],
+                logits_indices=jnp.zeros((1,), jnp.int32),
+                seq_slots=None)
+            out_ctx = _reference_attention(
+                q[sb:], kv_pages, md_ctx, sm_scale=sm_scale,
+                sliding_window=sliding_window, soft_cap=soft_cap,
+                alibi_slopes=None, sinks=None,
+                k_scale=k_scale, v_scale=v_scale)
+        finally:
+            _MIXED_SPLIT = sb
+        return jnp.concatenate([out_gen, out_ctx], axis=0)
 
     if mesh is not None and tp_axis is not None:
         axes = (tp_axis,) if isinstance(tp_axis, str) else tuple(tp_axis)

@@ -27,10 +27,10 @@ sys.path.insert(0, str(REPO))
 OUT = REPO / "tests" / "assets" / "tinypasskey-llama"
 SEQ = 640
 BATCH = 16
-STEPS = 1600
-TIME_BUDGET_S = 1500
+STEPS = 6000
+TIME_BUDGET_S = 2700
 LR = 1e-3
-MAX_POS = 16384
+MAX_POS = 4096
 
 FILLER_LINES = [
     b"def update(self, x):\n    return x + 1\n",
@@ -81,15 +81,28 @@ def main():
     for step in range(STEPS):
         docs = [make_doc(rng) for _ in range(BATCH)]
         x = torch.from_numpy(np.stack([d[0] for d in docs]))
-        labels = torch.full_like(x, -100)
+        # dense LM loss grows the copy circuits; the retrieval target
+        # is upweighted 20x (masked-only loss plateaus — probed)
+        w = torch.full(x.shape, 0.05)
         for bi, (ids, ks) in enumerate(docs):
-            labels[bi, ks:ks + 6] = x[bi, ks:ks + 6]  # key + quote
+            w[bi, ks:ks + 6] = 1.0
         # random position offsets: induction must be position-relative
         # to survive contexts beyond the training window
         p0 = torch.from_numpy(
             rng.integers(0, MAX_POS - SEQ, size=(BATCH, 1)))
         pos_ids = p0 + torch.arange(SEQ)[None]
-        out = model(input_ids=x, position_ids=pos_ids, labels=labels)
+        import torch.nn.functional as F
+        lg = model(input_ids=x, position_ids=pos_ids).logits
+        ce = F.cross_entropy(lg[:, :-1].reshape(-1, 257),
+                             x[:, 1:].reshape(-1), reduction="none")
+        loss = (ce * w[:, 1:].reshape(-1)).sum() / w[:, 1:].sum()
+
+        class _O:
+            pass
+        out = _O()
+        out.loss = loss
+        key_mask = (w[:, 1:].reshape(-1) == 1.0)
+        out.key_loss = (ce * key_mask).sum() / key_mask.sum()
         out.loss.backward()
         torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
         opt.step()
@@ -97,6 +110,7 @@ def main():
         opt.zero_grad(set_to_none=True)
         if step % 100 == 0 or step == STEPS - 1:
             print(f"step {step:5d} loss {out.loss.item():.3f} "
+                  f"key {out.key_loss.item():.3f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
         if time.time() - t0 > TIME_BUDGET_S:
             print(f"time budget hit at step {step}", flush=True)
