@@ -143,6 +143,9 @@ def main():
     # FLOP/byte (measured via tools/chip_probe.py: 58 TFLOP/s at
     # 106 GB/s), so a 256-token rider costs ~0 extra step time.
     mixed_ctx = int(os.environ.get("BENCH_MIXED_CTX", "256"))
+    # batching-wait: decode defers below this pool occupancy while
+    # prefill refills (kills the ramp/transition occupancy dips)
+    wait_occ = float(os.environ.get("BENCH_WAIT_OCC", "0.75"))
     llm = LLM(model=cfg, skip_tokenizer_init=True,
               max_batch_size=batch, max_input_len=isl + 8,
               max_seq_len=max_seq, max_num_tokens=max_tok,
@@ -150,6 +153,7 @@ def main():
               decode_multi_step=multi_step,
               max_inflight_steps=depth,
               mixed_window_ctx=mixed_ctx,
+              decode_wait_occupancy=wait_occ,
               kv_cache_config=KvCacheConfig(tokens_per_block=int(
                   os.environ.get("BENCH_PAGE", "32"))))
 

@@ -600,6 +600,7 @@ class LLM:
             kv_transceiver=self.kv_transceiver,
             pipeline_depth=args.max_inflight_steps,
             decode_multi_step=args.decode_multi_step,
+            decode_wait_occupancy=args.decode_wait_occupancy,
             role=role, broadcaster=bcaster,
             adp_router=adp_router, dp_rank_id=dp_rank_id,
             tracer=tracer,

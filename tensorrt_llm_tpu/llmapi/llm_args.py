@@ -268,6 +268,14 @@ class LlmArgs(StrictBaseModel):
     # device, py_executor.py:2870). 0 disables. Attention-pool models,
     # single-host role only.
     mixed_window_ctx: int = 0
+    # throughput batching-wait (reference: AttentionDpConfig
+    # batching_wait_iters / the ADP Balance waiting room, generalized):
+    # while context work is scheduled AND the decode pool is below this
+    # fraction of max_batch_size, decode rows sit out the iteration so
+    # prefill refills the pool and windows run full. 0 disables (the
+    # latency-friendly default); throughput benches set ~0.75. Progress
+    # is guaranteed: rows only wait while context actually runs.
+    decode_wait_occupancy: float = 0.0
     # micro-batches per iteration for TRUE pipeline parallelism (GPipe
     # schedule inside one jitted program, ppermute stage handoff;
     # reference: _executor_loop_pp py_executor.py:1811). Only active

@@ -236,6 +236,7 @@ class PyExecutor:
                  tracer=None,
                  kv_connector=None,
                  waiting_queue_policy: str = "fcfs",
+                 decode_wait_occupancy: float = 0.0,
                  max_active_requests: Optional[int] = None,
                  num_postprocess_workers: int = 0):
         self.engine = engine
@@ -284,6 +285,11 @@ class PyExecutor:
         # decode window: K decode iterations per dispatched device program
         # (lax.scan in the engine); 1 = classic one-token steps
         self.multi_step = max(1, decode_multi_step)
+        # throughput batching-wait: defer decode while prefill can
+        # refill the pool below this occupancy (llm_args
+        # decode_wait_occupancy; reference analog: ADP Balance
+        # batching_wait_iters)
+        self.decode_wait_occupancy = decode_wait_occupancy
         # steps allowed in flight before the host consumes results; >1
         # amortizes the device→host fetch round-trip (critical over a
         # TPU tunnel; the reference's overlap loop is depth 2)
@@ -456,6 +462,22 @@ class PyExecutor:
                         self._broadcast_schedule(batch, paused)
                     if paused:
                         self._pause_requests(paused, batch)
+                # batching-wait: while context work is scheduled and the
+                # decode pool is under the occupancy target, decode rows
+                # sit out this iteration — prefill refills the pool so
+                # windows run full instead of re-reading the weights for
+                # near-empty row sets (the wave ramp/transition dips in
+                # the round-4 bench traces). Rows only ever wait while
+                # context actually runs, so progress is guaranteed.
+                if (self.decode_wait_occupancy > 0
+                        and batch.context_requests
+                        and batch.generation_requests
+                        and len(batch.generation_requests) <
+                        self.decode_wait_occupancy
+                        * self.engine.max_batch_size):
+                    batch = ScheduledRequests(
+                        context_requests=batch.context_requests,
+                        paused_requests=batch.paused_requests)
                 # mixed-eligibility decode batches: rows that qualify
                 # for the fused speculative window split into their own
                 # dispatch so one guided/logprobs/beam row doesn't
