@@ -192,8 +192,7 @@ COMBOS = {
     ("window", "extras"): ("fb", "embedding_bias applies in-window; "
      "logprobs and logits_processor rows fall back to single-step "
      "(_multi_rows_ok)"),
-    ("window", "vswa"): ("no", "multi-step forced off under VSWA until "
-     "the window learns dual pools (llmapi/llm.py)"),
+    ("window", "vswa"): ("ok", ["test_vswa.py::test_vswa_multi_step"]),
     ("window", "lora"): ("fb", "LoRA rows fall back to single-step "
      "(_multi_rows_ok)"),
     ("window", "beam"): ("fb", "beam rows fall back to single-step"),
@@ -207,18 +206,21 @@ COMBOS = {
      "program (executor._ctx_rider_ok)"),
     ("mixedwin", "disagg"): ("fb", "context-only requests prefill via the "
      "standard program (their KV ships at completion)"),
-    ("specwin", "guided"): ("fb", "guided rows demote to plain decode "
-     "(_spec_row_ok); in-window DFA walk is the open round-4 item"),
+    ("specwin", "guided"): ("ok",
+     ["test_spec_window.py::test_guided_rides_spec_window"]),
     ("specwin", "penal"): ("fb", "penalty rows demote to plain decode "
      "(_spec_row_ok — the count state cannot advance mid-window)"),
-    ("specwin", "extras"): ("fb", "logprobs/bias/processor rows demote "
-     "to plain decode (_spec_row_ok)"),
+    ("specwin", "extras"): ("fb", "top-k logprobs ride the window "
+     "in-graph (test_spec_window.py logprobs test); bias/processor "
+     "rows demote to plain decode (_spec_row_ok)"),
     ("specwin", "tp"): ("ok", ["test_parallel.py::test_dryrun_multichip"]),
     ("specwin", "spechost"): ("no", "one spec mode per engine "
      "(SpeculativeConfig.mode)"),
     ("specwin", "beam"): ("fb", "beam rows demote to plain decode"),
     ("spechost", "guided"): ("fb", "guided rows skip drafting "
      "(_prepare_drafts.draftable)"),
+    ("overlap", "cp"): ("fb", "CP meshes run the leader/follower "
+     "orchestration; the single-host overlap loop is untested there"),
     ("spechost", "penal"): ("fb", "penalty rows skip drafting"),
     ("guided", "penal"): ("ok", ["test_guided_device"]),
     ("guided", "quantw"): ("ok", ["test_guided"]),

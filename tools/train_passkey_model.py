@@ -40,7 +40,7 @@ FILLER_LINES = [
 ]
 
 
-def make_doc(rng):
+def make_doc(rng, d_max: int = None):
     """Returns (byte ids [SEQ], loss positions of the SECOND key).
     Loss is masked to the retrieval target: the filler is predictable
     noise that would otherwise dominate the objective (first attempt:
@@ -79,7 +79,8 @@ def main():
     model.train()
     t0 = time.time()
     for step in range(STEPS):
-        docs = [make_doc(rng) for _ in range(BATCH)]
+        d_max = 20 + int(step * (2 * SEQ / STEPS))
+        docs = [make_doc(rng, d_max) for _ in range(BATCH)]
         x = torch.from_numpy(np.stack([d[0] for d in docs]))
         # dense LM loss grows the copy circuits; the retrieval target
         # is upweighted 20x (masked-only loss plateaus — probed)
@@ -88,8 +89,12 @@ def main():
             w[bi, ks:ks + 6] = 1.0
         # random position offsets: induction must be position-relative
         # to survive contexts beyond the training window
-        p0 = torch.from_numpy(
-            rng.integers(0, MAX_POS - SEQ, size=(BATCH, 1)))
+        # position offsets only in the final phase: they slow the
+        # initial induction formation (probed) but are needed for
+        # beyond-training-length generalization
+        hi = MAX_POS - SEQ if step > 0.7 * STEPS else 1
+        p0 = torch.from_numpy(rng.integers(0, max(1, hi),
+                                           size=(BATCH, 1)))
         pos_ids = p0 + torch.arange(SEQ)[None]
         import torch.nn.functional as F
         lg = model(input_ids=x, position_ids=pos_ids).logits
