@@ -84,7 +84,10 @@ def main():
         x = torch.from_numpy(np.stack([d[0] for d in docs]))
         # dense LM loss grows the copy circuits; the retrieval target
         # is upweighted 20x (masked-only loss plateaus — probed)
-        w = torch.full(x.shape, 0.05)
+        # keep the KEY at ~70% of the total loss mass regardless of
+        # SEQ (a flat 0.05 made the 634 filler positions dominate and
+        # induction never formed — probed at SEQ 64 vs 640)
+        w = torch.full(x.shape, 2.5 / SEQ)
         for bi, (ids, ks) in enumerate(docs):
             w[bi, ks:ks + 6] = 1.0
         # random position offsets: induction must be position-relative
