@@ -130,8 +130,10 @@ def main():
     # through — each decode step reads the full weights regardless of row
     # count, so a starved pool wastes most of the step's HBM traffic
     # (measured: 4.3x row deficit at bs256 128/128).
+    # 16384 fills the bs256 decode pool in ~2 refill iterations (the
+    # r4 trace showed refill bounded by this budget at 8192)
     max_tok = int(os.environ.get("BENCH_MAXTOK",
-                                 str(max(2048, isl * (batch // 4)))))
+                                 str(max(2048, isl * (batch // 2)))))
     # pipeline depth: windows in flight before the host blocks. Depth 4
     # hides dispatch latency but delays slot release (and therefore next-
     # wave prefill admission) by depth*K decode steps at wave boundaries
@@ -142,10 +144,10 @@ def main():
     # reads, so refill phases keep emitting tokens. The chip has ~547
     # FLOP/byte (measured via tools/chip_probe.py: 58 TFLOP/s at
     # 106 GB/s), so a 256-token rider costs ~0 extra step time.
-    mixed_ctx = int(os.environ.get("BENCH_MIXED_CTX", "256"))
+    mixed_ctx = int(os.environ.get("BENCH_MIXED_CTX", "512"))
     # batching-wait: decode defers below this pool occupancy while
     # prefill refills (kills the ramp/transition occupancy dips)
-    wait_occ = float(os.environ.get("BENCH_WAIT_OCC", "0.75"))
+    wait_occ = float(os.environ.get("BENCH_WAIT_OCC", "0.9"))
     llm = LLM(model=cfg, skip_tokenizer_init=True,
               max_batch_size=batch, max_input_len=isl + 8,
               max_seq_len=max_seq, max_num_tokens=max_tok,
