@@ -231,12 +231,17 @@ class PasskeyRetrieval(Evaluator):
 
     def __init__(self, context_len: int = 768,
                  depths=(0.15, 0.35, 0.55, 0.75, 0.9),
-                 num_keys: int = 2, seed: int = 0, **kw):
+                 num_keys: int = 2, seed: int = 0,
+                 style: str = "text", **kw):
         super().__init__(**kw)
         self.context_len = context_len
         self.depths = tuple(depths)
         self.num_keys = num_keys
         self.seed = seed
+        # "text": PASSKEY = 'x' prose needles (big models);
+        # "marker": \x01 <key> \x02 needles, query = bare \x01 — the
+        # tinypasskey checkpoint's trained format
+        self.style = style
 
     FILLER_LINES = (
         b"def update(self, x):\n    return x + 1\n",
@@ -256,8 +261,12 @@ class PasskeyRetrieval(Evaluator):
                 while len(filler) < self.context_len:
                     filler += self.FILLER_LINES[
                         int(rng.integers(len(self.FILLER_LINES)))]
-                needle = f"PASSKEY = '{key}'\n".encode()
-                tail = b"PASSKEY = '"
+                if self.style == "marker":
+                    needle = b"\x01" + key.encode() + b"\x02"
+                    tail = b"\x01"
+                else:
+                    needle = f"PASSKEY = '{key}'\n".encode()
+                    tail = b"PASSKEY = '"
                 room = self.context_len - len(needle) - len(tail)
                 pos = int(room * depth)
                 doc = filler[:pos] + needle + \

@@ -33,6 +33,9 @@ def main():
     B = int(os.environ.get("BATCH", "8"))
     nq = int(os.environ.get("HEADS", "16"))
     nkv = int(os.environ.get("KV", "4"))
+    # in-repo decode kernel (the framework's long-context decode path;
+    # the library RPA kernel caps pages_per_seq at 16 and fails to
+    # compile past it)
     hd, ps = 128, 32
     P = ctx // ps
     rng = np.random.default_rng(0)
@@ -69,15 +72,15 @@ def main():
     # dense: full KV per rank
     kvp = pool(B * P + 8)
     q = jnp.asarray(rng.standard_normal((B, nq, hd)) * 0.1, jnp.bfloat16)
-    f = jax.jit(lambda q, kv, m: ragged_paged_attention(q, kv, m,
-                                                        sm_scale=sm))
+    f = jax.jit(lambda q, kv, m: ragged_paged_attention(
+        q, kv, m, sm_scale=sm, backend="hybrid_decode"))
     results["dense_ms"] = timeit(f, q, kvp, md(B, ctx, P, B * P + 8))
 
     # RING/HELIX per-rank shard: 1/cp of KV, cp sequential hops
     kvs = pool(B * P // cp + 8)
     shard_md = md(B, ctx // cp, P // cp, B * P // cp + 8)
-    fs = jax.jit(lambda q, kv, m: ragged_paged_attention(q, kv, m,
-                                                         sm_scale=sm))
+    fs = jax.jit(lambda q, kv, m: ragged_paged_attention(
+        q, kv, m, sm_scale=sm, backend="hybrid_decode"))
     one_hop = timeit(fs, q, kvs, shard_md)
     results["ring_per_rank_ms"] = one_hop * cp       # sequential bound
     results["ring_hop_ms"] = one_hop                 # overlapped bound
@@ -85,8 +88,8 @@ def main():
     # ULYSSES: full KV, 1/cp of the q/kv heads per rank
     qh = q[:, :nq // cp]
     kvh = kvp[:, :, :2 * max(1, nkv // cp)]
-    fu = jax.jit(lambda q, kv, m: ragged_paged_attention(q, kv, m,
-                                                         sm_scale=sm))
+    fu = jax.jit(lambda q, kv, m: ragged_paged_attention(
+        q, kv, m, sm_scale=sm, backend="hybrid_decode"))
     results["ulysses_per_rank_ms"] = timeit(
         fu, qh, kvh, md(B, ctx, P, B * P + 8))
 
