@@ -29,6 +29,9 @@ SEQ = 640
 BATCH = 16
 STEPS = 6000
 TIME_BUDGET_S = 2700
+# staged curriculum: induction forms at short SEQ in O(100) steps
+# (probed), then distance and absolute positions generalize
+STAGES = [(64, 32, 1000), (256, 24, 900), (640, 16, 900)]
 LR = 1e-3
 MAX_POS = 4096
 
@@ -40,21 +43,22 @@ FILLER_LINES = [
 ]
 
 
-def make_doc(rng, d_max: int = None):
+def make_doc(rng, d_max: int = None, seq: int = None):
     """Returns (byte ids [SEQ], loss positions of the SECOND key).
     Loss is masked to the retrieval target: the filler is predictable
     noise that would otherwise dominate the objective (first attempt:
     loss 0.08 but 2/16 retrieval)."""
+    seq = seq or SEQ
     key = bytes(rng.choice(list(b"0123456789"), 5).astype(np.uint8))
     filler = b""
-    while len(filler) < SEQ:
+    while len(filler) < seq:
         filler += FILLER_LINES[int(rng.integers(len(FILLER_LINES)))]
     needle = b"PASSKEY = '" + key + b"'\n"
     tail = b"PASSKEY = '" + key + b"'\n"
-    room = SEQ - len(needle) - len(tail)
+    room = seq - len(needle) - len(tail)
     pos = int(room * rng.uniform(0.05, 0.95))
     doc = filler[:pos] + needle + filler[pos:room] + tail
-    doc = doc[:SEQ]
+    doc = doc[:seq]
     kstart = len(doc) - len(tail) + len(b"PASSKEY = '")
     ids = np.frombuffer(doc, np.uint8).astype(np.int64)
     return ids, kstart
@@ -73,8 +77,9 @@ def main():
     n_params = sum(p.numel() for p in model.parameters())
     print(f"params: {n_params/1e6:.2f}M")
     opt = torch.optim.AdamW(model.parameters(), lr=LR, weight_decay=0.01)
+    total = sum(n for _, _, n in STAGES)
     sched = torch.optim.lr_scheduler.OneCycleLR(
-        opt, max_lr=LR, total_steps=STEPS, pct_start=0.05)
+        opt, max_lr=LR, total_steps=total + 1, pct_start=0.05)
     rng = np.random.default_rng(0)
     model.train()
     t0 = time.time()
