@@ -457,27 +457,30 @@ class PyExecutor:
                     self._hang_detector.arm()
                     t0 = time.monotonic()
                     batch = self.scheduler.schedule(self._schedulable())
+                    # batching-wait: while context work is scheduled and
+                    # the decode pool is under the occupancy target,
+                    # decode rows sit out this iteration — prefill
+                    # refills the pool so windows run full instead of
+                    # re-reading the weights for near-empty row sets
+                    # (round-4 bench traces). Rows only ever wait while
+                    # context actually runs (progress guaranteed);
+                    # applied BEFORE the leader broadcast so followers
+                    # replay the same reduced schedule.
+                    if (self.decode_wait_occupancy > 0
+                            and batch.context_requests
+                            and batch.generation_requests
+                            and len(batch.generation_requests) <
+                            self.decode_wait_occupancy
+                            * self.engine.max_batch_size):
+                        paused0 = batch.paused_requests
+                        batch = ScheduledRequests(
+                            context_requests=batch.context_requests)
+                        batch.paused_requests = paused0
                     paused = getattr(batch, "paused_requests", None)
                     if self.role == "leader":
                         self._broadcast_schedule(batch, paused)
                     if paused:
                         self._pause_requests(paused, batch)
-                # batching-wait: while context work is scheduled and the
-                # decode pool is under the occupancy target, decode rows
-                # sit out this iteration — prefill refills the pool so
-                # windows run full instead of re-reading the weights for
-                # near-empty row sets (the wave ramp/transition dips in
-                # the round-4 bench traces). Rows only ever wait while
-                # context actually runs, so progress is guaranteed.
-                if (self.decode_wait_occupancy > 0
-                        and batch.context_requests
-                        and batch.generation_requests
-                        and len(batch.generation_requests) <
-                        self.decode_wait_occupancy
-                        * self.engine.max_batch_size):
-                    batch = ScheduledRequests(
-                        context_requests=batch.context_requests,
-                        paused_requests=batch.paused_requests)
                 # mixed-eligibility decode batches: rows that qualify
                 # for the fused speculative window split into their own
                 # dispatch so one guided/logprobs/beam row doesn't

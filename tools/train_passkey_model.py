@@ -53,8 +53,13 @@ def make_doc(rng, d_max: int = None, seq: int = None):
     filler = b""
     while len(filler) < seq:
         filler += FILLER_LINES[int(rng.integers(len(FILLER_LINES)))]
-    needle = b"PASSKEY = '" + key + b"'\n"
-    tail = b"PASSKEY = '" + key + b"'\n"
+    # marker format: a unique trigger byte that never occurs in the
+    # filler — the canonical induction pattern (attend to the earlier
+    # MARKER, copy what followed). Text-prefix needles ("PASSKEY = '")
+    # need long prefix-matching circuits that tiny models do not form
+    # within the CPU budget (probed: loss plateaus ~1.9).
+    needle = b"\x01" + key + b"\x02"
+    tail = b"\x01" + key + b"\x02"
     room = seq - len(needle) - len(tail)
     pos = int(room * rng.uniform(0.05, 0.95))
     doc = filler[:pos] + needle + filler[pos:room] + tail
