@@ -147,3 +147,28 @@ def test_eos_and_stop_in_mixed_windows(llm_mixed, tmodel):
         max_tokens=20, top_k=1, stop_token_ids=[stop_tok]))
     assert out.outputs[0].token_ids == ref[:6]
     assert out.outputs[0].finish_reason == "stop_words"
+
+
+def test_batching_wait_policy_lossless(tmodel):
+    """decode_wait_occupancy defers decode while prefill refills; the
+    token streams stay exactly greedy (scheduling-only change)."""
+    llm = LLM(model=tmodel, skip_tokenizer_init=True, dtype="float32",
+              max_batch_size=8, max_input_len=96, max_seq_len=192,
+              max_num_tokens=256, decode_multi_step=4,
+              mixed_window_ctx=32, decode_wait_occupancy=0.9,
+              kv_cache_config=KvCacheConfig(tokens_per_block=16,
+                                            max_tokens=4096))
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(1, 127, size=n).tolist()
+               for n in (50, 33, 61, 44, 28, 55)]
+    sp = SamplingParams(max_tokens=20, top_k=1, ignore_eos=True)
+    futs = [llm.generate_async(prompts[0], sp),
+            llm.generate_async(prompts[1], sp)]
+    import time
+    time.sleep(0.2)
+    futs += [llm.generate_async(p, sp) for p in prompts[2:]]
+    outs = [f.result(300).outputs[0].token_ids for f in futs]
+    llm.shutdown()
+    for p, o in zip(prompts, outs):
+        assert o == hf_greedy(tmodel, p, 20)
+        assert len(o) == 20

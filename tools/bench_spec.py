@@ -66,9 +66,10 @@ def main():
     base.shutdown()
     print(f"# baseline {tput0:.1f} tok/s", file=sys.stderr, flush=True)
 
+    K = int(os.environ.get("SPEC_ITERS", "8"))
     spec = LLM(**kw, speculative_config=SpeculativeConfig(
         mode="EAGLE3", max_draft_len=d, draft_model=str(HEAD),
-        device_window=True))
+        device_window=True, device_window_iters=K))
     run(spec, prompts[:2], 16)
     spec.executor.drafter.acceptance_window.clear()
     tput1, got = run(spec, prompts, osl)
