@@ -84,7 +84,7 @@ def main():
     opt = torch.optim.AdamW(model.parameters(), lr=LR, weight_decay=0.01)
     total = sum(n for _, _, n in STAGES)
     sched = torch.optim.lr_scheduler.OneCycleLR(
-        opt, max_lr=LR, total_steps=total + 1, pct_start=0.05)
+        opt, max_lr=LR, total_steps=total + 8, pct_start=0.05)
     rng = np.random.default_rng(0)
     model.train()
     t0 = time.time()
