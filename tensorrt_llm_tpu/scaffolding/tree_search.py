@@ -13,10 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-import re
 from typing import Callable, List, Optional, Sequence
-
-from ..sampling_params import SamplingParams
 
 
 @dataclasses.dataclass
@@ -63,14 +60,10 @@ class RewardWorker:
         self.reward_fn = reward_fn
 
     def score(self, llm, prompt: str, texts: Sequence[str]) -> List[float]:
-        if self.reward_fn is not None:
-            return [float(self.reward_fn(t)) for t in texts]
-        # self-confidence: per-token logprob of the continuation
-        out = []
-        for t in texts:
-            # the generation futures already carry cumulative logprobs
-            out.append(-len(t) * 0.0)   # overwritten by callers that
-        return out                       # track logprobs at generation
+        assert self.reward_fn is not None, \
+            "PRM-free mode scores via generation confidence (callers " \
+            "use the per-token logprob the futures already carry)"
+        return [float(self.reward_fn(t)) for t in texts]
 
 
 def _gen_texts(llm, prompts, sp, n_per=1, temperature=0.8):
@@ -138,9 +131,8 @@ class MCTSController:
             rollout, conf = _gen_texts(llm, [ctx], step_sp, n_per=1,
                                        temperature=self.temperature)
             full = (node.path_text() + "\n" + rollout[0]).strip()
-            r = self.reward.score(llm, prompt, [full])[0]
-            if self.reward.reward_fn is None:
-                r = conf[0]             # self-confidence fallback
+            r = self.reward.score(llm, prompt, [full])[0] \
+                if self.reward.reward_fn is not None else conf[0]
             if r > best_score:
                 best_score, best_text = r, full
             # 4) backpropagate

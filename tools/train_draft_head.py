@@ -25,7 +25,6 @@ Env: DRAFT_STEPS, DRAFT_DUMP=file.npz (save captured features only —
 the save_hidden_state analog).
 """
 import json
-import math
 import os
 import time
 from pathlib import Path
@@ -72,7 +71,6 @@ def make_capture_fn(model, B: int, T: int, ps: int = 32):
     the save_hidden_state.py analog, through model.forward with
     collect_hidden (features are the exact rows the runtime hands the
     head: pre-final-norm hidden at every position)."""
-    import functools
     import jax
     import jax.numpy as jnp
     from tensorrt_llm_tpu.ops.attention import AttentionMetadata
