@@ -25,13 +25,10 @@ import torch
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 OUT = REPO / "tests" / "assets" / "tinypasskey-llama"
-SEQ = 640
-BATCH = 16
-STEPS = 6000
-TIME_BUDGET_S = 2700
-# staged curriculum: induction forms at short SEQ in O(100) steps
-# (probed), then distance and absolute positions generalize
-STAGES = [(64, 32, 1000), (256, 24, 900), (640, 16, 900)]
+SEQ = 256
+BATCH = 32
+STEPS = 5000
+TIME_BUDGET_S = 1900
 LR = 1e-3
 MAX_POS = 4096
 
@@ -64,7 +61,7 @@ def make_doc(rng, d_max: int = None, seq: int = None):
     pos = int(room * rng.uniform(0.05, 0.95))
     doc = filler[:pos] + needle + filler[pos:room] + tail
     doc = doc[:seq]
-    kstart = len(doc) - len(tail) + len(b"PASSKEY = '")
+    kstart = len(doc) - len(tail) + 1     # first key byte after \x01
     ids = np.frombuffer(doc, np.uint8).astype(np.int64)
     return ids, kstart
 
@@ -82,9 +79,8 @@ def main():
     n_params = sum(p.numel() for p in model.parameters())
     print(f"params: {n_params/1e6:.2f}M")
     opt = torch.optim.AdamW(model.parameters(), lr=LR, weight_decay=0.01)
-    total = sum(n for _, _, n in STAGES)
     sched = torch.optim.lr_scheduler.OneCycleLR(
-        opt, max_lr=LR, total_steps=total + 8, pct_start=0.05)
+        opt, max_lr=LR, total_steps=STEPS + 8, pct_start=0.05)
     rng = np.random.default_rng(0)
     model.train()
     t0 = time.time()
@@ -124,7 +120,10 @@ def main():
         out.loss.backward()
         torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
         opt.step()
-        sched.step()
+        try:
+            sched.step()
+        except ValueError:
+            pass   # schedule exhausted: hold the final LR
         opt.zero_grad(set_to_none=True)
         if step % 100 == 0 or step == STEPS - 1:
             print(f"step {step:5d} loss {out.loss.item():.3f} "
