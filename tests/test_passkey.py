@@ -146,7 +146,7 @@ needs_trained = pytest.mark.skipif(
 @needs_trained
 def test_passkey_trained_retrieval_depth_sweep():
     meta = json.loads((CKPT / "meta.json").read_text())
-    ctx = meta.get("eval_ctx", 600)
+    ctx = meta.get("eval_ctx", 250)
     llm = make_llm(str(CKPT), ctx)
     try:
         res = PasskeyRetrieval(context_len=ctx, num_keys=2,

@@ -157,6 +157,7 @@ def main():
         "task": "synthetic passkey retrieval (unseen keys)",
         "retrieval_16": hits, "params": n_params,
         "train_positions": f"random offsets in [0, {MAX_POS - SEQ})",
+        "eval_ctx": SEQ - 6,
     }, indent=1))
     print(f"saved to {OUT}")
 
