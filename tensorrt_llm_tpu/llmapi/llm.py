@@ -287,10 +287,21 @@ class LLM:
         model = get_model_class(hf_config.model_type)(mc)
         params = model.load_hf_state_dict(sd) if sd is not None \
             else model.init_params(jax.random.PRNGKey(1))
+        pard = sc.mode == "PARD"
+        mask_id = sc.pard_mask_token_id
+        if pard and mask_id is None:
+            mask_id = getattr(hf_config, "mask_token_id", None) or \
+                getattr(hf_config, "pard_token", None)
+            if mask_id is None:
+                raise ValueError(
+                    "PARD needs pard_mask_token_id (or a draft config "
+                    "carrying mask_token_id/pard_token) — reference: "
+                    "speculative/pard.py mask token resolution")
         return TwoModelDrafter(
             model, params, max_draft_len=max_draft_len,
             max_slots=min(64, self.args.max_batch_size),
-            max_seq_len=self.args.max_seq_len)
+            max_seq_len=self.args.max_seq_len,
+            parallel_draft=pard, mask_token_id=int(mask_id or 0))
 
     def _build_executor(self):
         args = self.args
@@ -335,7 +346,10 @@ class LLM:
                 drafter = NGramDrafter(
                     max_draft_len=max_draft_len,
                     max_matching_ngram_size=sc.ngram_max_matching_ngram_size)
-            elif sc.mode == "DRAFT_TARGET":
+            elif sc.mode in ("DRAFT_TARGET", "PARD"):
+                # PARD (reference: pard.py): the same two-model drafter
+                # with ONE parallel forward over K mask tokens instead
+                # of K autoregressive steps
                 drafter = self._build_two_model_drafter(sc, max_draft_len)
             elif sc.mode in ("EAGLE3", "MTP"):
                 head_sd = None

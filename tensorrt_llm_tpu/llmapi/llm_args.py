@@ -127,13 +127,16 @@ class MoeConfig(StrictBaseModel):
 class SpeculativeConfig(StrictBaseModel):
     """Umbrella for spec-decode modes (reference: llm_args.py decoding configs)."""
     mode: Literal["NONE", "DRAFT_TARGET", "NGRAM", "EAGLE3", "MTP",
-                  "SA", "AUTO", "USER_PROVIDED"] = "NONE"
+                  "SA", "AUTO", "PARD", "USER_PROVIDED"] = "NONE"
     max_draft_len: int = 0
     # checkpoint dir path, torch module, or PretrainedConfig (dummy)
     draft_model: Optional[Any] = None
     # ngram
     ngram_max_matching_ngram_size: int = 4
     ngram_prompt_lookup_num_tokens: int = 4
+    # PARD parallel draft (reference: speculative/pard.py): the draft
+    # model predicts all K drafts in one forward over K mask tokens
+    pard_mask_token_id: Optional[int] = None
     # suffix automaton (reference: speculative/suffix_automaton.py —
     # longest-earlier-suffix lookup; threshold suppresses weak matches)
     sa_threshold: int = 2

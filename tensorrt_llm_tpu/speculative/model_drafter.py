@@ -30,11 +30,23 @@ from .interface import Drafter
 
 
 class TwoModelDrafter(Drafter):
+    """``parallel_draft`` switches to PARD semantics (reference:
+    _torch/speculative/pard.py PARDWorker — "K draft tokens from K
+    positions in parallel"): the draft model sees the verified history
+    plus K appended MASK tokens and emits all K drafts in ONE forward,
+    instead of the K-step autoregressive scan. PARD-trained draft
+    checkpoints carry the mask token id; the mechanism is lossless for
+    any weights (rejected drafts are discarded by target verification).
+    """
+
     def __init__(self, model, params, *, max_draft_len: int = 4,
                  max_slots: int = 64, page_size: int = 32,
                  max_seq_len: int = 2048,
-                 token_buckets: Tuple[int, ...] = (16, 64, 256, 1024)):
+                 token_buckets: Tuple[int, ...] = (16, 64, 256, 1024),
+                 parallel_draft: bool = False, mask_token_id: int = 0):
         super().__init__(max_draft_len)
+        self.parallel_draft = parallel_draft
+        self.mask_token_id = mask_token_id
         import jax
         self.model = model
         self.params = jax.device_put(params)
@@ -111,6 +123,22 @@ class TwoModelDrafter(Drafter):
                 if K > 1 else ((kv, tok), jnp.zeros((0, B), jnp.int32))
             return jnp.concatenate([tok[None], rest], axis=0), kv
 
+        def propose_pard(params, kv, tokens, positions, slot_map,
+                         kv_lens, cu_q, logits_idx, hist_len, active):
+            # one forward: catch-up tokens + K masks per row; logits
+            # gathered at every mask position give all drafts at once
+            md = AttentionMetadata(
+                kv_lens=kv_lens, page_indices=page_indices,
+                cu_q_lens=cu_q, num_seqs=jnp.full((1,), B, jnp.int32),
+                slot_mapping=slot_map, positions=positions,
+                logits_indices=logits_idx.reshape(-1))   # [B*K]
+            logits, kv = model.forward(params, tokens, kv, md)
+            tok = jnp.argmax(logits.astype(jnp.float32), -1) \
+                .astype(jnp.int32).reshape(B, K)
+            return tok.T, kv                              # [K, B]
+
+        if self.parallel_draft:
+            return jax.jit(propose_pard, donate_argnums=(1,))
         return jax.jit(propose, donate_argnums=(1,))
 
     def _get_fn(self, T: int):
@@ -141,6 +169,9 @@ class TwoModelDrafter(Drafter):
             if not feed:  # resync guard: re-feed the last token
                 kv_len -= 1
                 feed = hist[kv_len:]
+            if self.parallel_draft:
+                feed = list(feed) + [self.mask_token_id] * \
+                    self.max_draft_len
             work.append((req, slot, feed))
             self._state[req.request_id] = (slot, kv_len)
         if not work:
@@ -156,21 +187,30 @@ class TwoModelDrafter(Drafter):
         slot_map = np.full(T, B * P * ps, np.int32)
         kv_lens = np.ones(B, np.int32)
         cu_q = np.zeros(B + 1, np.int32)
-        logits_idx = np.zeros(B, np.int32)
+        K = self.max_draft_len
+        logits_idx = np.zeros(B * K if self.parallel_draft else B,
+                              np.int32)
         hist_len = np.zeros(B, np.int32)
         active = np.zeros(B, bool)
         t = 0
         for i, (req, slot, feed) in enumerate(work):
             hist = req.all_token_ids
-            start = len(hist) - len(feed)
+            # PARD rows: the last K of `feed` are mask tokens OCCUPYING
+            # positions len(hist)..len(hist)+K-1 (scratch KV, same
+            # contract as chain-draft KV: invisible past kv_len)
             n = len(feed)
+            start = len(hist) + (K if self.parallel_draft else 0) - n
             tokens[t:t + n] = feed
             positions[t:t + n] = np.arange(start, start + n)
             pages = self._page_indices[slot]
             pos = np.arange(start, start + n)
             slot_map[t:t + n] = pages[pos // ps] * ps + pos % ps
-            kv_lens[i] = len(hist)
-            logits_idx[i] = t + n - 1
+            kv_lens[i] = start + n
+            if self.parallel_draft:
+                logits_idx[i * K:(i + 1) * K] = np.arange(
+                    t + n - K, t + n)
+            else:
+                logits_idx[i] = t + n - 1
             hist_len[i] = len(hist)
             active[i] = True
             t += n

@@ -298,3 +298,54 @@ def test_mtp_drafter_unit():
     assert len(d._state) == 2
     d.drop_request(reqs[0].request_id)
     assert len(d._free) == 3
+
+
+def test_e2e_pard_lossless(repeat_model):
+    """PARD parallel draft (reference: speculative/pard.py): the draft
+    model emits all K drafts in ONE forward over K mask tokens. With an
+    untrained-for-masks draft, acceptance is incidental but the stream
+    must stay byte-identical to baseline greedy (target verification
+    discards every wrong draft)."""
+    from tensorrt_llm_tpu import LLM, KvCacheConfig
+    from tensorrt_llm_tpu.llmapi.llm_args import SpeculativeConfig
+
+    prompts = [[5, 9, 23, 44, 17], [3, 3, 7, 3, 3, 7, 3, 3]]
+    sp = SamplingParams(max_tokens=14, top_k=1)
+    kw = dict(model=repeat_model, skip_tokenizer_init=True,
+              dtype="float32", max_batch_size=8, max_input_len=64,
+              max_seq_len=128, max_num_tokens=256,
+              kv_cache_config=KvCacheConfig(tokens_per_block=16,
+                                            max_tokens=2048))
+    base = LLM(**kw)
+    ref = [o.outputs[0].token_ids for o in base.generate(prompts, sp)]
+    base.shutdown()
+    spec = LLM(**kw, speculative_config=SpeculativeConfig(
+        mode="PARD", max_draft_len=3, draft_model=repeat_model,
+        pard_mask_token_id=0))
+    drafter = spec.executor.drafter
+    assert drafter.parallel_draft and drafter.mask_token_id == 0
+    # spy: PARD must propose exactly K drafts per request in one call
+    seen = []
+    orig = drafter.prepare_draft_tokens
+
+    def spy(reqs):
+        orig(reqs)
+        seen.extend(len(r.draft_tokens) for r in reqs if r.draft_tokens)
+    drafter.prepare_draft_tokens = spy
+    got = [o.outputs[0].token_ids for o in spec.generate(prompts, sp)]
+    spec.shutdown()
+    assert got == ref
+    assert seen and all(n == 3 for n in seen)
+
+
+def test_pard_requires_mask_token(repeat_model):
+    from tensorrt_llm_tpu import LLM, KvCacheConfig
+    from tensorrt_llm_tpu.llmapi.llm_args import SpeculativeConfig
+    with pytest.raises(ValueError, match="mask"):
+        LLM(model=repeat_model, skip_tokenizer_init=True,
+            dtype="float32", max_batch_size=4, max_input_len=32,
+            max_seq_len=96, max_num_tokens=128,
+            speculative_config=SpeculativeConfig(
+                mode="PARD", max_draft_len=2, draft_model=repeat_model),
+            kv_cache_config=KvCacheConfig(tokens_per_block=16,
+                                          max_tokens=1024))
