@@ -351,7 +351,7 @@ class LLM:
                 # with ONE parallel forward over K mask tokens instead
                 # of K autoregressive steps
                 drafter = self._build_two_model_drafter(sc, max_draft_len)
-            elif sc.mode in ("EAGLE3", "MTP"):
+            elif sc.mode in ("EAGLE3", "MTP", "DFLASH"):
                 head_sd = None
                 if sc.draft_model is not None and \
                         isinstance(sc.draft_model, (str, Path)):
@@ -365,7 +365,7 @@ class LLM:
                     head_sd = {k: v.detach().cpu().float().numpy()
                                for k, v in sc.draft_model
                                .state_dict().items()}
-                if sc.mode == "EAGLE3":
+                if sc.mode in ("EAGLE3", "DFLASH"):
                     from ..speculative.eagle import Eagle3Drafter
                     cls = Eagle3Drafter
                 else:
@@ -382,7 +382,7 @@ class LLM:
                 spec_device = sc.device_window and \
                     (self.mapping.world_size == 1 or
                      self.mapping.tp_size == self.mapping.world_size) and \
-                    sc.eagle_tree_width <= 1
+                    sc.eagle_tree_width <= 1 and sc.mode != "DFLASH"
                 drafter = cls(
                     self.model, self._params,
                     max_draft_len=max_draft_len,
@@ -394,6 +394,11 @@ class LLM:
                 if hasattr(drafter, "tree_width"):
                     drafter.tree_width = sc.eagle_tree_width
                     drafter.dynamic_tree = sc.eagle_dynamic_tree
+                if sc.mode == "DFLASH":
+                    # block proposal on the host drafter path
+                    drafter.parallel_block = True
+                    drafter.mask_token_id = int(
+                        sc.pard_mask_token_id or 0)
             else:
                 raise NotImplementedError(
                     f"speculative mode {sc.mode} not yet supported")

@@ -127,7 +127,7 @@ class MoeConfig(StrictBaseModel):
 class SpeculativeConfig(StrictBaseModel):
     """Umbrella for spec-decode modes (reference: llm_args.py decoding configs)."""
     mode: Literal["NONE", "DRAFT_TARGET", "NGRAM", "EAGLE3", "MTP",
-                  "SA", "AUTO", "PARD", "USER_PROVIDED"] = "NONE"
+                  "SA", "AUTO", "PARD", "DFLASH", "USER_PROVIDED"] = "NONE"
     max_draft_len: int = 0
     # checkpoint dir path, torch module, or PretrainedConfig (dummy)
     draft_model: Optional[Any] = None

@@ -86,6 +86,12 @@ class Eagle3Drafter(Drafter):
         # final tree as the global top-max_draft_len by cumulative
         # logprob (reference: eagle3_dynamic_tree.py)
         self.dynamic_tree = False
+        # DFlash block proposal (reference: speculative/dflash.py):
+        # target-feature-conditioned head predicts the whole K-token
+        # draft block in ONE forward over K mask rows instead of the
+        # autoregressive chain; DFlash-trained heads carry the mask id
+        self.parallel_block = False
+        self.mask_token_id = 0
 
     # ------------------------------------------------------------------ #
     def _load_head(self, sd, target_params):
@@ -234,6 +240,46 @@ class Eagle3Drafter(Drafter):
                 rest = jnp.zeros((0, B), jnp.int32)
             return jnp.concatenate([tok[None], rest], axis=0), kv
 
+        def propose_block(params, kv, embed_w, lm_head_w, feats, tok_ids,
+                          positions, slot_map, kv_lens, cu_q, logits_idx,
+                          next_pos, active):
+            # DFlash: catch-up exactly as the chain, then ONE head
+            # forward over K mask rows conditioned on the last target
+            # feature — the whole draft block in a single call
+            md = AttentionMetadata(
+                kv_lens=kv_lens, page_indices=page_indices,
+                cu_q_lens=cu_q, num_seqs=jnp.full((1,), B, jnp.int32),
+                slot_mapping=slot_map, positions=positions,
+                logits_indices=logits_idx)
+            h, kv = self._head_forward(params, feats, tok_ids, kv, md,
+                                       embed_w)
+            f = h[logits_idx]                       # [B, H] last feature
+            iota = jnp.arange(B, dtype=jnp.int32)
+            jj = jnp.arange(K, dtype=jnp.int32)
+            bp = next_pos[:, None] + jj[None]       # [B, K] mask slots
+            sm = jnp.where(
+                active[:, None],
+                page_indices[iota[:, None],
+                             jnp.clip(bp // ps, 0, P - 1)] * ps + bp % ps,
+                oob)
+            md2 = AttentionMetadata(
+                kv_lens=jnp.where(active, next_pos + K, 1),
+                page_indices=page_indices,
+                cu_q_lens=jnp.arange(B + 1, dtype=jnp.int32) * K,
+                num_seqs=jnp.full((1,), B, jnp.int32),
+                slot_mapping=sm.reshape(-1), positions=bp.reshape(-1),
+                logits_indices=jnp.arange(B * K, dtype=jnp.int32))
+            feats_blk = jnp.repeat(f, K, axis=0)    # feature-conditioned
+            masks = jnp.full((B * K,), self.mask_token_id, jnp.int32)
+            hh, kv = self._head_forward(params, feats_blk, masks, kv,
+                                        md2, embed_w)
+            logits = jnp.dot(hh, lm_head_w,
+                             preferred_element_type=jnp.float32)
+            tok = jnp.argmax(logits, -1).astype(jnp.int32).reshape(B, K)
+            return tok.T, kv                         # [K, B]
+
+        if self.parallel_block:
+            return jax.jit(propose_block, donate_argnums=(1,))
         return jax.jit(propose, donate_argnums=(1,))
 
     def _get_fn(self, T: int):

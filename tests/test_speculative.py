@@ -349,3 +349,40 @@ def test_pard_requires_mask_token(repeat_model):
                 mode="PARD", max_draft_len=2, draft_model=repeat_model),
             kv_cache_config=KvCacheConfig(tokens_per_block=16,
                                           max_tokens=1024))
+
+
+def test_e2e_dflash_block_lossless(repeat_model):
+    """DFlash block proposal (reference: speculative/dflash.py):
+    target-feature-conditioned head emits the whole K-token draft block
+    in ONE forward over mask rows. Untrained head -> near-zero
+    acceptance, but the stream must stay byte-identical to baseline
+    greedy (host drafter path; device windows keep the chain head)."""
+    from tensorrt_llm_tpu import LLM, KvCacheConfig
+    from tensorrt_llm_tpu.llmapi.llm_args import SpeculativeConfig
+
+    prompts = [[5, 9, 23, 44, 17], [3, 3, 7, 3, 3, 7, 3, 3]]
+    sp = SamplingParams(max_tokens=12, top_k=1)
+    kw = dict(model=repeat_model, skip_tokenizer_init=True,
+              dtype="float32", max_batch_size=8, max_input_len=64,
+              max_seq_len=128, max_num_tokens=256,
+              kv_cache_config=KvCacheConfig(tokens_per_block=16,
+                                            max_tokens=2048))
+    base = LLM(**kw)
+    ref = [o.outputs[0].token_ids for o in base.generate(prompts, sp)]
+    base.shutdown()
+    spec = LLM(**kw, speculative_config=SpeculativeConfig(
+        mode="DFLASH", max_draft_len=3, pard_mask_token_id=0))
+    drafter = spec.executor.drafter
+    assert drafter.parallel_block
+    assert spec.engine.sd is None          # host drafter path
+    seen = []
+    orig = drafter.prepare_draft_tokens
+
+    def spy(reqs):
+        orig(reqs)
+        seen.extend(len(r.draft_tokens) for r in reqs if r.draft_tokens)
+    drafter.prepare_draft_tokens = spy
+    got = [o.outputs[0].token_ids for o in spec.generate(prompts, sp)]
+    spec.shutdown()
+    assert got == ref
+    assert seen and all(n == 3 for n in seen)
