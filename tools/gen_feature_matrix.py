@@ -107,6 +107,26 @@ FEATURES = [
     ("BERT encoder path (LLM.classify)", ["test_bert"], ""),
     ("Tree-draft speculation (ancestry verify + KV compaction)",
      ["test_tree_spec"], ""),
+    ("Speculative: suffix automaton (+AUTO heuristic)",
+     ["test_suffix_automaton"], ""),
+    ("Speculative: EAGLE3 dynamic tree",
+     ["test_tree_spec.py::test_eagle3_dynamic_tree"], ""),
+    ("Speculative: PARD parallel draft",
+     ["test_speculative.py::test_e2e_pard"], ""),
+    ("Speculative: DFlash block draft",
+     ["test_speculative.py::test_e2e_dflash"], ""),
+    ("Speculative: trained-head acceptance (tinycode-eagle)",
+     ["test_eagle_trained"], ""),
+    ("Sampling: no_repeat_ngram / embedding_bias / logits_processor",
+     ["test_sampling_surface"], ""),
+    ("Mixed decode windows (ctx riders)", ["test_mixed_window"], ""),
+    ("Sparse: DSA lightweight indexer",
+     ["test_sparse_attention.py::test_dsa"], ""),
+    ("Long context: passkey retrieval (trained) + mode parity",
+     ["test_passkey"], ""),
+    ("Scaffolding: MCTS + ToT + reward workers",
+     ["test_scaffolding.py::test_mcts",
+      "test_scaffolding.py::test_tot"], ""),
 ]
 
 
