@@ -30,6 +30,23 @@ from ..quantization.mode import KvCacheQuantAlgo, QuantAlgo
 from ..sampling_params import SamplingParams
 from .llm_args import LlmArgs
 
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _creation_stage(stage: str):
+    """Stage-tagged OOM explanation at engine bring-up (reference:
+    py_executor_creator.py:116 memory-stage monitor — an allocation
+    failure names the creation stage and the knob that relieves it)."""
+    from ..runtime.error_isolation import classify_error, explain_stage_oom
+    try:
+        yield
+    except Exception as e:
+        if classify_error(str(e)) == "severe":
+            raise RuntimeError(explain_stage_oom(stage, e)) from e
+        raise
+
 PromptInput = Union[str, Sequence[int]]
 
 
@@ -178,10 +195,11 @@ class LLM:
             self.model.smooth_scales = calibrate_smooth_scales(
                 self._inline_model, ids,
                 alpha=self.args.quant_config.smoothquant_val)
-        if state_dict is None:
-            params = self.model.init_params(jax.random.PRNGKey(0))
-        else:
-            params = self.model.load_hf_state_dict(state_dict)
+        with _creation_stage("weights"):
+            if state_dict is None:
+                params = self.model.init_params(jax.random.PRNGKey(0))
+            else:
+                params = self.model.load_hf_state_dict(state_dict)
         self._params = params
 
     def _load_checkpoint(self):
@@ -412,12 +430,13 @@ class LLM:
             # page tables stacked on axis 0 — model_engine
             # _build_multi_step), so K-step decode stays on under VSWA
         spec_device = getattr(drafter, "device_window", False)
-        self.engine = ModelEngine(
-            self.model, self._params, args,
-            mapping=self.mapping, mesh=self.mesh,
-            # device-window speculation verifies inside the fused window;
-            # the plain step stays single-logit (G=1)
-            max_draft_len=0 if spec_device else max_draft_len)
+        with _creation_stage("kv_pool"):
+            self.engine = ModelEngine(
+                self.model, self._params, args,
+                mapping=self.mapping, mesh=self.mesh,
+                # device-window speculation verifies inside the fused
+                # window; the plain step stays single-logit (G=1)
+                max_draft_len=0 if spec_device else max_draft_len)
         del self._params
         if spec_device:
             from ..runtime.spec_window import enable_spec_device
@@ -465,7 +484,8 @@ class LLM:
         if args.enable_warmup and jax.default_backend() == "tpu":
             logger.info("warming up %d token buckets...",
                         len(self.engine.token_buckets))
-            self.engine.warmup()
+            with _creation_stage("warmup"):
+                self.engine.warmup()
         kv_cls = KVCacheManager
         if os.environ.get("TLLM_TPU_NATIVE", "0") == "1":
             from ..runtime.native_block_manager import NativeKVCacheManager

@@ -279,14 +279,8 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
         # each sublayer's output before the residual add
         sandwich = self.norm_placement == "sandwich"
 
-        def layer_body(h, xs):
-            # per-layer KV pages ride the scan xs/ys (sliced in, stacked
-            # out) so XLA aliases them in place instead of copying the
-            # full pool through the carry
-            if deepstack is not None:
-                layer, layer_kv, lora_layer, layer_idx = xs
-            else:
-                layer, layer_kv, lora_layer = xs
+        def apply_layer(h, layer, layer_kv, metadata, lora_layer,
+                        layer_idx):
             lf = make_lora_fn(lora_layer)
             # "pre": norm the sublayer INPUT (llama); "post": feed h raw
             # and norm the sublayer OUTPUT (OLMo2 reordered residual)
@@ -355,18 +349,52 @@ class LlamaForCausalLM(DecoderModelForCausalLM):
                     layer_idx < nds,
                     deepstack[jnp.minimum(layer_idx, nds - 1)], 0.0)
                 h = h + add.astype(h.dtype)
-            ys = (new_pages, kv_stat) if collect_kv_stats else new_pages
-            return h, ys
+            return h, new_pages, kv_stat
 
-        scan_xs = (params["layers"], kv_pages, lora_scan_xs)
-        if deepstack is not None:
-            L_n = kv_pages.shape[0]
-            scan_xs = scan_xs + (jnp.arange(L_n, dtype=jnp.int32),)
-        h, ys = jax.lax.scan(layer_body, h, scan_xs)
-        if collect_kv_stats:
-            kv_pages, kv_stats = ys
+        L_n, P_n, ps_n = (kv_pages.shape[0], kv_pages.shape[1],
+                          kv_pages.shape[2])
+        layer_ids = jnp.arange(L_n, dtype=jnp.int32)
+        if ring:
+            # ring CP owns its pool sharding/ownership math per layer:
+            # keep the per-layer xs/ys threading there
+            def layer_body(h, xs):
+                layer, layer_kv, lora_layer, layer_idx = xs
+                h, new_pages, kv_stat = apply_layer(
+                    h, layer, layer_kv, metadata, lora_layer, layer_idx)
+                ys = (new_pages, kv_stat) if collect_kv_stats \
+                    else new_pages
+                return h, ys
+
+            scan_xs = (params["layers"], kv_pages, lora_scan_xs,
+                       layer_ids)
+            h, ys = jax.lax.scan(layer_body, h, scan_xs)
+            if collect_kv_stats:
+                kv_pages, kv_stats = ys
+            else:
+                kv_pages = ys
         else:
-            kv_pages = ys
+            # pool-as-carry threading (round 5): ONE flat [(L*P), ...]
+            # pool rides the scan carry and each layer scatters into its
+            # l*P page region in place — the old per-layer xs/ys
+            # threading re-stacked the full pool every step (a 36 ms
+            # full-pool copy at bench geometry; ops/attention.py
+            # layer_metadata, tools/pool_carry_probe.py)
+            from ..ops.attention import layer_metadata
+            kv_flat = kv_pages.reshape((L_n * P_n,) + kv_pages.shape[2:])
+
+            def layer_body(carry, xs):
+                h, kvf = carry
+                layer, lora_layer, layer_idx = xs
+                md_l = layer_metadata(metadata, layer_idx, P_n, ps_n,
+                                      L_n)
+                h, kvf, kv_stat = apply_layer(
+                    h, layer, kvf, md_l, lora_layer, layer_idx)
+                return (h, kvf), kv_stat
+
+            (h, kv_flat), kv_stats = jax.lax.scan(
+                layer_body, (h, kv_flat),
+                (params["layers"], lora_scan_xs, layer_ids))
+            kv_pages = kv_flat.reshape((L_n, P_n) + kv_flat.shape[1:])
         # EAGLE draft features: pre-final-norm hidden rows at the logits
         # positions (reference: eagle3.py captures decoder features)
         hidden_rows = self._gather_logits(h, metadata) \

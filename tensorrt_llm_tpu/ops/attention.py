@@ -130,6 +130,32 @@ class AttentionMetadata:
                            page_indices_sw=None, slot_mapping_sw=None)
 
 
+
+def layer_metadata(metadata: "AttentionMetadata", layer_idx,
+                   pages_per_layer: int, page_size: int,
+                   num_layers: int) -> "AttentionMetadata":
+    """Metadata view addressing layer ``layer_idx`` of a flat all-layers
+    pool ``[(L*P), ps, c, hd]`` (pool-as-carry threading).
+
+    The round-5 KV-write redesign: models keep ONE flat pool in the
+    layer-scan *carry* and address layer l's pages at ``l*P + i``, so
+    each layer's KV-append scatter updates the carry in place. The old
+    per-layer xs/ys threading re-stacked the full pool through scan ys
+    every step — a full-pool copy measured at 36 ms/step at bench
+    geometry, half the step time (tools/pool_carry_probe.py: 38.9 →
+    3.7 ms/step). Padding slots (engine-encoded as >= P*ps) map to the
+    flat pool's global OOB so dropped writes stay dropped.
+    """
+    import dataclasses as _dc
+    per = pages_per_layer * page_size
+    sm = jnp.where(metadata.slot_mapping >= per, num_layers * per,
+                   metadata.slot_mapping + layer_idx * per)
+    return _dc.replace(
+        metadata,
+        page_indices=metadata.page_indices + layer_idx * pages_per_layer,
+        slot_mapping=sm)
+
+
 def write_kv(kv_pages: jax.Array, k: jax.Array, v: jax.Array,
              slot_mapping: jax.Array,
              k_scale: Optional[float] = None,
@@ -499,7 +525,11 @@ def _reference_attention(q, kv_pages, metadata, *, sm_scale,
         # same-image q/kv pairs attend bidirectionally, overriding the
         # causal and window constraints (never the length bound)
         pool2d = metadata.mm_group_pool.reshape(-1, page_size)
-        kv_groups = pool2d[metadata.page_indices.reshape(-1)] \
+        # the mm pool is layer-independent: under the flat all-layers
+        # pool (layer_metadata offsets page_indices by l*P) the modulo
+        # folds every layer's view back onto the single group pool
+        kv_groups = pool2d[metadata.page_indices.reshape(-1)
+                           % pool2d.shape[0]] \
             .reshape(S, max_kv)
         gq = metadata.mm_groups_q
         bidir = (gq[:, None] >= 0) & \

@@ -346,6 +346,13 @@ class PyExecutor:
         self._hang_detector = HangDetector(timeout_s=600.0)
         self._hang_detector.start()
 
+        # per-request error isolation (error_isolation.py): requests
+        # implicated in the iteration being dispatched, plus the loop's
+        # fatal-promotion budget
+        from .error_isolation import ErrorBudget
+        self.error_budget = ErrorBudget()
+        self._iter_requests: List[LlmRequest] = []
+
         if role == "dp_follower":
             self._dp_recv_thread = threading.Thread(
                 target=self._dp_follower_recv, daemon=True,
@@ -436,329 +443,397 @@ class PyExecutor:
     # Main loop (reference: _executor_loop_overlap py_executor.py:2870)
     # ------------------------------------------------------------------ #
     def _executor_loop(self):
-        try:
-            while not self._shutdown.is_set():
-                if self.role == "follower":
-                    batch = self._recv_schedule()
-                    if batch is None:
-                        break
-                    self._hang_detector.arm()
-                    t0 = time.monotonic()
-                else:
-                    if not self._active and not self._inflight:
-                        self._work_event.wait(timeout=0.05)
-                        self._work_event.clear()
-                    self._fetch_new_requests()
-                    self._admit_disagg_generation()
-                    self._reap_finished()
-                    if not self._active and not self._inflight:
-                        self._hang_detector.disarm()
-                        continue
-                    self._hang_detector.arm()
-                    t0 = time.monotonic()
-                    batch = self.scheduler.schedule(self._schedulable())
-                    # batching-wait: while context work is scheduled and
-                    # the decode pool is under the occupancy target,
-                    # decode rows sit out this iteration — prefill
-                    # refills the pool so windows run full instead of
-                    # re-reading the weights for near-empty row sets
-                    # (round-4 bench traces). Rows only ever wait while
-                    # context actually runs (progress guaranteed);
-                    # applied BEFORE the leader broadcast so followers
-                    # replay the same reduced schedule.
-                    if (self.decode_wait_occupancy > 0
-                            and batch.context_requests
-                            and batch.generation_requests
-                            and len(batch.generation_requests) <
-                            self.decode_wait_occupancy
-                            * self.engine.max_batch_size):
-                        paused0 = batch.paused_requests
-                        batch = ScheduledRequests(
-                            context_requests=batch.context_requests)
-                        batch.paused_requests = paused0
-                    paused = getattr(batch, "paused_requests", None)
-                    if self.role == "leader":
-                        self._broadcast_schedule(batch, paused)
-                    if paused:
-                        self._pause_requests(paused, batch)
-                # mixed-eligibility decode batches: rows that qualify
-                # for the fused speculative window split into their own
-                # dispatch so one guided/logprobs/beam row doesn't
-                # demote everyone else's speculation
-                spec_side = None
-                if (self.engine.sd is not None and self.role == "single"
-                        and not batch.context_requests
-                        and batch.generation_requests):
-                    elig = [r for r in batch.generation_requests
-                            if self._spec_row_ok(r)]
-                    if elig and len(elig) < len(
-                            batch.generation_requests):
-                        rest = [r for r in batch.generation_requests
-                                if not self._spec_row_ok(r)]
-                        spec_side = ScheduledRequests(
-                            generation_requests=elig)
-                        batch = ScheduledRequests(
-                            generation_requests=rest)
-                # window kind for pure-decode batches: "spec" = fused
-                # speculative window (runtime/spec_window.py), "multi" =
-                # K-step decode window, None = plain single step
-                wkind = None
-                if not batch.is_empty and not batch.context_requests:
-                    if self._spec_window_ok(batch.generation_requests):
-                        wkind = "spec"
-                    elif self._multi_step_ok(batch):
-                        wkind = "multi"
-                multi = wkind is not None
-                # mixed ctx+gen batch whose gen rows qualify for a
-                # window: split into two dispatches — a prefill
-                # step and a decode window — so continuous re-admission
-                # of new prompts doesn't demote every decode row to
-                # one-token steps (the reference fuses ctx+gen into one
-                # kernel launch; on TPU two queued XLA programs
-                # back-to-back serve the same purpose without giving up
-                # the device-resident decode loop)
-                gen_window = None
-                gwkind = None
-                if (not multi and batch.context_requests
-                        and batch.generation_requests):
-                    if self._spec_window_ok(batch.generation_requests):
-                        gwkind = "spec"
-                    elif self.multi_step > 1 and \
-                            self._multi_rows_ok(batch.generation_requests):
-                        gwkind = "multi"
-                    if gwkind is not None:
-                        gen_window = ScheduledRequests(
-                            generation_requests=batch.generation_requests)
-                        batch = ScheduledRequests(
-                            context_requests=batch.context_requests)
-                if spec_side is not None:
-                    self._prepare_resources_spec(spec_side)
-                    if spec_side.generation_requests:
-                        tokens, logprobs, counts, emitted = \
-                            self.engine.forward_spec_window(spec_side)
-                        entries, planned = self._advance_spec(spec_side)
-                        self._inflight.append(_InflightBatch(
-                            entries, tokens, logprobs,
-                            self.engine._last_spec_top_lp, kind="spec",
-                            emitted=emitted, planned=planned,
-                            counts=counts))
-                if not batch.is_empty or gen_window is not None:
-                    if self.drafter is not None and not multi \
-                            and self.engine.sd is None \
-                            and self.role != "follower":
-                        self._prepare_drafts(batch)
-                    if wkind == "spec":
-                        self._prepare_resources_spec(batch)
-                    elif multi:
-                        self._prepare_resources_multi(batch)
-                    else:
-                        self._prepare_resources(batch)
-                    if gen_window is not None:
-                        if gwkind == "spec":
-                            self._prepare_resources_spec(gen_window)
-                        else:
-                            self._prepare_resources_multi(gen_window)
-                    if self.kv_connector is not None:
-                        # ship connector metadata + land external KV in
-                        # the freshly allocated pages before forward
-                        self.kv_connector.begin_batch()
-                # mixed window: carve eligible (resourced) context chunks
-                # to ride INSIDE the decode window's scan steps, where
-                # their prefill compute hides under the decode steps'
-                # weight-read bandwidth; riders leave this iteration's
-                # prefill program (VERDICT r3 #1 — no prefill-only
-                # programs while decode rows idle)
-                if (gen_window is not None and gwkind == "multi"
-                        and batch.context_requests and self._mixed_ok()):
-                    cap = self.engine.mixed_ctx_tokens * self.multi_step
-                    riders, tot = [], 0
-                    for r in batch.context_requests:
-                        if tot >= cap:
-                            break
-                        if r.seq_slot is not None and \
-                                self._ctx_rider_ok(r):
-                            riders.append(r)
-                            tot += min(r.context_chunk_size,
-                                       r.context_remaining_length)
-                    if riders:
-                        gen_window.ctx_riders = riders
-                        batch = ScheduledRequests(
-                            context_requests=[
-                                r for r in batch.context_requests
-                                if r not in riders])
-                if batch.is_empty and gen_window is None:
-                    # nothing runnable; drain pending results
-                    self._process_inflight()
+        """Loop supervisor: per-request error isolation + error budget
+        (reference role: _torch/pyexecutor/error_classification.py:44,72
+        — a recoverable failure fails only the implicated requests; the
+        token-bucket budget promotes repeated or unrecoverable failures
+        to fatal so the serving loop survives poison requests)."""
+        from .error_isolation import RequestError
+        while True:
+            try:
+                self._executor_loop_body()
+                return
+            except RequestError as e:
+                fatal = self.error_budget.consume(str(e.cause))
+                self._abort_request(e.request, e)
+                if fatal:
+                    self._die(e)
+                    return
+                logger.error("request %s failed at %s; budget %.2f — "
+                             "loop continues",
+                             getattr(e.request, "request_id", "?"),
+                             e.stage, self.error_budget.budget)
+            except Exception as e:
+                import traceback
+                traceback.print_exc()
+                fatal = self.error_budget.consume(str(e))
+                culprits = [r for r in self._iter_requests
+                            if not r.is_finished]
+                # mid-iteration state is poisoned: queued inflight
+                # entries may reference the failed dispatch — drop them
+                # and fail every implicated request, keeping the intact
+                # waiting/active requests alive
+                self._inflight.clear()
+                for r in culprits:
+                    self._abort_request(r, e)
+                self._iter_requests = []
+                if fatal or not culprits:
+                    self._die(e)
+                    return
+                logger.error(
+                    "executor iteration failed (%s); failed %d implicated"
+                    " request(s), budget %.2f — loop continues", e,
+                    len(culprits), self.error_budget.budget)
+
+    def _abort_request(self, req, exc) -> None:
+        """Fail ONE request and release its resources; the loop lives."""
+        from .request import FinishReason
+        if not req.is_finished:
+            req.finish_by_reason(FinishReason.ERROR)
+        for fn in (lambda: self.kv.free_resources(req),
+                   lambda: self._release_slot(req)
+                   if req.seq_slot is not None else None):
+            try:
+                fn()
+            except Exception:  # pragma: no cover - release best-effort
+                pass
+        if req in self._active:
+            self._active.remove(req)
+        with self._lock:
+            res = self._results.pop(req.request_id, None)
+        if res is not None:
+            res._on_error(exc)
+
+    def _die(self, e: Exception) -> None:
+        logger.error("executor loop died: %s", e)
+        with self._lock:
+            results = list(self._results.values())
+        for r in results:
+            if not r.finished:
+                r._on_error(e)
+
+    def _executor_loop_body(self):
+
+        while not self._shutdown.is_set():
+            if self.role == "follower":
+                batch = self._recv_schedule()
+                if batch is None:
+                    break
+                self._hang_detector.arm()
+                t0 = time.monotonic()
+            else:
+                if not self._active and not self._inflight:
+                    self._work_event.wait(timeout=0.05)
+                    self._work_event.clear()
+                self._fetch_new_requests()
+                self._admit_disagg_generation()
+                self._reap_finished()
+                if not self._active and not self._inflight:
+                    self._hang_detector.disarm()
                     continue
-                t1 = time.monotonic()
-                if multi or (gen_window is not None
-                             and gen_window.generation_requests):
-                    wb = batch if multi else gen_window
-                    kind = wkind if multi else gwkind
-                    if kind == "spec":
-                        tokens, logprobs, counts, emitted = \
-                            self.engine.forward_spec_window(wb)
-                        try:
-                            tokens.copy_to_host_async()
-                            logprobs.copy_to_host_async()
-                            counts.copy_to_host_async()
-                        except Exception:
-                            pass
-                        entries, planned = self._advance_spec(wb)
-                        self._inflight.append(_InflightBatch(
-                            entries, tokens, logprobs,
-                            self.engine._last_spec_top_lp, kind="spec",
-                            emitted=emitted, planned=planned,
-                            counts=counts))
+                self._hang_detector.arm()
+                t0 = time.monotonic()
+                batch = self.scheduler.schedule(self._schedulable())
+                # batching-wait: while context work is scheduled and
+                # the decode pool is under the occupancy target,
+                # decode rows sit out this iteration — prefill
+                # refills the pool so windows run full instead of
+                # re-reading the weights for near-empty row sets
+                # (round-4 bench traces). Rows only ever wait while
+                # context actually runs (progress guaranteed);
+                # applied BEFORE the leader broadcast so followers
+                # replay the same reduced schedule.
+                if (self.decode_wait_occupancy > 0
+                        and batch.context_requests
+                        and batch.generation_requests
+                        and len(batch.generation_requests) <
+                        self.decode_wait_occupancy
+                        * self.engine.max_batch_size):
+                    paused0 = batch.paused_requests
+                    batch = ScheduledRequests(
+                        context_requests=batch.context_requests)
+                    batch.paused_requests = paused0
+                paused = getattr(batch, "paused_requests", None)
+                if self.role == "leader":
+                    self._broadcast_schedule(batch, paused)
+                if paused:
+                    self._pause_requests(paused, batch)
+            # mixed-eligibility decode batches: rows that qualify
+            # for the fused speculative window split into their own
+            # dispatch so one guided/logprobs/beam row doesn't
+            # demote everyone else's speculation
+            spec_side = None
+            if (self.engine.sd is not None and self.role == "single"
+                    and not batch.context_requests
+                    and batch.generation_requests):
+                elig = [r for r in batch.generation_requests
+                        if self._spec_row_ok(r)]
+                if elig and len(elig) < len(
+                        batch.generation_requests):
+                    rest = [r for r in batch.generation_requests
+                            if not self._spec_row_ok(r)]
+                    spec_side = ScheduledRequests(
+                        generation_requests=elig)
+                    batch = ScheduledRequests(
+                        generation_requests=rest)
+            # window kind for pure-decode batches: "spec" = fused
+            # speculative window (runtime/spec_window.py), "multi" =
+            # K-step decode window, None = plain single step
+            wkind = None
+            if not batch.is_empty and not batch.context_requests:
+                if self._spec_window_ok(batch.generation_requests):
+                    wkind = "spec"
+                elif self._multi_step_ok(batch):
+                    wkind = "multi"
+            multi = wkind is not None
+            # mixed ctx+gen batch whose gen rows qualify for a
+            # window: split into two dispatches — a prefill
+            # step and a decode window — so continuous re-admission
+            # of new prompts doesn't demote every decode row to
+            # one-token steps (the reference fuses ctx+gen into one
+            # kernel launch; on TPU two queued XLA programs
+            # back-to-back serve the same purpose without giving up
+            # the device-resident decode loop)
+            gen_window = None
+            gwkind = None
+            if (not multi and batch.context_requests
+                    and batch.generation_requests):
+                if self._spec_window_ok(batch.generation_requests):
+                    gwkind = "spec"
+                elif self.multi_step > 1 and \
+                        self._multi_rows_ok(batch.generation_requests):
+                    gwkind = "multi"
+                if gwkind is not None:
+                    gen_window = ScheduledRequests(
+                        generation_requests=batch.generation_requests)
+                    batch = ScheduledRequests(
+                        context_requests=batch.context_requests)
+            if spec_side is not None:
+                self._prepare_resources_spec(spec_side)
+                if spec_side.generation_requests:
+                    tokens, logprobs, counts, emitted = \
+                        self.engine.forward_spec_window(spec_side)
+                    entries, planned = self._advance_spec(spec_side)
+                    self._inflight.append(_InflightBatch(
+                        entries, tokens, logprobs,
+                        self.engine._last_spec_top_lp, kind="spec",
+                        emitted=emitted, planned=planned,
+                        counts=counts))
+            if not batch.is_empty or gen_window is not None:
+                if self.drafter is not None and not multi \
+                        and self.engine.sd is None \
+                        and self.role != "follower":
+                    self._prepare_drafts(batch)
+                if wkind == "spec":
+                    self._prepare_resources_spec(batch)
+                elif multi:
+                    self._prepare_resources_multi(batch)
+                else:
+                    self._prepare_resources(batch)
+                if gen_window is not None:
+                    if gwkind == "spec":
+                        self._prepare_resources_spec(gen_window)
                     else:
-                        use_pen = any(r.sampling_params.needs_penalties
-                                      for r in wb.all_requests)
-                        riders = getattr(wb, "ctx_riders", None)
-                        if riders:
-                            tokens, logprobs, emitted, carved = \
-                                self.engine.forward_multi_step(
-                                    wb, self.multi_step,
-                                    use_penalties=use_pen,
-                                    ctx_requests=riders)
-                            self._advance_ctx_riders(riders, carved)
-                        else:
-                            tokens, logprobs, emitted = \
-                                self.engine.forward_multi_step(
-                                    wb, self.multi_step,
-                                    use_penalties=use_pen)
-                        try:
-                            tokens.copy_to_host_async()
-                            logprobs.copy_to_host_async()
-                            emitted.copy_to_host_async()
-                        except Exception:
-                            pass
-                        entries, planned = self._advance_multi(wb)
-                        self._inflight.append(_InflightBatch(
-                            entries, tokens, logprobs, kind="multi",
-                            emitted=emitted, planned=planned))
-                if not multi and not batch.is_empty:
-                    use_pen = any(r.sampling_params.needs_penalties
-                                  for r in batch.all_requests)
-                    mask = None
-                    if self.guided_decoder is not None:
-                        mask = self.guided_decoder.build_mask(batch)
-                    mask = self._apply_bad_words(batch, mask)
-                    use_sd = self.engine.sd is not None
-                    wants_hidden = getattr(self.drafter,
-                                           "wants_hidden_states", False) \
-                        and not use_sd
-                    # device-window speculation: sampled rows seed the
-                    # draft head's pending (token, feature) pair without
-                    # leaving the device (spec_window.spec_seed)
-                    seed_rows, seed_slots = [], []
-                    seed_pos, seed_emit = [], []
-                    if use_sd:
-                        # only context rows seed: generation rows on the
-                        # single-step path were disqualified from spec
-                        # windows for reasons that never change
-                        # (sampling mode, logprobs, ...), so reseeding
-                        # them is pointless
-                        for i, r in enumerate(batch.context_requests):
-                            if not r.is_last_context_chunk or \
-                                    r.seq_slot is None:
-                                continue
-                            seed_rows.append(i)
-                            seed_slots.append(r.seq_slot)
-                            seed_pos.append(r.context_len)
-                            seed_emit.append(
-                                r.context_len - r.prompt_len + 1)
-                            r.spec_seeded = True
-                    use_proc = any(
-                        r.sampling_params.logits_processor is not None
-                        for r in batch.all_requests)
-                    if wants_hidden or seed_rows:
-                        tokens, logprobs, top_lp, hidden = \
-                            self.engine.forward_step(
-                                batch, use_penalties=use_pen,
-                                logits_mask=mask, collect_hidden=True,
-                                collect_logits=use_proc)
-                    else:
-                        hidden = None
-                        tokens, logprobs, top_lp = self.engine.forward_step(
-                            batch, use_penalties=use_pen, logits_mask=mask,
-                            collect_logits=use_proc)
-                    logits_rows = self.engine._last_logits_rows \
-                        if use_proc else None
-                    if seed_rows:
-                        self.engine.spec_seed(tokens, hidden, seed_rows,
-                                              seed_slots, seed_pos,
-                                              seed_emit)
-                        hidden = None  # device-consumed; host never reads
-                    try:  # start the D2H copy as soon as the step finishes
+                        self._prepare_resources_multi(gen_window)
+                if self.kv_connector is not None:
+                    # ship connector metadata + land external KV in
+                    # the freshly allocated pages before forward
+                    self.kv_connector.begin_batch()
+            # mixed window: carve eligible (resourced) context chunks
+            # to ride INSIDE the decode window's scan steps, where
+            # their prefill compute hides under the decode steps'
+            # weight-read bandwidth; riders leave this iteration's
+            # prefill program (VERDICT r3 #1 — no prefill-only
+            # programs while decode rows idle)
+            if (gen_window is not None and gwkind == "multi"
+                    and batch.context_requests and self._mixed_ok()):
+                cap = self.engine.mixed_ctx_tokens * self.multi_step
+                riders, tot = [], 0
+                for r in batch.context_requests:
+                    if tot >= cap:
+                        break
+                    if r.seq_slot is not None and \
+                            self._ctx_rider_ok(r):
+                        riders.append(r)
+                        tot += min(r.context_chunk_size,
+                                   r.context_remaining_length)
+                if riders:
+                    gen_window.ctx_riders = riders
+                    batch = ScheduledRequests(
+                        context_requests=[
+                            r for r in batch.context_requests
+                            if r not in riders])
+            if batch.is_empty and gen_window is None:
+                # nothing runnable; drain pending results
+                self._process_inflight()
+                continue
+            t1 = time.monotonic()
+            # implicated set for error isolation: if this iteration's
+            # dispatch fails, exactly these requests are failed and the
+            # loop survives for everyone else
+            self._iter_requests = list(batch.all_requests)
+            if gen_window is not None:
+                self._iter_requests += gen_window.generation_requests
+            if spec_side is not None:
+                self._iter_requests += spec_side.generation_requests
+            if multi or (gen_window is not None
+                         and gen_window.generation_requests):
+                wb = batch if multi else gen_window
+                kind = wkind if multi else gwkind
+                if kind == "spec":
+                    tokens, logprobs, counts, emitted = \
+                        self.engine.forward_spec_window(wb)
+                    try:
                         tokens.copy_to_host_async()
                         logprobs.copy_to_host_async()
-                        if hidden is not None:
-                            hidden.copy_to_host_async()
+                        counts.copy_to_host_async()
                     except Exception:
                         pass
-                    entries = self._advance_device_state(batch)
-                    self._inflight.append(
-                        _InflightBatch(entries, tokens, logprobs, top_lp,
-                                       hidden=hidden,
-                                       logits_rows=logits_rows))
-                t2 = time.monotonic()
-                # opportunistically drain windows whose device results
-                # already landed: finished requests release slots/KV at
-                # the earliest possible iteration, so next-wave prefills
-                # admit without waiting for the pipeline to fill (the
-                # wave-boundary drain bubble measured in bench traces).
-                # OPT-IN: jax.Array.is_ready() wedges the tunneled axon
-                # backend (two reproduced hangs in device_get right
-                # after polling), so the default relies on pipeline
-                # depth alone.
-                if self._eager_drain:
-                    while self._inflight and self._inflight_ready(
-                            self._inflight[0]):
-                        self._process_inflight()
-                while len(self._inflight) >= self.pipeline_depth:
+                    entries, planned = self._advance_spec(wb)
+                    self._inflight.append(_InflightBatch(
+                        entries, tokens, logprobs,
+                        self.engine._last_spec_top_lp, kind="spec",
+                        emitted=emitted, planned=planned,
+                        counts=counts))
+                else:
+                    use_pen = any(r.sampling_params.needs_penalties
+                                  for r in wb.all_requests)
+                    riders = getattr(wb, "ctx_riders", None)
+                    if riders:
+                        tokens, logprobs, emitted, carved = \
+                            self.engine.forward_multi_step(
+                                wb, self.multi_step,
+                                use_penalties=use_pen,
+                                ctx_requests=riders)
+                        self._advance_ctx_riders(riders, carved)
+                    else:
+                        tokens, logprobs, emitted = \
+                            self.engine.forward_multi_step(
+                                wb, self.multi_step,
+                                use_penalties=use_pen)
+                    try:
+                        tokens.copy_to_host_async()
+                        logprobs.copy_to_host_async()
+                        emitted.copy_to_host_async()
+                    except Exception:
+                        pass
+                    entries, planned = self._advance_multi(wb)
+                    self._inflight.append(_InflightBatch(
+                        entries, tokens, logprobs, kind="multi",
+                        emitted=emitted, planned=planned))
+            if not multi and not batch.is_empty:
+                use_pen = any(r.sampling_params.needs_penalties
+                              for r in batch.all_requests)
+                mask = None
+                if self.guided_decoder is not None:
+                    mask = self.guided_decoder.build_mask(batch)
+                mask = self._apply_bad_words(batch, mask)
+                use_sd = self.engine.sd is not None
+                wants_hidden = getattr(self.drafter,
+                                       "wants_hidden_states", False) \
+                    and not use_sd
+                # device-window speculation: sampled rows seed the
+                # draft head's pending (token, feature) pair without
+                # leaving the device (spec_window.spec_seed)
+                seed_rows, seed_slots = [], []
+                seed_pos, seed_emit = [], []
+                if use_sd:
+                    # only context rows seed: generation rows on the
+                    # single-step path were disqualified from spec
+                    # windows for reasons that never change
+                    # (sampling mode, logprobs, ...), so reseeding
+                    # them is pointless
+                    for i, r in enumerate(batch.context_requests):
+                        if not r.is_last_context_chunk or \
+                                r.seq_slot is None:
+                            continue
+                        seed_rows.append(i)
+                        seed_slots.append(r.seq_slot)
+                        seed_pos.append(r.context_len)
+                        seed_emit.append(
+                            r.context_len - r.prompt_len + 1)
+                        r.spec_seeded = True
+                use_proc = any(
+                    r.sampling_params.logits_processor is not None
+                    for r in batch.all_requests)
+                if wants_hidden or seed_rows:
+                    tokens, logprobs, top_lp, hidden = \
+                        self.engine.forward_step(
+                            batch, use_penalties=use_pen,
+                            logits_mask=mask, collect_hidden=True,
+                            collect_logits=use_proc)
+                else:
+                    hidden = None
+                    tokens, logprobs, top_lp = self.engine.forward_step(
+                        batch, use_penalties=use_pen, logits_mask=mask,
+                        collect_logits=use_proc)
+                logits_rows = self.engine._last_logits_rows \
+                    if use_proc else None
+                if seed_rows:
+                    self.engine.spec_seed(tokens, hidden, seed_rows,
+                                          seed_slots, seed_pos,
+                                          seed_emit)
+                    hidden = None  # device-consumed; host never reads
+                try:  # start the D2H copy as soon as the step finishes
+                    tokens.copy_to_host_async()
+                    logprobs.copy_to_host_async()
+                    if hidden is not None:
+                        hidden.copy_to_host_async()
+                except Exception:
+                    pass
+                entries = self._advance_device_state(batch)
+                self._inflight.append(
+                    _InflightBatch(entries, tokens, logprobs, top_lp,
+                                   hidden=hidden,
+                                   logits_rows=logits_rows))
+            t2 = time.monotonic()
+            # opportunistically drain windows whose device results
+            # already landed: finished requests release slots/KV at
+            # the earliest possible iteration, so next-wave prefills
+            # admit without waiting for the pipeline to fill (the
+            # wave-boundary drain bubble measured in bench traces).
+            # OPT-IN: jax.Array.is_ready() wedges the tunneled axon
+            # backend (two reproduced hangs in device_get right
+            # after polling), so the default relies on pipeline
+            # depth alone.
+            if self._eager_drain:
+                while self._inflight and self._inflight_ready(
+                        self._inflight[0]):
                     self._process_inflight()
-                t3 = time.monotonic()
-                if self._trace_iters:
-                    ngen = len(batch.generation_requests) + \
-                        (len(gen_window.generation_requests)
-                         if gen_window is not None else 0)
-                    kind = wkind if multi else \
-                        (f"split+{gwkind}" if gen_window is not None
-                         else "single")
-                    print(f"# iter {self.iter_counter}: sched={1e3*(t1-t0):.1f} "
-                          f"fwd={1e3*(t2-t1):.1f} proc={1e3*(t3-t2):.1f} "
-                          f"ctx={len(batch.context_requests)} "
-                          f"gen={ngen} {kind}",
-                          flush=True)
-                self._record_stats(batch, time.monotonic() - t0,
-                                   extra=gen_window)
-            # drain at shutdown
-            while self._inflight:
+            while len(self._inflight) >= self.pipeline_depth:
                 self._process_inflight()
-            if self.role == "dp_leader" and self.broadcaster is not None:
-                from ..executor_orchestration.broadcast import \
-                    SerializableBatch
-                self.broadcaster.broadcast(SerializableBatch(
-                    iter_id=-1, new_requests=[], context_chunks={},
-                    scheduled_ctx_ids=[], scheduled_gen_ids=[],
-                    draft_tokens={}, shutdown=True))
-            if self.role == "leader" and self.broadcaster is not None:
-                from ..executor_orchestration.broadcast import \
-                    SerializableBatch
-                self.broadcaster.broadcast(SerializableBatch(
-                    iter_id=-1, new_requests=[], context_chunks={},
-                    scheduled_ctx_ids=[], scheduled_gen_ids=[],
-                    draft_tokens={}, shutdown=True))
-        except Exception as e:  # pragma: no cover
-            logger.error("executor loop died: %s", e)
-            import traceback
-            traceback.print_exc()
-            with self._lock:
-                results = list(self._results.values())
-            for r in results:
-                if not r.finished:
-                    r._on_error(e)
-
+            t3 = time.monotonic()
+            if self._trace_iters:
+                ngen = len(batch.generation_requests) + \
+                    (len(gen_window.generation_requests)
+                     if gen_window is not None else 0)
+                kind = wkind if multi else \
+                    (f"split+{gwkind}" if gen_window is not None
+                     else "single")
+                print(f"# iter {self.iter_counter}: sched={1e3*(t1-t0):.1f} "
+                      f"fwd={1e3*(t2-t1):.1f} proc={1e3*(t3-t2):.1f} "
+                      f"ctx={len(batch.context_requests)} "
+                      f"gen={ngen} {kind}",
+                      flush=True)
+            self._record_stats(batch, time.monotonic() - t0,
+                               extra=gen_window)
+        # drain at shutdown
+        while self._inflight:
+            self._process_inflight()
+        if self.role == "dp_leader" and self.broadcaster is not None:
+            from ..executor_orchestration.broadcast import \
+                SerializableBatch
+            self.broadcaster.broadcast(SerializableBatch(
+                iter_id=-1, new_requests=[], context_chunks={},
+                scheduled_ctx_ids=[], scheduled_gen_ids=[],
+                draft_tokens={}, shutdown=True))
+        if self.role == "leader" and self.broadcaster is not None:
+            from ..executor_orchestration.broadcast import \
+                SerializableBatch
+            self.broadcaster.broadcast(SerializableBatch(
+                iter_id=-1, new_requests=[], context_chunks={},
+                scheduled_ctx_ids=[], scheduled_gen_ids=[],
+                draft_tokens={}, shutdown=True))
     # ------------------------------------------------------------------ #
     def _fetch_new_requests(self):
         if self.role == "dp_leader":
@@ -1408,14 +1483,25 @@ class PyExecutor:
                 G_all = tokens.shape[1]
                 row = logits_np[i * G_all].copy()
                 try:
-                    out = proc(req.request_id, row,
-                               [list(req.output_token_ids)], None, None)
-                except TypeError:
-                    out = proc(row)
-                if out is not None:
-                    row = np.asarray(out, np.float64).reshape(-1)
-                tok_h, lp_h = _host_sample(row, req.sampling_params,
-                                           req.num_output_tokens)
+                    try:
+                        out = proc(req.request_id, row,
+                                   [list(req.output_token_ids)], None, None)
+                    except TypeError:
+                        out = proc(row)
+                    if out is not None:
+                        row = np.asarray(out, np.float64).reshape(-1)
+                    tok_h, lp_h = _host_sample(row, req.sampling_params,
+                                               req.num_output_tokens)
+                except Exception as pe:
+                    # poison processor: fail ONLY this request — the
+                    # rest of the batch keeps decoding (reference:
+                    # error_classification.py recoverable class)
+                    from .error_isolation import RequestError
+                    if self.error_budget.consume(str(pe)):
+                        raise
+                    self._abort_request(
+                        req, RequestError(req, "logits_processor", pe))
+                    continue
                 tokens[i, 0] = tok_h
                 logprobs[i, 0] = lp_h
             # greedy draft verification (reference: speculativeDecoding

@@ -48,6 +48,7 @@ class FinishReason(IntEnum):
     LENGTH = 3
     TIMED_OUT = 4
     CANCELLED = 5
+    ERROR = 6
 
 
 _request_id_counter = itertools.count()
