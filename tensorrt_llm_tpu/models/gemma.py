@@ -150,21 +150,28 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
 
         shard_mesh, shard_axis = self.attn_shard_args()
 
-        def attn(which_spec, layer, normed, layer_kv):
+        def attn(which_spec, layer, normed, layer_kv, md):
             return attention_block(
-                layer, normed, layer_kv, metadata, which_spec,
+                layer, normed, layer_kv, md, which_spec,
                 self.m_q, self.m_o, attn_backend=self.attn_backend,
                 kv_scale=self.config.kv_scale, rope_cos_sin=cos_sin,
                 mesh=shard_mesh, tp_axis=shard_axis)
 
-        def layer_body(h, xs):
-            layer, layer_kv = xs
+        # pool-as-carry threading (ops/attention.py layer_metadata)
+        from ..ops.attention import layer_metadata
+        L_n, P_n, ps_n = kv_pages.shape[:3]
+        kv_flat = kv_pages.reshape((L_n * P_n,) + kv_pages.shape[2:])
+
+        def layer_body(carry, xs):
+            h, kvf = carry
+            layer, li = xs
+            md_l = layer_metadata(metadata, li, P_n, ps_n, L_n)
             normed = gemma_rms_norm(h, layer["input_norm"], eps)
-            attn_out, new_pages = jax.lax.cond(
+            attn_out, kvf = jax.lax.cond(
                 layer["is_sliding"],
                 lambda args: attn(sliding_spec, *args),
                 lambda args: attn(spec, *args),
-                (layer, normed, layer_kv))
+                (layer, normed, kvf, md_l))
             h = h + gemma_rms_norm(attn_out, layer["post_attn_norm"], eps)
             normed = gemma_rms_norm(h, layer["pre_ffn_norm"], eps)
             gate = self.m_mlp.apply(layer["gate"], normed)
@@ -173,10 +180,12 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
             mlp_out = self.m_mlp.apply(layer["down"],
                                        act.astype(self.dtype) * up)
             h = h + gemma_rms_norm(mlp_out, layer["post_ffn_norm"], eps)
-            return h, new_pages
+            return (h, kvf), None
 
-        h, kv_pages = jax.lax.scan(layer_body, h,
-                                   (params["layers"], kv_pages))
+        (h, kv_flat), _ = jax.lax.scan(
+            layer_body, (h, kv_flat),
+            (params["layers"], jnp.arange(L_n, dtype=jnp.int32)))
+        kv_pages = kv_flat.reshape((L_n, P_n) + kv_flat.shape[1:])
         h = gemma_rms_norm(h, params["final_norm"], eps)
         last = self._gather_logits(h, metadata)
         logits = self.m_lm_head.apply(params["lm_head"], last)
@@ -289,22 +298,29 @@ class Gemma3ForCausalLM(Gemma2ForCausalLM):
         def k_norm(layer, k):
             return gemma_rms_norm(k, layer["k_norm"], eps)
 
-        def attn(which_spec, cs, layer, normed, layer_kv):
+        def attn(which_spec, cs, layer, normed, layer_kv, md):
             return attention_block(
-                layer, normed, layer_kv, metadata, which_spec,
+                layer, normed, layer_kv, md, which_spec,
                 self.m_q, self.m_o, attn_backend=self.attn_backend,
                 kv_scale=self.config.kv_scale, rope_cos_sin=cs,
                 q_norm=q_norm, k_norm=k_norm,
                 mesh=shard_mesh, tp_axis=shard_axis)
 
-        def layer_body(h, xs):
-            layer, layer_kv = xs
+        # pool-as-carry threading (ops/attention.py layer_metadata)
+        from ..ops.attention import layer_metadata
+        L_n, P_n, ps_n = kv_pages.shape[:3]
+        kv_flat = kv_pages.reshape((L_n * P_n,) + kv_pages.shape[2:])
+
+        def layer_body(carry, xs):
+            h, kvf = carry
+            layer, li = xs
+            md_l = layer_metadata(metadata, li, P_n, ps_n, L_n)
             normed = gemma_rms_norm(h, layer["input_norm"], eps)
-            attn_out, new_pages = jax.lax.cond(
+            attn_out, kvf = jax.lax.cond(
                 layer["is_sliding"],
                 lambda args: attn(sliding_spec, cos_sin_local, *args),
                 lambda args: attn(spec, cos_sin_global, *args),
-                (layer, normed, layer_kv))
+                (layer, normed, kvf, md_l))
             h = h + gemma_rms_norm(attn_out, layer["post_attn_norm"], eps)
             normed = gemma_rms_norm(h, layer["pre_ffn_norm"], eps)
             gate = self.m_mlp.apply(layer["gate"], normed)
@@ -313,10 +329,12 @@ class Gemma3ForCausalLM(Gemma2ForCausalLM):
             mlp_out = self.m_mlp.apply(layer["down"],
                                        act.astype(self.dtype) * up)
             h = h + gemma_rms_norm(mlp_out, layer["post_ffn_norm"], eps)
-            return h, new_pages
+            return (h, kvf), None
 
-        h, kv_pages = jax.lax.scan(layer_body, h,
-                                   (params["layers"], kv_pages))
+        (h, kv_flat), _ = jax.lax.scan(
+            layer_body, (h, kv_flat),
+            (params["layers"], jnp.arange(L_n, dtype=jnp.int32)))
+        kv_pages = kv_flat.reshape((L_n, P_n) + kv_flat.shape[1:])
         h = gemma_rms_norm(h, params["final_norm"], eps)
         last = self._gather_logits(h, metadata)
         logits = self.m_lm_head.apply(params["lm_head"], last)
@@ -416,14 +434,27 @@ def _gemma2_forward_vswa(self, params, token_ids, kv_pages, metadata,
         h = h + gemma_rms_norm(mlp_out, layer["post_ffn_norm"], eps)
         return h, new_kv
 
-    def pair_body(h, xs):
-        ls, lg, pkv_s, pkv_g = xs
-        h, pkv_s = half_layer(h, ls, pkv_s, sliding_spec, md_sw)
-        h, pkv_g = half_layer(h, lg, pkv_g, spec, md)
-        return h, (pkv_s, pkv_g)
+    # both pools flat in the carry (pool-as-carry threading)
+    from ..ops.attention import layer_metadata
+    Ls_n, Ps_n, ps_n = kv_s.shape[:3]
+    Lg_n, Pg_n = kv_g.shape[:2]
+    kvs_flat = kv_s.reshape((Ls_n * Ps_n,) + kv_s.shape[2:])
+    kvg_flat = kv_g.reshape((Lg_n * Pg_n,) + kv_g.shape[2:])
 
-    h, (kv_s, kv_g) = jax.lax.scan(pair_body, h,
-                                   (lay_s, lay_g, kv_s, kv_g))
+    def pair_body(carry, xs):
+        h, kvs, kvg = carry
+        ls, lg, li = xs
+        h, kvs = half_layer(h, ls, kvs, sliding_spec,
+                            layer_metadata(md_sw, li, Ps_n, ps_n, Ls_n))
+        h, kvg = half_layer(h, lg, kvg, spec,
+                            layer_metadata(md, li, Pg_n, ps_n, Lg_n))
+        return (h, kvs, kvg), None
+
+    (h, kvs_flat, kvg_flat), _ = jax.lax.scan(
+        pair_body, (h, kvs_flat, kvg_flat),
+        (lay_s, lay_g, jnp.arange(Ls_n, dtype=jnp.int32)))
+    kv_s = kvs_flat.reshape((Ls_n, Ps_n) + kvs_flat.shape[1:])
+    kv_g = kvg_flat.reshape((Lg_n, Pg_n) + kvg_flat.shape[1:])
     h = gemma_rms_norm(h, params["final_norm"], eps)
     last = self._gather_logits(h, metadata)
     logits = self.m_lm_head.apply(params["lm_head"], last)

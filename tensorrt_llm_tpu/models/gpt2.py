@@ -141,11 +141,19 @@ class GPT2LMHeadModel(DecoderModelForCausalLM):
 
         shard_mesh, shard_axis = self.attn_shard_args()
 
-        def layer_body(h, xs):
-            layer, layer_kv = xs
+        # pool-as-carry threading (ops/attention.py layer_metadata): the
+        # flat all-layers pool updates in place in the scan carry
+        from ..ops.attention import layer_metadata
+        L_n, P_n, ps_n = kv_pages.shape[:3]
+        kv_flat = kv_pages.reshape((L_n * P_n,) + kv_pages.shape[2:])
+
+        def layer_body(carry, xs):
+            h, kvf = carry
+            layer, li = xs
+            md_l = layer_metadata(metadata, li, P_n, ps_n, L_n)
             normed = layer_norm(h, layer["ln1_w"], layer["ln1_b"], eps)
-            attn_out, new_pages = attention_block(
-                layer, normed, layer_kv, metadata, spec,
+            attn_out, kvf = attention_block(
+                layer, normed, kvf, md_l, spec,
                 self.m_attn, self.m_attn, attn_backend=self.attn_backend,
                 kv_scale=self.config.kv_scale,
                 mesh=shard_mesh, tp_axis=shard_axis)
@@ -154,10 +162,12 @@ class GPT2LMHeadModel(DecoderModelForCausalLM):
             fc = self.m_mlp.apply(layer["fc"], normed)
             act = jax.nn.gelu(fc.astype(jnp.float32), approximate=True)
             h = h + self.m_mlp.apply(layer["proj"], act.astype(self.dtype))
-            return h, new_pages
+            return (h, kvf), None
 
-        h, kv_pages = jax.lax.scan(
-            layer_body, h, (params["layers"], kv_pages))
+        (h, kv_flat), _ = jax.lax.scan(
+            layer_body, (h, kv_flat),
+            (params["layers"], jnp.arange(L_n, dtype=jnp.int32)))
+        kv_pages = kv_flat.reshape((L_n, P_n) + kv_flat.shape[1:])
         h = layer_norm(h, params["lnf_w"], params["lnf_b"], eps)
         last = self._gather_logits(h, metadata)
         logits = self.m_lm_head.apply(params["lm_head"], last)

@@ -172,36 +172,45 @@ class LnFamilyModel(DecoderModelForCausalLM):
 
         rope_variants = self._rope_variants(metadata.positions, cos_sin)
 
-        def layer_body(h, xs):
-            layer, layer_kv = xs
+        # pool-as-carry threading (ops/attention.py layer_metadata)
+        from ..ops.attention import layer_metadata
+        L_n, P_n, ps_n = kv_pages.shape[:3]
+        kv_flat = kv_pages.reshape((L_n * P_n,) + kv_pages.shape[2:])
+
+        def layer_body(carry, xs):
+            h, kvf = carry
+            layer, li = xs
+            md_l = layer_metadata(metadata, li, P_n, ps_n, L_n)
             x1 = ln(h, layer["ln1"])
             cs = self._layer_rope(layer, rope_variants)
 
             def run_attn(which_spec):
                 return attention_block(
-                    layer, x1, layer_kv, metadata, which_spec,
+                    layer, x1, kvf, md_l, which_spec,
                     self.m_attn, self.m_attn,
                     attn_backend=self.attn_backend,
                     kv_scale=self.config.kv_scale, rope_cos_sin=cs,
                     mesh=shard_mesh, tp_axis=shard_axis)
 
             if self.sliding_spec is not None:
-                attn_out, new_pages = jax.lax.cond(
+                attn_out, kvf = jax.lax.cond(
                     layer["is_sliding"],
                     lambda _: run_attn(self.sliding_spec),
                     lambda _: run_attn(spec), None)
             else:
-                attn_out, new_pages = run_attn(spec)
+                attn_out, kvf = run_attn(spec)
             if self.parallel_block:
                 x2 = x1 if self.shared_ln else ln(h, layer["ln2"])
                 h = h + attn_out + mlp(layer, x2)
             else:
                 h = h + attn_out
                 h = h + mlp(layer, ln(h, layer["ln2"]))
-            return h, new_pages
+            return (h, kvf), None
 
-        h, kv_pages = jax.lax.scan(layer_body, h,
-                                   (params["layers"], kv_pages))
+        (h, kv_flat), _ = jax.lax.scan(
+            layer_body, (h, kv_flat),
+            (params["layers"], jnp.arange(L_n, dtype=jnp.int32)))
+        kv_pages = kv_flat.reshape((L_n, P_n) + kv_flat.shape[1:])
         h = layer_norm(h, params["final_norm"]["w"],
                        params["final_norm"].get("b"), eps)
         last = self._gather_logits(h, metadata)

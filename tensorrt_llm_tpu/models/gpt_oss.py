@@ -192,28 +192,37 @@ class GptOssForCausalLM(DecoderModelForCausalLM):
             spec, sliding_window=self.sliding_window)
         shard_mesh, shard_axis = self.attn_shard_args()
 
-        def attn(which_spec, layer, normed, layer_kv):
+        def attn(which_spec, layer, normed, layer_kv, md):
             return attention_block(
-                layer, normed, layer_kv, metadata, which_spec,
+                layer, normed, layer_kv, md, which_spec,
                 self.m_q, self.m_o, attn_backend=self.attn_backend,
                 kv_scale=self.config.kv_scale, rope_cos_sin=cos_sin,
                 mesh=shard_mesh, tp_axis=shard_axis)
 
-        def layer_body(h, xs):
-            layer, layer_kv = xs
+        # pool-as-carry threading (ops/attention.py layer_metadata)
+        from ..ops.attention import layer_metadata
+        L_n, P_n, ps_n = kv_pages.shape[:3]
+        kv_flat = kv_pages.reshape((L_n * P_n,) + kv_pages.shape[2:])
+
+        def layer_body(carry, xs):
+            h, kvf = carry
+            layer, li = xs
+            md_l = layer_metadata(metadata, li, P_n, ps_n, L_n)
             normed = rms_norm(h, layer["input_norm"], eps)
-            attn_out, new_pages = jax.lax.cond(
+            attn_out, kvf = jax.lax.cond(
                 layer["is_sliding"],
                 lambda args: attn(sliding_spec, *args),
                 lambda args: attn(spec, *args),
-                (layer, normed, layer_kv))
+                (layer, normed, kvf, md_l))
             h = h + attn_out
             normed = rms_norm(h, layer["post_norm"], eps)
             h = h + self._moe(layer, normed)
-            return h, new_pages
+            return (h, kvf), None
 
-        h, kv_pages = jax.lax.scan(layer_body, h,
-                                   (params["layers"], kv_pages))
+        (h, kv_flat), _ = jax.lax.scan(
+            layer_body, (h, kv_flat),
+            (params["layers"], jnp.arange(L_n, dtype=jnp.int32)))
+        kv_pages = kv_flat.reshape((L_n, P_n) + kv_flat.shape[1:])
         h = rms_norm(h, params["final_norm"], eps)
         last = self._gather_logits(h, metadata)
         logits = self.m_lm_head.apply(params["lm_head"], last)

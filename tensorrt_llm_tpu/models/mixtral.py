@@ -164,14 +164,18 @@ class MixtralForCausalLM(LlamaForCausalLM):
         else:
             q_norm = k_norm = None
 
-        def layer_body(h, xs):
-            if deepstack is not None:
-                layer, layer_kv, layer_idx = xs
-            else:
-                layer, layer_kv = xs
+        # pool-as-carry threading (ops/attention.py layer_metadata)
+        from ..ops.attention import layer_metadata
+        L_n, P_n, ps_n = kv_pages.shape[:3]
+        kv_flat0 = kv_pages.reshape((L_n * P_n,) + kv_pages.shape[2:])
+
+        def layer_body(carry, xs):
+            h, kvf = carry
+            layer, layer_idx = xs
+            md_l = layer_metadata(metadata, layer_idx, P_n, ps_n, L_n)
             normed = rms_norm(h, layer["input_norm"], eps)
             attn_out, new_pages = attention_block(
-                layer, normed, layer_kv, metadata, spec,
+                layer, normed, kvf, md_l, spec,
                 self.m_q, self.m_o, attn_backend=self.attn_backend,
                 kv_scale=self.config.kv_scale, rope_cos_sin=cos_sin,
                 q_norm=q_norm, k_norm=k_norm,
@@ -219,13 +223,12 @@ class MixtralForCausalLM(LlamaForCausalLM):
                     layer_idx < nds,
                     deepstack[jnp.minimum(layer_idx, nds - 1)], 0.0)
                 h = h + add.astype(h.dtype)
-            return h, new_pages
+            return (h, new_pages), None
 
-        scan_xs = (params["layers"], kv_pages)
-        if deepstack is not None:
-            scan_xs = scan_xs + (
-                jnp.arange(kv_pages.shape[0], dtype=jnp.int32),)
-        h, kv_pages = jax.lax.scan(layer_body, h, scan_xs)
+        (h, kv_flat), _ = jax.lax.scan(
+            layer_body, (h, kv_flat0),
+            (params["layers"], jnp.arange(L_n, dtype=jnp.int32)))
+        kv_pages = kv_flat.reshape((L_n, P_n) + kv_flat.shape[1:])
         h = rms_norm(h, params["final_norm"], eps)
         last = self._gather_logits(h, metadata)
         logits = self.m_lm_head.apply(params["lm_head"], last)

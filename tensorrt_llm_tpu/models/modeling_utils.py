@@ -70,6 +70,13 @@ class ModelConfig:
     # star attention prefill blocks (anchor+local); None = dense
     star_block_size: Optional[int] = None
 
+    # NVFP4 KV cache: values round to the e2m1 grid at append so the
+    # numerics are exactly the reference's fp4 KV (mode.py:66-104
+    # NVFP4_KV_CACHE); storage rides the fp8 pool (every e2m1 x scale
+    # value is exactly representable in e4m3) since TPU has no 4-bit
+    # pool datapath — accuracy-exact, footprint 8b.
+    kv_fp4_grid: bool = False
+
     def __post_init__(self):
         if self.kv_cache_dtype is None:
             kv_algo = self.quant_config.kv_cache_quant_algo
@@ -78,6 +85,12 @@ class ModelConfig:
                 self.kv_scale = 0.05      # conservative default abs-range ~6.4
             elif kv_algo == KvCacheQuantAlgo.FP8:
                 self.kv_cache_dtype = jnp.float8_e4m3fn
+            elif kv_algo == KvCacheQuantAlgo.NVFP4:
+                self.kv_cache_dtype = jnp.float8_e4m3fn
+                self.kv_fp4_grid = True
+                # fp4 saturates at +-6 x scale: the calibrated scale
+                # maps the observed absmax onto the grid top
+                self.kv_scale = 1.0 / 6.0
             else:
                 self.kv_cache_dtype = self.dtype
 
@@ -103,6 +116,9 @@ class AttentionSpec:
     # attention sinks (gpt-oss): layer params carry a per-q-head sink
     # logit under the "sinks" key when True
     use_sinks: bool = False
+    # NVFP4 KV cache: round appended K/V to the e2m1 grid (see
+    # ModelConfig.kv_fp4_grid; set by the engine at build)
+    kv_fp4: bool = False
 
 
 def alibi_slopes(num_heads: int) -> tuple:
@@ -201,7 +217,8 @@ def attention_block(params: Dict[str, Any],
             return out, kv_pages, stat
         return out, kv_pages
     kv_pages = write_kv(kv_pages, k, v, metadata.slot_mapping,
-                        k_scale=ks, v_scale=ks)
+                        k_scale=ks, v_scale=ks,
+                        fp4_grid=spec.kv_fp4 and quant)
     attn = ragged_paged_attention(
         q, kv_pages, metadata, sm_scale=spec.sm_scale,
         sliding_window=spec.sliding_window, soft_cap=spec.soft_cap,

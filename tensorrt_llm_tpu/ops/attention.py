@@ -159,7 +159,8 @@ def layer_metadata(metadata: "AttentionMetadata", layer_idx,
 def write_kv(kv_pages: jax.Array, k: jax.Array, v: jax.Array,
              slot_mapping: jax.Array,
              k_scale: Optional[float] = None,
-             v_scale: Optional[float] = None) -> jax.Array:
+             v_scale: Optional[float] = None,
+             fp4_grid: bool = False) -> jax.Array:
     """Scatter new K/V into the paged pool.
 
     kv_pages: [num_pages, page_size, 2*kv_heads, head_dim] (cache dtype)
@@ -178,6 +179,14 @@ def write_kv(kv_pages: jax.Array, k: jax.Array, v: jax.Array,
         if cache_dtype == jnp.int8:
             k = jnp.clip(jnp.round(k), -128, 127)
             v = jnp.clip(jnp.round(v), -128, 127)
+        elif fp4_grid:
+            # NVFP4 KV (mode.py NVFP4_KV_CACHE): values round to the
+            # e2m1 grid so accuracy exactly matches a true fp4 pool;
+            # every grid value is exactly representable in the e4m3
+            # storage (ops/quant.fp4_round)
+            from .quant import fp4_round
+            k = fp4_round(k)
+            v = fp4_round(v)
     kv = jnp.stack([k, v], axis=2)  # [T, kv_heads, 2, head_dim]
     kv = kv.reshape(k.shape[0], combined, head_dim).astype(cache_dtype)
     flat = kv_pages.reshape(num_pages * page_size, combined, head_dim)

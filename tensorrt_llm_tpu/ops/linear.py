@@ -128,6 +128,60 @@ class WeightOnlyGroupwiseMethod(LinearMethod):
         return out
 
 
+class Fp4GroupwiseMethod(LinearMethod):
+    """NVFP4 / MXFP4 generic linear (reference: linear.py:1266 NVFP4,
+    :2053 W4A8_MXFP4).
+
+    TPU has no fp4 datapath: weights round to the exact e2m1 grid at
+    load (ops/quant.quantize_weight_fp4) and are stored as int8 code
+    values with half-step group scales — numerics bit-match the
+    reference's dequantized fp4, while the matmul runs the same fused
+    int8 group-dequant path as W8A16. NVFP4 = groups of 16, e4m3 group
+    scales under a global fp32 scale; MXFP4 = groups of 32, e8m0.
+    """
+
+    def __init__(self, quant_config, flavor: str = "nvfp4"):
+        super().__init__(quant_config)
+        self.flavor = flavor
+        self.group_size = 16 if flavor == "nvfp4" else 32
+        self.name = flavor
+
+    def quantize_weights(self, w, dtype=jnp.bfloat16):
+        q, s_half = Q.quantize_weight_fp4(
+            w, group_size=self.group_size,
+            scale_fmt="e4m3" if self.flavor == "nvfp4" else "e8m0")
+        return {"weight": q, "weight_scale": s_half}
+
+    def apply(self, params, x):
+        import os
+        interpret = os.environ.get("TLLM_TPU_PALLAS_INTERPRET") == "1"
+        x2d = x.reshape(-1, x.shape[-1])
+        # the Pallas int8 group kernel tiles weights (group, 128);
+        # group 16 is below the int8 sublane tile — route g=32 (MXFP4)
+        # through the fused kernel, g=16 (NVFP4) through the XLA
+        # dequant path (XLA fuses convert*scale into the matmul feed)
+        use_pallas = ((jax.default_backend() == "tpu" or interpret)
+                      and self.group_size >= 32
+                      and os.environ.get("TLLM_TPU_DISABLE_PALLAS_QUANT")
+                      != "1")
+        if use_pallas:
+            from .pallas.quant_matmul import groupwise_dequant_matmul_sharded
+            out = groupwise_dequant_matmul_sharded(
+                x2d, params["weight"], params["weight_scale"],
+                group_size=self.group_size, bits=8, interpret=interpret)
+        else:
+            w = Q.dequantize_weight(params["weight"],
+                                    params["weight_scale"],
+                                    group_size=self.group_size,
+                                    dtype=x.dtype)
+            out = jnp.dot(x2d, w, preferred_element_type=jnp.float32
+                          ).astype(x.dtype)
+        out = out.reshape(*x.shape[:-1], out.shape[-1])
+        if "bias" in params:
+            out = out + params["bias"]
+        return out
+
+
 class SmoothQuantMethod(LinearMethod):
     """W8A8 per-channel weight / per-token activation int8 GEMM
     (reference: cutlass_kernels/int8_gemm + per-token dequant epilogue).
@@ -289,4 +343,8 @@ def make_linear_method(quant_config, layer_name: str = "") -> LinearMethod:
         return Fp8QdqMethod(quant_config)
     if algo == QuantAlgo.FP8_BLOCK_SCALES:
         return Fp8BlockwiseMethod(quant_config)
+    if algo == QuantAlgo.NVFP4:
+        return Fp4GroupwiseMethod(quant_config, flavor="nvfp4")
+    if algo == QuantAlgo.MXFP4:
+        return Fp4GroupwiseMethod(quant_config, flavor="mxfp4")
     raise NotImplementedError(f"quant algo {algo} not yet supported")

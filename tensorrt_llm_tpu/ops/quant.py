@@ -89,6 +89,66 @@ def dequantize_weight(q: jnp.ndarray, scales: jnp.ndarray,
     return out.astype(dtype)
 
 
+# --------------------------------------------------------------------- #
+# FP4 (e2m1) — NVFP4 / MXFP4 (reference: _torch/modules/linear.py:1266
+# NVFP4 = groups of 16 with e4m3 scales + a global fp32 scale;
+# quantization/mode.py:66-104 FP4 weight/KV flags). TPU has no fp4
+# datapath: values are rounded to the exact e2m1 grid and STORED as
+# int8 holding 2x the code value (all e2m1 values x2 are integers
+# <= 12), dequantized by group scales of half the nominal step — the
+# "blockscale-fp4-emulated-on-int8" design. Numerics are bit-exact
+# NVFP4/MXFP4; HBM footprint is 8b/weight (the 4-bit-packed Pallas
+# decode kernel is the follow-on lever).
+# --------------------------------------------------------------------- #
+_E2M1_GRID = (0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0)
+
+
+def fp4_round(x: jnp.ndarray) -> jnp.ndarray:
+    """Round to the nearest e2m1 value (ties toward the larger code,
+    matching round-half-away on this grid), saturating at +-6."""
+    grid = jnp.asarray(_E2M1_GRID, jnp.float32)
+    mids = (grid[:-1] + grid[1:]) / 2.0          # 7 decision points
+    a = jnp.abs(x.astype(jnp.float32))
+    idx = jnp.sum(a[..., None] >= mids, axis=-1)
+    mag = grid[idx]
+    return jnp.where(x < 0, -mag, mag)
+
+
+def quantize_weight_fp4(w: jnp.ndarray, group_size: int = 16,
+                        scale_fmt: str = "e4m3"
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """NVFP4 (group 16, e4m3 group scales x global fp32) or MXFP4
+    (group 32, e8m0 power-of-two scales) weight quant along K.
+
+    Returns (q_i8[K, N] holding e2m1*2 integer values,
+             half_scales f32[K//G, N] = group_scale/2) so that
+    ``dequantize_weight(q, half_scales, group_size=G)`` reproduces the
+    exact fp4 value — the same storage contract as the int8 groupwise
+    path, so the fused dequant-matmul machinery applies unchanged.
+    """
+    K, N = w.shape
+    if K % group_size:
+        raise ValueError(f"K={K} not divisible by fp4 group {group_size}")
+    g = w.astype(jnp.float32).reshape(K // group_size, group_size, N)
+    amax = jnp.max(jnp.abs(g), axis=1)                       # [K/G, N]
+    if scale_fmt == "e8m0":
+        # MXFP4: shared power-of-two exponent (quantization/mxfp4.py)
+        exp = jnp.where(amax > 0,
+                        jnp.ceil(jnp.log2(jnp.maximum(amax, 1e-30) / 6.0)),
+                        0.0)
+        scale = jnp.exp2(exp)
+    else:
+        # NVFP4: per-group e4m3 scale relative to a global fp32 scale
+        gmax = jnp.max(amax)
+        scale2 = jnp.maximum(gmax / (6.0 * 448.0), 1e-30)
+        s_rel = (amax / 6.0) / scale2
+        s_rel = s_rel.astype(jnp.float8_e4m3fn).astype(jnp.float32)
+        scale = jnp.maximum(s_rel * scale2, 1e-30)
+    codes = fp4_round(g / scale[:, None, :])
+    q = (codes * 2.0).astype(jnp.int8).reshape(K, N)
+    return q, (scale / 2.0).astype(jnp.float32)
+
+
 def quantize_weight_fp8(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-tensor e4m3 weight quant (reference: fp8Quantize.cpp static path)."""
     absmax = jnp.max(jnp.abs(w.astype(jnp.float32)))

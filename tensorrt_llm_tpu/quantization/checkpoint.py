@@ -246,6 +246,37 @@ def convert_state_dict(sd: Dict[str, np.ndarray],
             out[base + ".weight"] = pq
             done.update((name, base + ".qzeros", base + ".scales",
                          base + ".g_idx"))
+        elif name.endswith(".weight_scale") and \
+                cfg.quant_algo == QuantAlgo.NVFP4 and \
+                (name[:-len(".weight_scale")] + ".weight_scale_2") in sd:
+            # ModelOpt NVFP4 (reference: linear.py:1266): weight u8
+            # [N, K/2] two e2m1 nibbles per byte, weight_scale e4m3
+            # [N, K/16] relative group scales, weight_scale_2 fp32
+            # global. Unpacked to the int8 e2m1*2 code storage of
+            # Fp4GroupwiseMethod (ops/quant.quantize_weight_fp4).
+            base = name[:-len(".weight_scale")]
+            wq = sd.get(base + ".weight")
+            if wq is None or wq.dtype != np.uint8:
+                continue
+            from .mxfp4 import _LUT
+            lo = _LUT[wq & 0xF]          # element 2i
+            hi = _LUT[wq >> 4]           # element 2i+1
+            vals = np.stack([lo, hi], axis=-1).reshape(
+                wq.shape[0], wq.shape[1] * 2)          # [N, K] e2m1 codes
+            s_rel = np.asarray(sd[name])
+            if s_rel.dtype != np.float32:
+                s_rel = s_rel.astype(np.float32)
+            s2 = float(np.asarray(sd[base + ".weight_scale_2"],
+                                  np.float32).reshape(()))
+            half = (s_rel * s2 / 2.0)                  # [N, K/16]
+            out[base + ".weight"] = PrequantizedWeight(
+                weight=np.ascontiguousarray(
+                    (vals.T * 2.0).astype(np.int8)),   # [K, N] codes*2
+                weight_scale=np.ascontiguousarray(half.T),  # [K/16, N]
+                weight_zero=None, group_size=16, bits=8)
+            done.update((name, base + ".weight",
+                         base + ".weight_scale_2",
+                         base + ".input_scale"))
         elif name.endswith(".weight_scale"):
             # ModelOpt fp8: weight (fp8) + per-tensor weight_scale
             base = name[:-len(".weight_scale")]

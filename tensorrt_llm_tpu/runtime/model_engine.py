@@ -107,6 +107,14 @@ class ModelEngine:
         # bidirectional image groups (gemma3-vl): one extra ints_t row
         self._mmg = bool(getattr(model, "uses_mm_groups", False))
         assert not (self._mrope and self._mmg)
+        # NVFP4 KV: stamp the fp4-grid flag into the model's attention
+        # specs so write_kv rounds appended K/V onto the e2m1 grid
+        if getattr(model.config, "kv_fp4_grid", False):
+            import dataclasses as _dc
+            for attr in ("attn_spec", "sliding_spec"):
+                sp = getattr(model, attr, None)
+                if sp is not None:
+                    setattr(model, attr, _dc.replace(sp, kv_fp4=True))
         self.num_kv_pages = num_kv_pages or self._default_num_pages()
         if self._vswa:
             w_pages = -(-(model.vswa_window + self.page_size)
