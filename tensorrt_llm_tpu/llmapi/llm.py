@@ -640,6 +640,7 @@ class LLM:
             pipeline_depth=args.max_inflight_steps,
             decode_multi_step=args.decode_multi_step,
             decode_wait_occupancy=args.decode_wait_occupancy,
+            ttft_slo_ms=args.ttft_slo_ms,
             role=role, broadcaster=bcaster,
             adp_router=adp_router, dp_rank_id=dp_rank_id,
             tracer=tracer,
@@ -881,46 +882,10 @@ class LLM:
         return self.kv_cache_manager.get_latest_events()
 
     def rebalance_moe(self, expert_loads) -> None:
-        """Wide-EP online rebalance (reference: MoeLoadBalancer +
-        fused_moe_wide_ep.py): recompute the EPLB placement from
-        observed per-expert loads and install replica-slot weight
-        tables; hot experts replicate across the ep shards. One GSPMD
-        gather per MoE weight — call sparingly (every N thousand
-        iterations), not per step."""
-        import jax as _jax
-        import jax.numpy as _jnp
-        import numpy as _np
-        from ..ops.moe_balancer import build_replica_tables, eplb_placement
-        layers = self.engine.params.get("layers", {})
-        if "w_gate" not in layers:
-            raise ValueError("model has no MoE expert weights")
-        E = layers["w_gate"].shape[1]
-        nshards = max(1, self.mapping.cp_size * self.mapping.tp_size)
-        num_slots = max(E, nshards * (-(-E // nshards)))
-        # round slots up so the hot experts can replicate
-        num_slots = max(num_slots, 2 * nshards * (num_slots // nshards)
-                        // 2)
-        placement = eplb_placement(_np.asarray(expert_loads, _np.float64),
-                                   num_slots=num_slots,
-                                   num_shards=nshards)
-        rep_count, rep_slots = build_replica_tables(placement, E)
-        pl = _jnp.asarray(placement)
-        gather = _jax.jit(lambda w: w[:, pl])
-        new = dict(layers)
-        new["w_gate_slots"] = gather(layers["w_gate"])
-        new["w_up_slots"] = gather(layers["w_up"])
-        new["w_down_slots"] = gather(layers["w_down"])
-        # layer entries ride the scan (sliced on the leading L dim):
-        # broadcast the shared placement tables per layer
-        L = layers["w_gate"].shape[0]
-        new["moe_rep_count"] = _jnp.tile(
-            _jnp.asarray(rep_count)[None], (L, 1))
-        new["moe_rep_slots"] = _jnp.tile(
-            _jnp.asarray(rep_slots)[None], (L, 1, 1))
-        self.engine.params = {**self.engine.params, "layers": new}
-        logger.info("wide-EP rebalance: %d slots over %d shards, max "
-                    "replicas %d", num_slots, nshards,
-                    int(rep_count.max()))
+        """Wide-EP rebalance from observed loads (delegates to the
+        engine; the executor's MoeLoadTracker calls the same path
+        automatically when moe_config.load_balancer is set)."""
+        return self.engine.rebalance_moe(expert_loads)
 
     def classify(self, prompts, token_type_ids=None):
         """Encoder-only scoring: list of token-id lists → [B, num_labels]

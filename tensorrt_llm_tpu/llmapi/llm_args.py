@@ -279,6 +279,11 @@ class LlmArgs(StrictBaseModel):
     # latency-friendly default); throughput benches set ~0.75. Progress
     # is guaranteed: rows only wait while context actually runs.
     decode_wait_occupancy: float = 0.0
+    # TTFT budget (reference: bench/benchmark/low_latency.py regime +
+    # the ADP waiting-room cap): when any not-yet-started request has
+    # waited longer than this, decode windows shrink to multi_step/4 so
+    # context work isn't parked behind depth*K decode steps. 0 = off.
+    ttft_slo_ms: float = 0.0
     # micro-batches per iteration for TRUE pipeline parallelism (GPipe
     # schedule inside one jitted program, ppermute stage handoff;
     # reference: _executor_loop_pp py_executor.py:1811). Only active

@@ -132,7 +132,8 @@ class MixtralForCausalLM(LlamaForCausalLM):
         return rope_cos_sin(self.attn_spec.rope, metadata.positions)
 
     def forward(self, params, token_ids, kv_pages, metadata,
-                input_embeds=None, deepstack=None, **_ignored):
+                input_embeds=None, deepstack=None,
+                collect_moe_stats=False, **_ignored):
         h = self._embed(params, token_ids, input_embeds)
         if self.embedding_multiplier != 1.0:   # granite-moe
             h = h * self.embedding_multiplier
@@ -223,9 +224,23 @@ class MixtralForCausalLM(LlamaForCausalLM):
                     layer_idx < nds,
                     deepstack[jnp.minimum(layer_idx, nds - 1)], 0.0)
                 h = h + add.astype(h.dtype)
-            return (h, new_pages), None
+            mc = None
+            if collect_moe_stats:
+                # per-expert routed-token counts (reference:
+                # moe_load_balancer.py statistic collection). The
+                # routing recomputes here; XLA CSEs it against the MoE
+                # forward's own topk so the stats are free.
+                from ..ops.moe import topk_routing
+                E_n = layer["router"].shape[-1]
+                lr = jnp.dot(normed, layer["router"],
+                             preferred_element_type=jnp.float32)
+                _, eidx_s = topk_routing(lr, self.top_k,
+                                         renormalize=self.renormalize)
+                mc = jnp.zeros((E_n,), jnp.int32).at[
+                    eidx_s.reshape(-1)].add(1)
+            return (h, new_pages), mc
 
-        (h, kv_flat), _ = jax.lax.scan(
+        (h, kv_flat), moe_counts = jax.lax.scan(
             layer_body, (h, kv_flat0),
             (params["layers"], jnp.arange(L_n, dtype=jnp.int32)))
         kv_pages = kv_flat.reshape((L_n, P_n) + kv_flat.shape[1:])
@@ -235,6 +250,8 @@ class MixtralForCausalLM(LlamaForCausalLM):
         logits = logits.astype(jnp.float32)
         if self.logits_scaling != 1.0:
             logits = logits / self.logits_scaling
+        if collect_moe_stats:
+            return logits, kv_pages, moe_counts   # [L, E]
         return logits, kv_pages
 
     # ------------------------------------------------------------------ #

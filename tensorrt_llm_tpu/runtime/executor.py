@@ -202,6 +202,7 @@ class _InflightBatch:
     hidden: Any = None          # EAGLE features [S*G, H] (device future)
     counts: Any = None          # spec: device i32[K, S] per-iter emits
     logits_rows: Any = None     # host logits-processor path: f32[S*G, V]
+    moe_counts: Any = None      # wide-EP balancer: i32[L, E] routed tokens
 
 
 @dataclasses.dataclass
@@ -214,6 +215,10 @@ class IterationStats:
     num_gen_tokens: int = 0
     kv_cache_free_blocks: int = 0
     iter_latency_ms: float = 0.0
+    # wide-EP balancer (runtime/moe_tracker.py): windowed max/mean
+    # per-expert load ratio and cumulative auto-rebalances
+    moe_expert_skew: Optional[float] = None
+    moe_rebalances: int = 0
 
 
 class PyExecutor:
@@ -237,6 +242,7 @@ class PyExecutor:
                  kv_connector=None,
                  waiting_queue_policy: str = "fcfs",
                  decode_wait_occupancy: float = 0.0,
+                 ttft_slo_ms: float = 0.0,
                  max_active_requests: Optional[int] = None,
                  num_postprocess_workers: int = 0):
         self.engine = engine
@@ -290,6 +296,13 @@ class PyExecutor:
         # decode_wait_occupancy; reference analog: ADP Balance
         # batching_wait_iters)
         self.decode_wait_occupancy = decode_wait_occupancy
+        # TTFT budget (llm_args.ttft_slo_ms; reference: low_latency.py
+        # regime): when a not-yet-started request has waited past the
+        # budget, decode windows dispatch at K/4 so prefill turnaround
+        # is bounded by depth * K/4 steps instead of depth * K
+        self.ttft_slo_ms = ttft_slo_ms
+        self._iter_K = max(1, decode_multi_step)
+        self.ttft_shrunk_iters = 0
         # steps allowed in flight before the host consumes results; >1
         # amortizes the device→host fetch round-trip (critical over a
         # TPU tunnel; the reference's overlap loop is depth 2)
@@ -352,6 +365,13 @@ class PyExecutor:
         from .error_isolation import ErrorBudget
         self.error_budget = ErrorBudget()
         self._iter_requests: List[LlmRequest] = []
+
+        # online wide-EP balancer (runtime/moe_tracker.py)
+        self.moe_tracker = None
+        if getattr(engine, "_moe_stats", False):
+            from .moe_tracker import MoeLoadTracker
+            lb = engine.args.moe_config.load_balancer or {}
+            self.moe_tracker = MoeLoadTracker(engine, **lb)
 
         if role == "dp_follower":
             self._dp_recv_thread = threading.Thread(
@@ -485,6 +505,23 @@ class PyExecutor:
                     " request(s), budget %.2f — loop continues", e,
                     len(culprits), self.error_budget.budget)
 
+    def _ttft_urgent(self) -> bool:
+        """True when any request that has not produced its first token
+        has waited past the TTFT budget (llm_args.ttft_slo_ms)."""
+        budget = self.ttft_slo_ms / 1e3
+        now = time.monotonic()
+        for req in self.waiting:
+            arr = getattr(getattr(req, "perf", None), "arrival_time", None)
+            if arr is not None and now - arr > budget:
+                return True
+        for req in self._active:
+            p = getattr(req, "perf", None)
+            if p is None or p.first_token_time:
+                continue
+            if p.arrival_time and now - p.arrival_time > budget:
+                return True
+        return False
+
     def _abort_request(self, req, exc) -> None:
         """Fail ONE request and release its resources; the loop lives."""
         from .request import FinishReason
@@ -558,6 +595,17 @@ class PyExecutor:
                     self._broadcast_schedule(batch, paused)
                 if paused:
                     self._pause_requests(paused, batch)
+            # TTFT budget: shrink the decode window when someone has
+            # waited past the SLO (single-engine roles only — K is
+            # part of the dispatched program, so leader/follower
+            # replay keeps the full window for identical schedules)
+            self._iter_K = self.multi_step
+            if (self.ttft_slo_ms > 0
+                    and self.role in ("single", "dp_leader",
+                                      "dp_follower")
+                    and self._ttft_urgent()):
+                self._iter_K = max(1, self.multi_step // 4)
+                self.ttft_shrunk_iters += 1
             # mixed-eligibility decode batches: rows that qualify
             # for the fused speculative window split into their own
             # dispatch so one guided/logprobs/beam row doesn't
@@ -647,7 +695,7 @@ class PyExecutor:
             # programs while decode rows idle)
             if (gen_window is not None and gwkind == "multi"
                     and batch.context_requests and self._mixed_ok()):
-                cap = self.engine.mixed_ctx_tokens * self.multi_step
+                cap = self.engine.mixed_ctx_tokens * self._iter_K
                 riders, tot = [], 0
                 for r in batch.context_requests:
                     if tot >= cap:
@@ -702,14 +750,14 @@ class PyExecutor:
                     if riders:
                         tokens, logprobs, emitted, carved = \
                             self.engine.forward_multi_step(
-                                wb, self.multi_step,
+                                wb, self._iter_K,
                                 use_penalties=use_pen,
                                 ctx_requests=riders)
                         self._advance_ctx_riders(riders, carved)
                     else:
                         tokens, logprobs, emitted = \
                             self.engine.forward_multi_step(
-                                wb, self.multi_step,
+                                wb, self._iter_K,
                                 use_penalties=use_pen)
                     try:
                         tokens.copy_to_host_async()
@@ -785,7 +833,10 @@ class PyExecutor:
                 self._inflight.append(
                     _InflightBatch(entries, tokens, logprobs, top_lp,
                                    hidden=hidden,
-                                   logits_rows=logits_rows))
+                                   logits_rows=logits_rows,
+                                   moe_counts=self.engine._last_moe_counts
+                                   if self.moe_tracker is not None
+                                   else None))
             t2 = time.monotonic()
             # opportunistically drain windows whose device results
             # already landed: finished requests release slots/KV at
@@ -1148,7 +1199,7 @@ class PyExecutor:
     def _prepare_resources_multi(self, batch: ScheduledRequests) -> None:
         """Pre-allocate KV pages for each request's decode window and set
         its per-window token budget."""
-        K = self.multi_step
+        K = self._iter_K
         starved = []
         for req in batch.generation_requests:
             sp = req.sampling_params
@@ -1448,6 +1499,8 @@ class PyExecutor:
         import jax
         tokens, logprobs = jax.device_get(
             (batch.tokens, batch.logprobs))    # sync point, one fetch
+        if batch.moe_counts is not None and self.moe_tracker is not None:
+            self.moe_tracker.observe(jax.device_get(batch.moe_counts))
         logits_np = None
         if batch.logits_rows is not None:
             logits_np = np.asarray(jax.device_get(batch.logits_rows))
@@ -1878,7 +1931,11 @@ class PyExecutor:
                 for r in batch.context_requests),
             num_gen_tokens=ngen,
             kv_cache_free_blocks=self.kv.get_num_free_blocks(),
-            iter_latency_ms=latency * 1e3)
+            iter_latency_ms=latency * 1e3,
+            moe_expert_skew=(self.moe_tracker.skew()
+                             if self.moe_tracker is not None else None),
+            moe_rebalances=(self.moe_tracker.rebalances
+                            if self.moe_tracker is not None else 0))
         self.stats_history.append(st)
         if len(self.stats_history) > 1000:
             self.stats_history.pop(0)

@@ -153,6 +153,14 @@ class ModelEngine:
         self._hist_set_fn = None
         self._bias_set_fn = None
         self._last_logits_rows = None
+        # online wide-EP balancer (reference: moe_load_balancer.py):
+        # when the model exposes MoE routing and the balancer is
+        # configured, single-step forwards also emit per-expert
+        # routed-token counts [L, E] (self._last_moe_counts)
+        lb = getattr(getattr(args, "moe_config", None),
+                     "load_balancer", None)
+        self._moe_stats = bool(lb) and hasattr(model, "top_k")
+        self._last_moe_counts = None
 
     # ------------------------------------------------------------------ #
     # Device-resident guided decoding state (pool arrays are jit operands;
@@ -402,6 +410,7 @@ class ModelEngine:
                 extra = dict(lora=lora_params, lora_slots=lora_slots)
             M = self._pp_microbatches()
             hidden = jnp.zeros((0,), jnp.float32)
+            moe_counts = jnp.zeros((0,), jnp.int32)
             if M > 1 and not use_embeds and not use_lora and G == 1:
                 # true pipeline parallelism: micro-batched stages with
                 # ppermute handoff (reference: py_executor.py:1811)
@@ -413,6 +422,12 @@ class ModelEngine:
                 logits, kv_pages, hidden = model.forward(
                     params, tokens, kv_pages, metadata,
                     input_embeds=embeds, collect_hidden=True, **extra)
+            elif self._moe_stats:
+                # per-expert routed-token counts for the online wide-EP
+                # balancer (reference: moe_load_balancer.py statistics)
+                logits, kv_pages, moe_counts = model.forward(
+                    params, tokens, kv_pages, metadata,
+                    input_embeds=embeds, collect_moe_stats=True, **extra)
             else:
                 logits, kv_pages = model.forward(
                     params, tokens, kv_pages, metadata,
@@ -557,7 +572,7 @@ class ModelEngine:
                 else jnp.zeros((0,), jnp.float32)
             return (new_tokens, logprobs, tl_vals, tl_ids, prev_tokens,
                     token_counts, kv_pages, hidden, g_state, hist,
-                    logits_out)
+                    logits_out, moe_counts)
 
         # kv_pages, prev_tokens, token_counts, g_state, ngram history
         donate = (1, 2, 3, 11, 17)
@@ -1062,6 +1077,48 @@ class ModelEngine:
         logger.info("calibrated KV scales over %d tokens: "
                     "min=%.4g max=%.4g", T, scales.min(), scales.max())
         return scales
+
+    def rebalance_moe(self, expert_loads) -> None:
+        """Wide-EP rebalance (reference: MoeLoadBalancer +
+        fused_moe_wide_ep.py + moeLoadBalancer.cpp background
+        redistribution): recompute the EPLB placement from observed
+        per-expert loads and install replica-slot weight tables; hot
+        experts replicate across the ep shards. One GSPMD gather per
+        MoE weight — called by the executor's MoeLoadTracker on skew,
+        or manually via LLM.rebalance_moe."""
+        from ..ops.moe_balancer import build_replica_tables, eplb_placement
+        layers = self.params.get("layers", {})
+        if "w_gate" not in layers:
+            raise ValueError("model has no MoE expert weights")
+        loads = np.asarray(expert_loads, np.float64)
+        if loads.ndim == 2:          # [L, E] iteration counts → totals
+            loads = loads.sum(axis=0)
+        E = layers["w_gate"].shape[1]
+        nshards = max(1, self.mapping.cp_size * self.mapping.tp_size)
+        num_slots = max(E, nshards * (-(-E // nshards)))
+        num_slots = max(num_slots, 2 * nshards * (num_slots // nshards)
+                        // 2)
+        placement = eplb_placement(loads, num_slots=num_slots,
+                                   num_shards=nshards)
+        rep_count, rep_slots = build_replica_tables(placement, E)
+        pl = jnp.asarray(placement)
+        gather = jax.jit(lambda w: w[:, pl])
+        new = dict(layers)
+        new["w_gate_slots"] = gather(layers["w_gate"])
+        new["w_up_slots"] = gather(layers["w_up"])
+        new["w_down_slots"] = gather(layers["w_down"])
+        # layer entries ride the scan (sliced on the leading L dim):
+        # broadcast the shared placement tables per layer
+        L = layers["w_gate"].shape[0]
+        new["moe_rep_count"] = jnp.tile(
+            jnp.asarray(rep_count)[None], (L, 1))
+        new["moe_rep_slots"] = jnp.tile(
+            jnp.asarray(rep_slots)[None], (L, 1, 1))
+        self.params = {**self.params, "layers": new}
+        self.moe_placement = placement
+        logger.info("wide-EP rebalance: %d slots over %d shards, max "
+                    "replicas %d", num_slots, nshards,
+                    int(rep_count.max()))
 
     def reset_slot_counts(self, slots: List[int]) -> None:
         """Zero the penalty token-count rows for newly admitted slots so a
@@ -1674,7 +1731,10 @@ class ModelEngine:
                       *self._guided_args(use_guided),
                       *self._aux_args(use_ngram, use_bias))
         (tokens, logprobs, tl_vals, tl_ids, self.prev_tokens, new_counts,
-         self.kv_pages, hidden, g_state, hist, logits_rows) = out
+         self.kv_pages, hidden, g_state, hist, logits_rows,
+         moe_counts) = out
+        if self._moe_stats:
+            self._last_moe_counts = moe_counts    # [L, E] device future
         if use_guided:
             self.g_state = g_state
         if use_ngram:
