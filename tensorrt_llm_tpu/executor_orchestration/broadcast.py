@@ -53,6 +53,10 @@ class SerializableBatch:
     paused_ids: List[int] = dataclasses.field(default_factory=list)
     finished_ids: List[int] = dataclasses.field(default_factory=list)
     shutdown: bool = False
+    # mixed-window carve plan: context requests riding INSIDE the decode
+    # window this iteration, in carve order (the follower replays the
+    # plan verbatim so leader/follower stay bit-identical)
+    rider_ids: List[int] = dataclasses.field(default_factory=list)
 
     def pack(self) -> bytes:
         return msgpack.packb(dataclasses.asdict(self), use_bin_type=True)

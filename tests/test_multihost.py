@@ -34,9 +34,11 @@ _WORKER = textwrap.dedent("""
                       num_key_value_heads=2, max_position_embeddings=512)
     tmodel = LlamaForCausalLM(cfg).eval()
     oc = {{"role": role, "port": port, "num_followers": 1}}
+    mixed = int(os.environ.get("TEST_MIXED_CTX", "0"))
     llm = LLM(model=tmodel, skip_tokenizer_init=True, dtype="float32",
               max_batch_size=8, max_input_len=64, max_seq_len=160,
               max_num_tokens=256, decode_multi_step=4,
+              mixed_window_ctx=mixed,
               orchestrator_config=oc,
               kv_cache_config=KvCacheConfig(tokens_per_block=16,
                                             max_tokens=2048))
@@ -46,17 +48,32 @@ _WORKER = textwrap.dedent("""
                               top_p=0.9, seed=77),
                SamplingParams(max_tokens=12, top_k=1)]
         prompts = [[1, 2, 3, 4], [9, 8, 7], [40] * 12]
-        futs = [llm.generate_async(p, sp) for p, sp in zip(prompts, sps)]
+        if mixed:
+            # stagger: decode rows live while long prompts arrive, so
+            # context chunks ride inside the decode windows
+            import time as _time
+            futs = [llm.generate_async(prompts[0], sps[0])]
+            _time.sleep(0.5)
+            futs += [llm.generate_async((i % 96 + 1,) * 48
+                                        if i else prompts[1], sps[1 + (i > 0)])
+                     for i in range(2)]
+            sps = sps[:len(futs)]
+        else:
+            futs = [llm.generate_async(p, sp) for p, sp in zip(prompts, sps)]
         outs = [f.result(timeout=560) for f in futs]
         result = {{o.request_id: o.outputs[0].token_ids for o in outs}}
+        mw = getattr(llm.engine, "mixed_windows_dispatched", 0)
         llm.shutdown()
+        print("MIXED " + str(mw), flush=True)
         print("RESULT " + json.dumps(result), flush=True)
     else:
         # follower loop ends when the leader broadcasts shutdown
         ex = llm.executor
         ex._thread.join(timeout=560)
         result = {{str(k): v for k, v in ex.completed_tokens.items()}}
+        mw = getattr(llm.engine, "mixed_windows_dispatched", 0)
         llm.shutdown()
+        print("MIXED " + str(mw), flush=True)
         print("RESULT " + json.dumps(result), flush=True)
 """).format(repo=str(REPO))
 
@@ -103,3 +120,45 @@ def test_two_process_leader_follower_identical_tokens():
         assert f_tokens[rid] == toks, \
             f"request {rid}: leader {toks} != follower {f_tokens[rid]}"
     assert len(l_tokens) == 3
+
+
+def test_mixed_window_carve_plan_replayed():
+    """Mixed (ctx-rider) windows under leader/follower: the carve plan
+    ships in SerializableBatch.rider_ids and the follower replays the
+    windows bit-identically (VERDICT r4 #8)."""
+    port = _free_port()
+    env = dict(os.environ, JAX_PLATFORMS="cpu", TEST_MIXED_CTX="16")
+    env.pop("XLA_FLAGS", None)
+    leader = subprocess.Popen(
+        [sys.executable, "-u", "-c", _WORKER, "leader", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+    follower = subprocess.Popen(
+        [sys.executable, "-u", "-c", _WORKER, "follower", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+    try:
+        lout, lerr = leader.communicate(timeout=900)
+        fout, ferr = follower.communicate(timeout=900)
+    except subprocess.TimeoutExpired:
+        leader.kill()
+        follower.kill()
+        raise
+    assert leader.returncode == 0, f"leader failed:\n{lerr[-3000:]}"
+    assert follower.returncode == 0, f"follower failed:\n{ferr[-3000:]}"
+
+    def parse(out, err, who, tag="RESULT "):
+        for line in out.splitlines():
+            if line.startswith(tag):
+                return line[len(tag):]
+        raise AssertionError(f"no {tag}from {who}:\n{out}\n{err[-2000:]}")
+
+    l_tokens = json.loads(parse(lout, lerr, "leader"))
+    f_tokens = json.loads(parse(fout, ferr, "follower"))
+    l_mixed = int(parse(lout, lerr, "leader", "MIXED "))
+    f_mixed = int(parse(fout, ferr, "follower", "MIXED "))
+    assert l_mixed >= 1, "leader never dispatched a mixed window"
+    assert f_mixed == l_mixed, \
+        f"follower replayed {f_mixed} mixed windows vs leader {l_mixed}"
+    assert set(l_tokens) == set(f_tokens)
+    for rid, toks in l_tokens.items():
+        assert f_tokens[rid] == toks, \
+            f"request {rid}: leader {toks} != follower {f_tokens[rid]}"
