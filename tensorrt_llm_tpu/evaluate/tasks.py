@@ -295,3 +295,277 @@ class PasskeyRetrieval(Evaluator):
                 "per_depth": {d: 100.0 * sum(v) / len(v)
                               for d, v in per_depth.items()},
                 "outputs": outputs}
+
+
+@register_task("humaneval")
+class HumanEval(Evaluator):
+    """Execution-based pass@1 code completion (reference:
+    evaluate/lm_eval.py humaneval task + the accuracy suite's
+    references). Rows follow the official schema: ``prompt`` (function
+    header + docstring), ``test`` (check() suite), ``entry_point``.
+    Each completion runs in an isolated subprocess with a timeout; a
+    row passes when check(entry_point) exits cleanly."""
+
+    def __init__(self, timeout_s: float = 10.0, byte_prompts: bool = False,
+                 **kw):
+        kw.setdefault("max_tokens", 192)
+        super().__init__(**kw)
+        self.timeout_s = timeout_s
+        # byte-level prompts (token id == byte) for the committed tiny
+        # code checkpoint — no tokenizer needed
+        self.byte_prompts = byte_prompts
+
+    def sample_rows(self) -> List[dict]:
+        return [
+            {"task_id": "sample/0",
+             "prompt": "def add(a, b):\n"
+                       "    \"\"\"Return the sum of a and b.\"\"\"\n",
+             "test": "def check(f):\n    assert f(1, 2) == 3\n"
+                     "    assert f(-1, 1) == 0\n",
+             "entry_point": "add"},
+            {"task_id": "sample/1",
+             "prompt": "def neg(x):\n"
+                       "    \"\"\"Return -x.\"\"\"\n",
+             "test": "def check(f):\n    assert f(3) == -3\n"
+                     "    assert f(0) == 0\n",
+             "entry_point": "neg"},
+        ]
+
+    @staticmethod
+    def _truncate(completion: str) -> str:
+        """Cut at the first top-level statement after the body (the
+        standard humaneval stop heuristic)."""
+        lines = []
+        for ln in completion.split("\n"):
+            if ln and not ln[0] in " \t)":
+                break
+            lines.append(ln)
+        return "\n".join(lines)
+
+    def run_one(self, row: dict, completion: str) -> bool:
+        import subprocess
+        import sys as _sys
+        prog = (row["prompt"] + completion + "\n\n" + row["test"] +
+                f"\ncheck({row['entry_point']})\n")
+        try:
+            r = subprocess.run([_sys.executable, "-c", prog],
+                               capture_output=True,
+                               timeout=self.timeout_s)
+            return r.returncode == 0
+        except subprocess.TimeoutExpired:
+            return False
+
+    def evaluate(self, llm) -> Dict[str, Any]:
+        from ..sampling_params import SamplingParams
+        rows = self.load_rows()
+        sp = SamplingParams(max_tokens=self.max_tokens, top_k=1,
+                            ignore_eos=True)
+        if self.byte_prompts:
+            futs = [llm.generate_async(list(r["prompt"].encode()), sp)
+                    for r in rows]
+            comps = [bytes(t & 0xFF for t in
+                           f.result(600).outputs[0].token_ids)
+                     .decode(errors="replace") for f in futs]
+        else:
+            outs = llm.generate([r["prompt"] for r in rows], sp)
+            comps = [o.outputs[0].text or "" for o in outs]
+        passed = 0
+        for r, c in zip(rows, comps):
+            passed += self.run_one(r, self._truncate(c))
+        return {"task": "humaneval", "num_samples": len(rows),
+                "pass@1": round(100.0 * passed / max(1, len(rows)), 2),
+                "accuracy": round(100.0 * passed / max(1, len(rows)), 2)}
+
+
+def schema_conforms(obj, schema: dict) -> bool:
+    """Minimal JSON-Schema conformance check (type/properties/required/
+    items/enum/anyOf/oneOf + numeric bounds) — the json_mode_eval
+    grader (reference: evaluate/json_mode_eval; also the stress check
+    for the in-repo schema->DFA compiler)."""
+    if not isinstance(schema, dict):
+        return True
+    for alt_key in ("anyOf", "oneOf"):
+        if alt_key in schema:
+            return any(schema_conforms(obj, s) for s in schema[alt_key])
+    t = schema.get("type")
+    if t:
+        types = t if isinstance(t, list) else [t]
+        checks = {"object": lambda o: isinstance(o, dict),
+                  "array": lambda o: isinstance(o, list),
+                  "string": lambda o: isinstance(o, str),
+                  "integer": lambda o: isinstance(o, int)
+                  and not isinstance(o, bool),
+                  "number": lambda o: isinstance(o, (int, float))
+                  and not isinstance(o, bool),
+                  "boolean": lambda o: isinstance(o, bool),
+                  "null": lambda o: o is None}
+        if not any(checks.get(tt, lambda o: True)(obj) for tt in types):
+            return False
+    if "enum" in schema and obj not in schema["enum"]:
+        return False
+    if isinstance(obj, dict):
+        for k in schema.get("required", []):
+            if k not in obj:
+                return False
+        for k, sub in (schema.get("properties") or {}).items():
+            if k in obj and not schema_conforms(obj[k], sub):
+                return False
+        if schema.get("additionalProperties") is False:
+            if set(obj) - set(schema.get("properties") or {}):
+                return False
+    if isinstance(obj, list):
+        items = schema.get("items")
+        if isinstance(items, dict):
+            if not all(schema_conforms(v, items) for v in obj):
+                return False
+        if "minItems" in schema and len(obj) < schema["minItems"]:
+            return False
+        if "maxItems" in schema and len(obj) > schema["maxItems"]:
+            return False
+    if isinstance(obj, (int, float)) and not isinstance(obj, bool):
+        if "minimum" in schema and obj < schema["minimum"]:
+            return False
+        if "maximum" in schema and obj > schema["maximum"]:
+            return False
+    return True
+
+
+@register_task("json_mode_eval")
+class JsonModeEval(Evaluator):
+    """Schema-constrained generation (reference: the json_mode_eval
+    dataset in evaluate/; rows carry a prompt + a JSON schema). Runs
+    guided decoding end-to-end: generation uses
+    GuidedDecodingParams(json=schema); graded on (a) output parses as
+    JSON and (b) conforms to the schema — which stresses the in-repo
+    schema->DFA compiler on real nested/typed schemas."""
+
+    SCHEMAS = [
+        {"type": "object",
+         "properties": {"name": {"type": "string"},
+                        "age": {"type": "integer", "minimum": 0}},
+         "required": ["name", "age"], "additionalProperties": False},
+        {"type": "object",
+         "properties": {"items": {"type": "array",
+                                  "items": {"type": "string"},
+                                  "minItems": 1, "maxItems": 3},
+                        "total": {"type": "number"}},
+         "required": ["items"]},
+        {"type": "object",
+         "properties": {"status": {"enum": ["ok", "error"]},
+                        "code": {"type": "integer"}},
+         "required": ["status"]},
+    ]
+
+    def sample_rows(self) -> List[dict]:
+        return [{"prompt": f"Emit a JSON object #{i}: ",
+                 "schema": s} for i, s in enumerate(self.SCHEMAS)]
+
+    def __init__(self, **kw):
+        # worst-case canonical output under the bounded grammar: 3
+        # 64-char strings + keys + ws ≈ 280 bytes
+        kw.setdefault("max_tokens", 384)
+        super().__init__(**kw)
+
+    def evaluate(self, llm) -> Dict[str, Any]:
+        from ..sampling_params import GuidedDecodingParams, SamplingParams
+        rows = self.load_rows()
+        futs = []
+        for r in rows:
+            schema = r["schema"]
+            if isinstance(schema, str):
+                schema = json.loads(schema)
+            # no ignore_eos: once the grammar accepts, only EOS stays
+            # unmasked, so generation ends exactly at the JSON's end
+            sp = SamplingParams(
+                max_tokens=self.max_tokens, top_k=1,
+                guided_decoding=GuidedDecodingParams(json=schema))
+            prompt = r["prompt"]
+            if isinstance(prompt, str):
+                prompt = list(prompt.encode())
+            futs.append((schema, llm.generate_async(prompt, sp)))
+        parsed = conform = 0
+        for schema, f in futs:
+            out = f.result(600).outputs[0]
+            text = out.text or bytes(
+                t & 0xFF for t in out.token_ids).decode(errors="replace")
+            # tokenizer-free byte models pad past grammar-accept with
+            # EOS (id 0) bytes; cut at the first NUL
+            text = text.split("\x00")[0]
+            try:
+                obj = json.loads(text)
+                parsed += 1
+            except Exception:
+                continue
+            conform += schema_conforms(obj, schema)
+        n = max(1, len(rows))
+        return {"task": "json_mode_eval", "num_samples": len(rows),
+                "json_valid_pct": round(100.0 * parsed / n, 2),
+                "accuracy": round(100.0 * conform / n, 2)}
+
+
+@register_task("longbench")
+class LongBench(Evaluator):
+    """LongBench-style long-context QA graded by token-level F1
+    (reference: evaluate/ longbench task; qa_f1_score metric). Rows:
+    ``context``, ``question``, ``answers`` (list). Offline sample rows
+    hide facts in filler at depth, byte-level prompts."""
+
+    def __init__(self, context_len: int = 512, **kw):
+        kw.setdefault("max_tokens", 24)
+        super().__init__(**kw)
+        self.context_len = context_len
+
+    @staticmethod
+    def qa_f1(pred: str, answers: Sequence[str]) -> float:
+        def toks(s):
+            return re.findall(r"[a-z0-9]+", s.lower())
+        p = toks(pred)
+        best = 0.0
+        for a in answers:
+            g = toks(a)
+            if not p or not g:
+                continue
+            common = {}
+            for t in p:
+                common[t] = min(p.count(t), g.count(t))
+            overlap = sum(common.values())
+            if overlap == 0:
+                continue
+            prec, rec = overlap / len(p), overlap / len(g)
+            best = max(best, 2 * prec * rec / (prec + rec))
+        return best
+
+    def sample_rows(self) -> List[dict]:
+        filler = ("The library catalogue lists many entries. " * 40)
+        rows = []
+        facts = [("Who fixed the beacon?", "marina", 0.2),
+                 ("What color was the door?", "crimson", 0.7)]
+        for q, a, depth in facts:
+            fact = {"marina": "Marina fixed the beacon at dawn. ",
+                    "crimson": "The door was painted crimson. "}[a]
+            pos = int(len(filler) * depth)
+            ctx = filler[:pos] + fact + filler[pos:self.context_len]
+            rows.append({"context": ctx[:self.context_len],
+                         "question": q, "answers": [a]})
+        return rows
+
+    def evaluate(self, llm) -> Dict[str, Any]:
+        from ..sampling_params import SamplingParams
+        rows = self.load_rows()
+        sp = SamplingParams(max_tokens=self.max_tokens, top_k=1,
+                            ignore_eos=True)
+        futs = []
+        for r in rows:
+            prompt = (f"{r['context']}\n\nQuestion: {r['question']}\n"
+                      f"Answer:")
+            futs.append(llm.generate_async(list(prompt.encode()), sp))
+        scores = []
+        for r, f in zip(rows, futs):
+            out = f.result(600).outputs[0]
+            text = out.text or bytes(
+                t & 0xFF for t in out.token_ids).decode(errors="replace")
+            scores.append(self.qa_f1(text, r["answers"]))
+        return {"task": "longbench", "num_samples": len(rows),
+                "f1": round(100.0 * sum(scores) / max(1, len(scores)), 2),
+                "accuracy": round(
+                    100.0 * sum(scores) / max(1, len(scores)), 2)}

@@ -120,6 +120,11 @@ class RequestBroadcaster:
         self._conns: List[socket.socket] = []
         self._sock: Optional[socket.socket] = None
         self._lock = threading.Lock()
+        # liveness (reference: executor/proxy.py:430-503 worker
+        # monitoring): indices of followers whose sockets died; the
+        # leader consumes these instead of hanging/crashing on sendall
+        self.dead_followers: List[int] = []
+        self._conn_alive: List[bool] = []
 
     # leader ----------------------------------------------------------- #
     def serve(self, port: int, num_followers: int) -> None:
@@ -128,15 +133,39 @@ class RequestBroadcaster:
             conn, _ = srv.accept()
             conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
             self._conns.append(conn)
+            self._conn_alive.append(True)
         srv.close()
 
     def broadcast(self, batch: SerializableBatch) -> None:
         payload = batch.pack()
         header = struct.pack("<Q", len(payload))
         with self._lock:
-            for c in self._conns:
-                c.sendall(header)
-                c.sendall(payload)
+            for i, c in enumerate(self._conns):
+                if not self._conn_alive[i]:
+                    continue
+                try:
+                    c.sendall(header)
+                    c.sendall(payload)
+                except OSError:
+                    # dead follower: drop the connection, record the
+                    # death, keep the loop alive for everyone else
+                    self._mark_dead(i)
+
+    def _mark_dead(self, i: int) -> None:
+        if self._conn_alive[i]:
+            self._conn_alive[i] = False
+            self.dead_followers.append(i)
+            try:
+                self._conns[i].close()
+            except OSError:
+                pass
+            if hasattr(self, "_results_q"):
+                self._results_q.put({"type": "__follower_dead__",
+                                     "conn_index": i})
+
+    @property
+    def num_alive(self) -> int:
+        return sum(self._conn_alive)
 
     # follower --------------------------------------------------------- #
     def connect(self, host: str, port: int, timeout: float = 120.0) -> None:
@@ -192,10 +221,12 @@ class RequestBroadcaster:
     # leader on the same full-duplex socket) -------------------------- #
     def start_result_reader(self) -> None:
         """Leader: spawn one reader thread per follower connection;
-        messages drain via ``poll_results``."""
+        messages drain via ``poll_results``. A closed/broken socket
+        emits a ``__follower_dead__`` marker so the consumer can fail
+        the dead rank's requests instead of waiting forever."""
         self._results_q: "queue.Queue" = queue.Queue()
 
-        def reader(conn):
+        def reader(conn, idx):
             def read_exact(n):
                 buf = b""
                 while len(buf) < n:
@@ -207,14 +238,17 @@ class RequestBroadcaster:
             try:
                 while True:
                     (n,) = struct.unpack("<Q", read_exact(8))
-                    self._results_q.put(
-                        msgpack.unpackb(read_exact(n), raw=False,
-                                        strict_map_key=False))
+                    msg = msgpack.unpackb(read_exact(n), raw=False,
+                                          strict_map_key=False)
+                    msg["__conn_index__"] = idx
+                    self._results_q.put(msg)
             except (ConnectionError, OSError):
+                with self._lock:
+                    self._mark_dead(idx)
                 return
 
-        for c in self._conns:
-            threading.Thread(target=reader, args=(c,), daemon=True,
+        for i, c in enumerate(self._conns):
+            threading.Thread(target=reader, args=(c, i), daemon=True,
                              name="tllm-dp-results").start()
 
     def poll_results(self) -> List[dict]:

@@ -23,9 +23,18 @@ import numpy as np
 
 from .regex_dfa import DFA, TokenMaskCache, compile_regex
 
-_WS = "[ \\t\\n\\r]*"
+# bounded repetitions (xgrammar-style canonical output): unbounded
+# ws/content classes let a degenerate model loop inside the grammar
+# forever; the caps force termination within a known byte budget while
+# accepting any typical structured output. The generic nested-value
+# grammar keeps unbounded strings (bounding every string position
+# multiplies DFA states past the cap at depth>=3); schema-typed string
+# LEAVES use the bounded form, so schema-guided generation always
+# terminates.
+_WS = "[ \\t\\n\\r]{0,2}"
 _STRING = '"([^"\\\\\\x00-\\x1f]|\\\\.)*"'
-_NUMBER = "-?(0|[1-9][0-9]*)(\\.[0-9]+)?([eE][+-]?[0-9]+)?"
+_STRING_BOUNDED = '"([^"\\\\\\x00-\\x1f]|\\\\.){0,64}"'
+_NUMBER = "-?(0|[1-9][0-9]{0,15})(\\.[0-9]{1,12})?([eE][+-]?[0-9]{1,3})?"
 
 
 def json_value_regex(depth: int = 4) -> str:
@@ -50,6 +59,11 @@ def schema_to_regex(schema: dict, depth: int = 3) -> str:
     properties/required, string (+enum), number/integer, boolean, array of
     simple items. Unknown constructs fall back to the generic value."""
     t = schema.get("type")
+    if "enum" in schema and t != "string":
+        # bare enum (no/any type): alternation of JSON-encoded literals
+        opts = "|".join(_regex_escape(json.dumps(v))
+                        for v in schema["enum"])
+        return f"({opts})"
     if t == "object" or "properties" in schema:
         props = schema.get("properties", {})
         required = schema.get("required", list(props))
@@ -66,9 +80,9 @@ def schema_to_regex(schema: dict, depth: int = 3) -> str:
             opts = "|".join('"' + _regex_escape(v) + '"'
                             for v in schema["enum"])
             return f"({opts})"
-        return _STRING
+        return _STRING_BOUNDED
     if t == "integer":
-        return "-?(0|[1-9][0-9]*)"
+        return "-?(0|[1-9][0-9]{0,15})"
     if t == "number":
         return _NUMBER
     if t == "boolean":
@@ -78,7 +92,17 @@ def schema_to_regex(schema: dict, depth: int = 3) -> str:
     if t == "array":
         item = schema_to_regex(schema.get("items", {}), depth - 1) \
             if depth > 0 else json_value_regex(1)
-        return f"\\[{_WS}({item}({_WS},{_WS}{item})*)?{_WS}\\]"
+        min_items = int(schema.get("minItems", 0) or 0)
+        max_items = schema.get("maxItems")
+        if max_items is not None:
+            extra = max(0, int(max_items) - max(min_items, 1))
+            rep = f"({_WS},{_WS}{item}){{0,{extra}}}"
+        else:
+            rep = f"({_WS},{_WS}{item})*"
+        body = f"{item}{rep}"
+        if min_items < 1:
+            body = f"({body})?"
+        return f"\\[{_WS}{body}{_WS}\\]"
     return json_value_regex(max(depth, 1))
 
 
@@ -95,9 +119,10 @@ def _regex_escape(s: str) -> str:
 class TokenTable:
     """Vocab token byte matrix shared by all matchers of one tokenizer."""
 
-    def __init__(self, token_strings: List[str], eos_token_id: int):
+    def __init__(self, token_strings: List, eos_token_id: int):
         V = len(token_strings)
-        enc = [s.encode("utf-8") for s in token_strings]
+        enc = [s if isinstance(s, bytes) else s.encode("utf-8")
+               for s in token_strings]
         Lmax = max((len(b) for b in enc), default=1)
         self.token_bytes = np.zeros((V, Lmax), np.uint8)
         self.token_lens = np.zeros(V, np.int32)

@@ -191,31 +191,36 @@ class _Parser:
             raise ValueError("unterminated {}")
         if n != -1 and n < m:
             raise ValueError("bad bounds {m,n}")
-        # required copies: chain m (the original frag is copy 1 when m>0)
-        if m > 0:
-            start, acc = frag
-            for _ in range(m - 1):
-                fs, fa = self._clone(frag)
-                self.nfa.add_eps(acc, fs)
-                acc = fa
-            optionals = (n - m) if n != -1 else 0
-            first_optional = None
-        else:
-            start = self.nfa.new_state()
-            acc = start
-            optionals = n if n != -1 else 0
-            first_optional = frag
-        for j in range(optionals):
-            fs, fa = first_optional if (j == 0 and first_optional) \
-                else self._clone(frag)
+        # Pre-clone EVERY copy from the pristine fragment BEFORE any
+        # wiring. _clone copies everything *reachable*, so cloning
+        # after copy k was chained in swallowed copies 1..k into copy
+        # k+1 — a quadratic-and-worse NFA blowup that made {0,64}
+        # string bounds uncompilable (minutes -> ms with pre-cloning).
+        unbounded = n == -1
+        ncopies = m if unbounded else n
+        copies = []
+        if ncopies > 0:
+            copies = [frag] + [self._clone(frag)
+                               for _ in range(ncopies - 1)]
+        tail_star = self._clone(frag) if unbounded else None
+        start = self.nfa.new_state()
+        acc = start
+        for i in range(m):
+            fs, fa = copies[i]
             self.nfa.add_eps(acc, fs)
-            self.nfa.add_eps(acc, fa)  # skip this copy
             acc = fa
-        if n == -1:
-            st = self._star(self._clone(frag))
+        if unbounded:
+            st = self._star(tail_star)
             self.nfa.add_eps(acc, st[0])
-            acc = st[1]
-        return start, acc
+            return start, st[1]
+        end = self.nfa.new_state()
+        for i in range(m, n):
+            fs, fa = copies[i]
+            self.nfa.add_eps(acc, end)     # stop before this copy
+            self.nfa.add_eps(acc, fs)
+            acc = fa
+        self.nfa.add_eps(acc, end)
+        return start, end
 
     def _atom(self):
         ch = self._next()
@@ -302,7 +307,7 @@ class DFA:
         return self.table.shape[0]
 
 
-def compile_regex(pattern: str, max_states: int = 20000) -> DFA:
+def compile_regex(pattern: str, max_states: int = 40000) -> DFA:
     parser = _Parser(pattern)
     start, accept = parser.parse()
     return determinize(parser.nfa, start, {accept}, max_states)

@@ -548,6 +548,14 @@ class LLM:
             from ..guided.guided_decoder import GuidedDecoder
             if self.tokenizer is not None:
                 table = TokenTable.from_tokenizer(self.tokenizer)
+            elif args.guided_token_bytes == "byte":
+                # byte-level models (token id == byte; the committed
+                # trained checkpoints): guidance over raw bytes, so
+                # guided JSON/regex output is literal text
+                V = self.model.vocab_size
+                strs = [bytes([i]) for i in range(min(V, 256))] + \
+                    [b""] * max(0, V - 256)
+                table = TokenTable(strs, eos_token_id=0)
             else:
                 # token-id-level guidance: bytes are decimal token ids —
                 # usable for tests without a tokenizer

@@ -299,6 +299,10 @@ class LlmArgs(StrictBaseModel):
     stream_interval: int = 1
     gather_generation_logits: bool = False
     guided_decoding_backend: Optional[str] = None
+    # tokenizer-free guidance byte mapping: "decimal" (token id's
+    # decimal string — token-id-level grammars) or "byte" (token id ==
+    # byte; byte-level checkpoints emit literal guided text)
+    guided_token_bytes: str = "decimal"
     backend: str = "jax"
     num_postprocess_workers: int = 0
     batch_wait_timeout_ms: float = 0.0

@@ -51,6 +51,30 @@ except Exception:  # pragma: no cover
 # all tokens, so the two calls read a consistent pool.
 _MIXED_SPLIT = None
 
+# Trace-time hint: decode-only window calls tile the library RPA kernel
+# at (num_kv_pages_per_block=8, num_queries_per_block=8) — measured
+# 17.6 -> 12.9 ms/step at bench geometry (tools/step_anatomy.py round
+# 5; the default auto-tiling over-blocks queries for 1-token rows).
+# Prefill/mixed calls keep the library defaults.
+_DECODE_BLOCKS = None
+
+
+def rpa_decode_blocks(kpb: int = 8, qpb: int = 8):
+    """Context manager: RPA calls traced inside use decode-tuned block
+    sizes (the engine wraps its decode-window forwards with this)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        global _DECODE_BLOCKS
+        old = _DECODE_BLOCKS
+        _DECODE_BLOCKS = (kpb, qpb)
+        try:
+            yield
+        finally:
+            _DECODE_BLOCKS = old
+    return cm()
+
 
 def rpa_mixed_split(sb: int):
     """Context manager: attention calls traced inside split at row
@@ -444,11 +468,23 @@ def ragged_paged_attention(
 
         return jax.lax.cond(decode_only, decode_path, prefill_path, None)
     if backend == "rpa":
+        import os as _os
+        extra = {}
+        if _DECODE_BLOCKS is not None:
+            extra["num_kv_pages_per_block"] = _DECODE_BLOCKS[0]
+            extra["num_queries_per_block"] = _DECODE_BLOCKS[1]
+        kpb = _os.environ.get("TLLM_TPU_RPA_KV_PAGES_PER_BLOCK")
+        qpb = _os.environ.get("TLLM_TPU_RPA_Q_PER_BLOCK")
+        if kpb:
+            extra["num_kv_pages_per_block"] = int(kpb)
+        if qpb:
+            extra["num_queries_per_block"] = int(qpb)
         return _rpa_kernel(
             q, kv_pages, metadata.kv_lens, metadata.page_indices,
             metadata.cu_q_lens, metadata.num_seqs,
             sm_scale=sm_scale, sliding_window=sliding_window,
-            soft_cap=soft_cap, k_scale=k_scale, v_scale=v_scale)
+            soft_cap=soft_cap, k_scale=k_scale, v_scale=v_scale,
+            **extra)
     return _reference_attention(
         q, kv_pages, metadata, sm_scale=sm_scale,
         sliding_window=sliding_window, soft_cap=soft_cap,

@@ -55,6 +55,15 @@ class ADPRouter(ABC):
             if 0 <= st.rank < self.num_ranks:
                 self.rank_states[st.rank] = st
 
+    def remove_rank(self, rank: int) -> None:
+        """Stop routing to a dead rank (worker-death liveness): its
+        load reads as +inf so the balancers never pick it again."""
+        if 0 <= rank < self.num_ranks:
+            st = self.rank_states[rank]
+            st.num_active_tokens = 1 << 60
+            st.num_active_requests = 1 << 30
+            st.kv_free_blocks = 0
+
     @abstractmethod
     def route_requests(self,
                        requests: Sequence[LlmRequest]) -> List[int]:

@@ -375,6 +375,14 @@ class PyExecutor:
             self.moe_tracker = MoeLoadTracker(engine, **lb)
 
         if role == "dp_follower":
+            # announce rank immediately so the leader can attribute a
+            # later socket death to this rank (liveness; reference:
+            # proxy.py worker registration)
+            try:
+                broadcaster.send_result({"type": "hello",
+                                         "rank": dp_rank_id})
+            except (ConnectionError, OSError):  # pragma: no cover
+                pass
             self._dp_recv_thread = threading.Thread(
                 target=self._dp_follower_recv, daemon=True,
                 name="tllm-dp-recv")
@@ -1740,6 +1748,33 @@ class PyExecutor:
                 self.waiting.add_request(req)
 
     def _dp_handle_result(self, msg: dict):
+        # liveness (reference: executor/proxy.py:430-503): map follower
+        # connections to dp ranks from their messages; a dead socket
+        # fails exactly the requests routed to that rank — the leader
+        # keeps serving its own partition (no hang, no global error)
+        idx = msg.pop("__conn_index__", None)
+        if not hasattr(self, "_dp_conn_rank"):
+            self._dp_conn_rank: Dict[int, int] = {}
+        if idx is not None and "rank" in msg:
+            self._dp_conn_rank[idx] = msg["rank"]
+        if msg.get("type") == "__follower_dead__":
+            dead_rank = self._dp_conn_rank.get(msg.get("conn_index"))
+            from .error_isolation import RequestError
+            victims = [rid for rid, r in self.dp_assignments.items()
+                       if r == dead_rank and r != self.dp_rank_id]
+            logger.error("dp follower rank %s died; failing %d routed "
+                         "request(s)", dead_rank, len(victims))
+            for rid in victims:
+                with self._lock:
+                    res = self._results.pop(rid, None)
+                self.dp_assignments.pop(rid, None)
+                if res is not None and not res.finished:
+                    res._on_error(RequestError(
+                        res.request, "dp_follower_death",
+                        ConnectionError(f"rank {dead_rank} died")))
+            if dead_rank is not None and self.adp_router is not None:
+                self.adp_router.remove_rank(dead_rank)
+            return
         if msg.get("stats"):
             from .adp_router import RankState
             self.adp_router.update_rank_states(

@@ -687,8 +687,9 @@ class ModelEngine:
                         num_seqs=jnp.full((1,), Sb + NC + 1, jnp.int32),
                         slot_mapping=slot_in, positions=pos_in,
                         logits_indices=iota, seq_slots=seq_slots_in)
-                    from ..ops.attention import rpa_mixed_split
-                    with rpa_mixed_split(Sb):
+                    from ..ops.attention import (rpa_decode_blocks,
+                                                 rpa_mixed_split)
+                    with rpa_mixed_split(Sb), rpa_decode_blocks():
                         logits, kv_pages = model.forward(
                             params, tokens_in, kv_pages, metadata)
                 else:
@@ -699,8 +700,10 @@ class ModelEngine:
                         logits_indices=iota, seq_slots=out_slots,
                         page_indices_sw=page_indices_sw,
                         slot_mapping_sw=sm_sw)
-                    logits, kv_pages = model.forward(params, cur, kv_pages,
-                                                     metadata)
+                    from ..ops.attention import rpa_decode_blocks
+                    with rpa_decode_blocks():
+                        logits, kv_pages = model.forward(
+                            params, cur, kv_pages, metadata)
                 key = jax.random.fold_in(key, 1)
                 g_act = None
                 if use_guided:

@@ -55,6 +55,8 @@ def main():
     batch = int(os.environ.get("ANAT_BATCH", "256"))
     K = int(os.environ.get("ANAT_K", "16"))
     ctx = int(os.environ.get("ANAT_CTX", "184"))
+    page = int(os.environ.get("ANAT_PAGE", "32"))
+    backend = os.environ.get("ANAT_BACKEND", "auto")
     hf = LlamaConfig(vocab_size=32000, hidden_size=2048,
                      intermediate_size=5632, num_hidden_layers=22,
                      num_attention_heads=16, num_key_value_heads=4,
@@ -63,9 +65,10 @@ def main():
                    max_batch_size=batch, max_input_len=256,
                    max_seq_len=512, max_num_tokens=2048,
                    decode_multi_step=K,
-                   kv_cache_config=KvCacheConfig(tokens_per_block=32))
+                   kv_cache_config=KvCacheConfig(tokens_per_block=page))
     mc = ModelConfig(hf_config=hf, dtype=jnp.bfloat16, mapping=Mapping())
     model = get_model_class(hf.model_type)(mc)
+    model.attn_backend = backend
     t0 = time.monotonic()
     params = model.init_params(jax.random.PRNGKey(0))
     engine = ModelEngine(model, params, args)
@@ -110,6 +113,7 @@ def main():
     best = min(times)
     ms_step = best * 1e3 / K
     print(f"ANATOMY mode={MODE} batch={batch} K={K} ctx={ctx} "
+          f"page={page} backend={backend} "
           f"window={best*1e3:.1f}ms step={ms_step:.2f}ms "
           f"tok_s={batch/ms_step*1e3:.0f} "
           f"all={['%.1f' % (t*1e3) for t in times]}", flush=True)
