@@ -1437,7 +1437,7 @@ class ModelEngine:
                           *self._guided_args(False),
                           *self._aux_args(False, False))
             (_, _, _, _, self.prev_tokens, _, self.kv_pages, _, _, _,
-             _) = out
+             _, _) = out
             last = out[0]
             logger.info("warmed bucket T=%d", T)
         if last is not None:

@@ -34,8 +34,10 @@ import sys
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 REPO = Path(__file__).resolve().parent.parent
-CKPT = REPO / "tests" / "assets" / "tinycode-llama"
-OUT = REPO / "tests" / "assets" / "tinycode-eagle"
+CKPT = Path(os.environ.get(
+    "DRAFT_TARGET", REPO / "tests" / "assets" / "tinycode-llama"))
+OUT = Path(os.environ.get(
+    "DRAFT_OUT", REPO / "tests" / "assets" / "tinycode-eagle"))
 SEQ = 258          # window: features for SEQ-2 head positions
 BATCH = 8
 STEPS = int(os.environ.get("DRAFT_STEPS", "1500"))
@@ -53,9 +55,10 @@ def corpus() -> np.ndarray:
 
 def build_target():
     """Load tinycode-llama through the repo's own ingestion path."""
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    plat = os.environ.get("DRAFT_PLATFORM", "cpu")
+    os.environ.setdefault("JAX_PLATFORMS", plat)
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", plat)
     from tensorrt_llm_tpu import LLM, KvCacheConfig
     llm = LLM(model=str(CKPT), skip_tokenizer_init=True, dtype="float32",
               max_batch_size=2, max_input_len=SEQ + 8,
