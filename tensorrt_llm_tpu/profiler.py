@@ -68,3 +68,52 @@ def device_memory_stats() -> dict:
         return dict(jax.devices()[0].memory_stats() or {})
     except Exception:
         return {}
+
+
+class SpanRecorder:
+    """Per-iteration host-phase spans exported as a Chrome trace
+    (chrome://tracing / Perfetto JSON). Role of the reference's
+    PerfMetricsManager + profiler.py host-side breakdown (reference:
+    _torch/pyexecutor/perf_metrics_manager.py:256 — per-iteration
+    schedule/forward/sample GPU+CPU timing events): the executor feeds
+    one (name, start, dur) triple per loop phase; ``dump`` writes the
+    trace and a per-phase total summary.
+
+    Enable with ``TLLM_TPU_HOST_TRACE=/path/trace.json`` — the executor
+    records every iteration's sched/dispatch/process phases and writes
+    the file at shutdown.
+    """
+
+    def __init__(self, path: Optional[str] = None, cap: int = 200_000):
+        self.path = path or os.environ.get("TLLM_TPU_HOST_TRACE")
+        self.enabled = bool(self.path)
+        self.events: list = []
+        self.totals: Dict[str, float] = {}
+        self.cap = cap
+        self._t0 = time.monotonic()
+
+    def record(self, name: str, start_s: float, dur_s: float,
+               iter_id: int = 0) -> None:
+        if not self.enabled:
+            return
+        self.totals[name] = self.totals.get(name, 0.0) + dur_s
+        if len(self.events) < self.cap:
+            self.events.append({
+                "name": name, "ph": "X", "pid": 0, "tid": 0,
+                "ts": (start_s - self._t0) * 1e6,
+                "dur": dur_s * 1e6,
+                "args": {"iter": iter_id}})
+
+    def dump(self) -> Optional[str]:
+        if not self.enabled or not self.events:
+            return None
+        import json
+        payload = {"traceEvents": self.events,
+                   "metadata": {"totals_s": {
+                       k: round(v, 4) for k, v in self.totals.items()}}}
+        try:
+            with open(self.path, "w") as f:
+                json.dump(payload, f)
+            return self.path
+        except OSError:
+            return None

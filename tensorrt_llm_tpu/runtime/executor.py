@@ -352,6 +352,11 @@ class PyExecutor:
         import os
         self._trace_iters = os.environ.get("TLLM_TPU_TRACE_ITERS") == "1"
         self._eager_drain = os.environ.get("TLLM_TPU_EAGER_DRAIN") == "1"
+        # host-phase span recorder (TLLM_TPU_HOST_TRACE=trace.json —
+        # Chrome-trace of sched/dispatch/process per iteration;
+        # profiler.SpanRecorder)
+        from ..profiler import SpanRecorder
+        self._spans = SpanRecorder()
 
         # beam groups keyed by parent request id
         self._beam_groups: Dict[int, Any] = {}
@@ -456,6 +461,9 @@ class PyExecutor:
     def shutdown(self, wait: bool = True) -> None:
         if self._postproc is not None:
             self._postproc.shutdown(wait=False)
+        path = self._spans.dump()
+        if path:
+            logger.info("host-phase trace written to %s", path)
         self._shutdown.set()
         self._hang_detector.stop()
         self._work_event.set()
@@ -878,6 +886,11 @@ class PyExecutor:
             while len(self._inflight) >= self.pipeline_depth:
                 self._process_inflight()
             t3 = time.monotonic()
+            if self._spans.enabled:
+                it = self.iter_counter
+                self._spans.record("sched", t0, t1 - t0, it)
+                self._spans.record("dispatch", t1, t2 - t1, it)
+                self._spans.record("process", t2, t3 - t2, it)
             if self._trace_iters:
                 ngen = len(batch.generation_requests) + \
                     (len(gen_window.generation_requests)

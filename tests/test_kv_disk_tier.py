@@ -109,3 +109,52 @@ def test_e2e_disk_tier_prefix_reuse(tmp_path):
     assert stats.disk_blocks >= 1, stats
     assert again._result.request.perf.kv_cache_hit_tokens > 0
     llm.shutdown()
+
+
+def test_disk_tier_byte_capacity_and_priority_eviction(tmp_path):
+    """Eviction-controller semantics (reference: _eviction_controller/):
+    byte-capacity eviction removes lowest-retention-priority first,
+    ties oldest-first."""
+    from tensorrt_llm_tpu.runtime.kv_tiers import DiskKvStore
+    blk = np.ones((4, 1024), np.float32)           # 16KB each
+    st = DiskKvStore(str(tmp_path / "d"), max_bytes=3 * blk.nbytes + 1)
+    k_low = st.put(blk, priority=10)
+    k_hi1 = st.put(blk * 2, priority=80)
+    k_hi2 = st.put(blk * 3, priority=80)
+    k_new = st.put(blk * 4, priority=50)           # over budget now
+    st.shutdown()
+    assert st.get(k_low) is None                   # lowest priority went
+    assert st.stats.evictions == 1
+    for k, mul in ((k_hi1, 2), (k_hi2, 3), (k_new, 4)):
+        got = st.get(k)
+        assert got is not None and got[0, 0] == mul
+
+
+def test_disk_tier_write_backpressure(tmp_path):
+    """Copy-engine bandwidth management: past the in-flight budget,
+    demotions are dropped (counted) instead of queueing unboundedly."""
+    from tensorrt_llm_tpu.runtime.kv_tiers import DiskKvStore
+    blk = np.ones((1024, 256), np.float32)         # 1MB
+    st = DiskKvStore(str(tmp_path / "d"),
+                     max_inflight_bytes=2 * blk.nbytes + 1)
+    keys = [st.put(blk) for _ in range(8)]
+    dropped = sum(k is None for k in keys)
+    st.shutdown()
+    assert st.stats.put_drops == dropped
+    # at least the admitted ones read back
+    for k in keys:
+        if k is not None:
+            assert st.get(k) is not None
+
+
+def test_disk_tier_stats_and_get_many(tmp_path):
+    from tensorrt_llm_tpu.runtime.kv_tiers import DiskKvStore
+    st = DiskKvStore(str(tmp_path / "d"))
+    ks = [st.put(np.full((8,), i, np.int32)) for i in range(4)]
+    outs = st.get_many(ks + ["missing"])
+    assert [o[0] for o in outs[:4]] == [0, 1, 2, 3]
+    assert outs[4] is None
+    d = st.stats.as_dict()
+    assert d["puts"] == 4 and d["hits"] == 4 and d["misses"] >= 1
+    assert d["bytes_stored"] == 4 * 32
+    st.shutdown()

@@ -28,7 +28,7 @@ REPO = Path(__file__).resolve().parent.parent
 OUT = Path(os.environ.get("MID_OUT",
                           REPO / "tests" / "assets" / "tinycode-llama-mid"))
 SEQ = 512
-BATCH = int(os.environ.get("MID_BATCH", "16"))
+BATCH = int(os.environ.get("MID_BATCH", "8"))
 STEPS = int(os.environ.get("MID_STEPS", "1800"))
 LR = 6e-4
 H = int(os.environ.get("MID_HIDDEN", "1024"))
@@ -128,7 +128,11 @@ def main():
 
         lps = {k2: p[k2] for k2 in
                ("q", "k", "v", "o", "gate", "up", "down", "ln1", "ln2")}
-        h, _ = jax.lax.scan(lambda c, lp: layer(c, lp), h, lps)
+        # rematerialize per layer: the [B, heads, T, T] score tensors
+        # would otherwise all live until the backward pass (OOM at 16
+        # layers); recompute-in-backward trades ~30% FLOPs for memory
+        h, _ = jax.lax.scan(jax.checkpoint(lambda c, lp: layer(c, lp)),
+                            h, lps)
         h = rms(h, p["lnf"])
         return (h @ p["lm"].astype(jnp.bfloat16)).astype(jnp.float32)
 
