@@ -18,8 +18,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 REPO = Path(__file__).resolve().parent.parent
-CKPT = REPO / "tests" / "assets" / "tinycode-llama"
-HEAD = REPO / "tests" / "assets" / "tinycode-eagle"
+CKPT = Path(os.environ.get(
+    "SPEC_TARGET", REPO / "tests" / "assets" / "tinycode-llama"))
+HEAD = Path(os.environ.get(
+    "SPEC_HEAD", REPO / "tests" / "assets" / "tinycode-eagle"))
 
 
 def held_out_prompts(n):
@@ -80,7 +82,7 @@ def main():
     print(f"# spec {tput1:.1f} tok/s, accepted/iter {mean_acc:.2f}, "
           f"lossless={lossless}", file=sys.stderr, flush=True)
     print(json.dumps({
-        "metric": f"spec speedup tinycode-llama trained-EAGLE3 d{d} "
+        "metric": f"spec speedup {CKPT.name} trained-EAGLE3 d{d} "
                   f"bs{batch} osl{osl}",
         "value": round(tput1 / max(tput0, 1e-9), 3),
         "unit": "x",

@@ -113,6 +113,9 @@ def main():
 
     llm = build_target()
     model = llm.engine.model
+    # training differentiates through the head's attention: the Pallas
+    # kernels have no JVP, so pin the XLA reference path (tiny shapes)
+    model.attn_backend = "reference"
     params = llm.engine.params
     H = model.hidden_size
     data = corpus()
