@@ -62,8 +62,11 @@ def main():
     prompts = held_out_prompts(batch)
 
     base = LLM(**kw)
-    # warmup pass then measured pass
-    run(base, prompts[:2], 16)
+    # warmup: FULL batch, TWICE — pass 2 hits the prefix-reuse
+    # prefill bucket (the measured pass's actual shape), so every
+    # variant is compiled before timing
+    run(base, prompts, 16)
+    run(base, prompts, 16)
     tput0, ref = run(base, prompts, osl)
     base.shutdown()
     print(f"# baseline {tput0:.1f} tok/s", file=sys.stderr, flush=True)
@@ -72,7 +75,8 @@ def main():
     spec = LLM(**kw, speculative_config=SpeculativeConfig(
         mode="EAGLE3", max_draft_len=d, draft_model=str(HEAD),
         device_window=True, device_window_iters=K))
-    run(spec, prompts[:2], 16)
+    run(spec, prompts, 16)
+    run(spec, prompts, 16)
     spec.executor.drafter.acceptance_window.clear()
     tput1, got = run(spec, prompts, osl)
     acc = list(spec.executor.drafter.acceptance_window)
