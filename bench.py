@@ -205,7 +205,7 @@ def main():
     # hides dispatch latency but delays slot release (and therefore next-
     # wave prefill admission) by depth*K decode steps at wave boundaries
     # — measured as a ~4-iteration near-empty drain bubble per wave.
-    depth = int(os.environ.get("BENCH_DEPTH", "2"))
+    depth = int(os.environ.get("BENCH_DEPTH", "3"))
     # mixed windows (round 4): each decode-window step also prefills up
     # to this many context tokens — prefill hides under decode weight
     # reads, so refill phases keep emitting tokens. The chip has ~547

@@ -59,7 +59,7 @@ _MIXED_SPLIT = None
 _DECODE_BLOCKS = None
 
 
-def rpa_decode_blocks(kpb: int = 8, qpb: int = 8):
+def rpa_decode_blocks(kpb: int = 8, qpb: int = 4):
     """Context manager: RPA calls traced inside use decode-tuned block
     sizes (the engine wraps its decode-window forwards with this)."""
     import contextlib
