@@ -393,6 +393,10 @@ def main():
         "chip_bw_max_gbps": round(max(bw_samples) / 1e9, 1),
         "chip_rtt_ms": round(rtt * 1e3, 1),
         "chip_tflops": round(tflops / 1e12, 1),
+        # session-normalized: absolute tok/s tracks the session's
+        # delivered bandwidth nearly linearly (bench_notes round 5);
+        # this ratio is comparable across sessions
+        "tok_s_per_gbps": round(tput / (hbm_bw / 1e9), 2),
     }), flush=True)
     if "tput" not in result2:
         # a wedged device fetch would also hang interpreter teardown
