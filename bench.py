@@ -144,6 +144,11 @@ def main():
         faulthandler.dump_traceback_later(180, repeat=True,
                                           file=sys.stderr)
     quant = os.environ.get("BENCH_QUANT", "none")
+    # KV-cache pool dtype (bf16|fp8|int8). Quantized pools stay on the
+    # fast library RPA kernel (dequant-by-scale in kernel) and halve the
+    # dominant KV read at this geometry; the roofline denominator below
+    # accounts for the smaller pool so vs_chip stays honest.
+    kv_dtype = os.environ.get("BENCH_KV", "bf16")
     tiny = os.environ.get("BENCH_TINY", "0") == "1"
     batch = int(os.environ.get("BENCH_BATCH", "8" if tiny else "256"))
     isl = int(os.environ.get("BENCH_ISL", "32" if tiny else "128"))
@@ -237,8 +242,10 @@ def main():
               mixed_window_ctx=mixed_ctx,
               decode_wait_occupancy=wait_occ,
               ttft_slo_ms=ttft_slo,
-              kv_cache_config=KvCacheConfig(tokens_per_block=int(
-                  os.environ.get("BENCH_PAGE", "32"))))
+              kv_cache_config=KvCacheConfig(
+                  dtype=kv_dtype if kv_dtype != "bf16" else "auto",
+                  tokens_per_block=int(
+                      os.environ.get("BENCH_PAGE", "32"))))
 
     rng = np.random.default_rng(0)
     vocab = cfg.vocab_size
@@ -349,9 +356,11 @@ def main():
                     (cfg.hidden_size // cfg.num_attention_heads) +
                     3 * cfg.hidden_size * cfg.intermediate_size))
     weight_bytes = n_params * param_bytes
+    kv_cell = {"bf16": 2, "fp8": 1, "int8": 1}[kv_dtype]
     kv_bytes_per_tok = (cfg.num_hidden_layers * 2 *
                         cfg.num_key_value_heads *
-                        (cfg.hidden_size // cfg.num_attention_heads) * 2)
+                        (cfg.hidden_size // cfg.num_attention_heads)
+                        * kv_cell)
     avg_ctx = isl + osl / 2
     PROD_V5E_BW = 810e9  # BASELINE.md constant (production v5e HBM)
     # the roofline denominator is the BEST same-session reading — the
@@ -381,7 +390,8 @@ def main():
     name = {"1b": "TinyLlama-1.1B", "8b": "Llama-8B"}.get(model_size,
                                                           model_size)
     print(json.dumps({
-        "metric": f"output tok/s/chip {name} {quant} "
+        "metric": f"output tok/s/chip {name} {quant}"
+                  f"{'' if kv_dtype == 'bf16' else ' kv-' + kv_dtype} "
                   f"bs{batch} {isl}/{osl}",
         "value": round(tput, 1),
         "unit": "tok/s",

@@ -1281,6 +1281,13 @@ class PyExecutor:
         import jax
         tokens, logprobs, emitted = jax.device_get(
             (batch.tokens, batch.logprobs, batch.emitted))
+        # column-major views once: the per-token loop below was the
+        # dominant host cost per window (bench traces: 150-300 ms of
+        # pure Python per K=16 × 256-row window — as long as the device
+        # window itself), so rows with pure length semantics take a
+        # vectorized fast path
+        tok_cols = tokens.T          # [Sb, K]
+        lp_cols = logprobs.T
         finished: List[LlmRequest] = []
         for i, entry in enumerate(batch.entries):
             req = entry.request
@@ -1288,6 +1295,41 @@ class PyExecutor:
                 continue
             e = int(emitted[i])
             plan = batch.planned[i]
+            sp = req.sampling_params
+            if (e == plan and e > 0 and not sp.stop_token_ids
+                    and (sp.end_id is None or sp.ignore_eos)
+                    and not (sp.stop and self.tokenizer is not None)):
+                # fast path: no stop ids / stop strings — the window can
+                # only end by length. Bulk-append the whole emitted run.
+                now = time.monotonic()
+                if not req.output_token_ids:
+                    req.perf.first_token_time = now
+                req.perf.last_token_time = now
+                # the device window may overrun max_tokens (its budget
+                # is KV-room-capped, not length-capped): truncate here
+                # and roll the device-token accounting back, exactly as
+                # the per-token path does
+                take = min(e, sp.max_tokens - req.num_output_tokens)
+                row_t = tok_cols[i, :take].tolist()
+                row_l = lp_cols[i, :take].tolist()
+                req.output_token_ids.extend(row_t)
+                req.cum_logprob += sum(row_l)
+                req.logprobs.extend(
+                    {t: l} for t, l in zip(row_t, row_l))
+                if take < plan:
+                    req.num_device_tokens -= plan - take
+                if req.num_output_tokens >= sp.max_tokens:
+                    req.finish_by_reason(FinishReason.LENGTH)
+                    finished.append(req)
+                elif req.streaming:
+                    res = self._results.get(req.request_id)
+                    if res is not None and \
+                            req.num_output_tokens - \
+                            req.num_tokens_streamed >= self.stream_interval:
+                        new = req.output_token_ids[req.num_tokens_streamed:]
+                        req.num_tokens_streamed = req.num_output_tokens
+                        res._on_tokens(new)
+                continue
             accepted = 0
             done = False
             check_stop_strings = bool(req.sampling_params.stop) and \
