@@ -218,8 +218,13 @@ def main():
     # 106 GB/s), so a 256-token rider costs ~0 extra step time.
     mixed_ctx = int(os.environ.get("BENCH_MIXED_CTX", "512"))
     # batching-wait: decode defers below this pool occupancy while
-    # prefill refills (kills the ramp/transition occupancy dips)
-    wait_occ = float(os.environ.get("BENCH_WAIT_OCC", "0.9"))
+    # prefill refills. 1.0 = decode only ever runs with a FULL pool:
+    # the 0.9 gate let windows launch at ~230/256 rows, and the
+    # last-prefilled stragglers then trailed the wave by several
+    # windows, finishing nearly alone (1-3 row windows at full window
+    # cost — ~10% of pass time in the r5 traces). Full-pool admission:
+    # 14.3k -> 16.2k tok/s AND TTFT p50 1.4s -> 0.6s, TPOT 16 -> 11ms.
+    wait_occ = float(os.environ.get("BENCH_WAIT_OCC", "1.0"))
     # latency regime (reference: bench/benchmark/low_latency.py):
     # staggered arrivals at BENCH_QPS, TTFT/TPOT as the headline, short
     # windows + a TTFT budget so prefill turnaround stays bounded
