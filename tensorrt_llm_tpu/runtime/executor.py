@@ -1456,6 +1456,47 @@ class PyExecutor:
             if req.is_finished:
                 continue
             plan = ib.planned[i]
+            sp = req.sampling_params
+            if (self.drafter is None and top_lp is None
+                    and not sp.stop_token_ids
+                    and (sp.end_id is None or sp.ignore_eos)
+                    and not (sp.stop and self.tokenizer is not None)):
+                # vectorized fast path (same rationale as _process_multi:
+                # the ragged K x (d+1) per-token loop is host-dominant at
+                # production batch sizes). Gather the accepted prefix of
+                # each verify step with one boolean mask, truncate at
+                # max_tokens, roll device accounting back by the
+                # unemitted remainder of the plan cap.
+                cs = counts[:, i]
+                keep = np.arange(tokens.shape[2])[None, :] < cs[:, None]
+                row_t = tokens[:, i, :][keep].tolist()
+                row_l = logprobs[:, i, :][keep].tolist()
+                take = min(len(row_t),
+                           sp.max_tokens - req.num_output_tokens)
+                now = time.monotonic()
+                if take > 0:
+                    if not req.output_token_ids:
+                        req.perf.first_token_time = now
+                    req.perf.last_token_time = now
+                    req.output_token_ids.extend(row_t[:take])
+                    req.cum_logprob += sum(row_l[:take])
+                    req.logprobs.extend(
+                        {t: l} for t, l in zip(row_t[:take],
+                                               row_l[:take]))
+                if take < plan:
+                    req.num_device_tokens -= plan - take
+                if req.num_output_tokens >= sp.max_tokens:
+                    req.finish_by_reason(FinishReason.LENGTH)
+                    finished.append(req)
+                elif req.streaming:
+                    res = self._results.get(req.request_id)
+                    if res is not None and \
+                            req.num_output_tokens - \
+                            req.num_tokens_streamed >= self.stream_interval:
+                        new = req.output_token_ids[req.num_tokens_streamed:]
+                        req.num_tokens_streamed = req.num_output_tokens
+                        res._on_tokens(new)
+                continue
             accepted = 0
             done = False
             check_stop = bool(req.sampling_params.stop) and \
